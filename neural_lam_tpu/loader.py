@@ -1,0 +1,108 @@
+"""Host-side batch loader with background prefetch.
+
+Replaces the reference's torch ``DataLoader`` workers + Lightning
+``WeatherDataModule`` (reference: neural_lam/weather_dataset.py:641-772).
+On TPU the input pipeline is a host thread that assembles numpy batches
+while the device computes; device transfer/double-buffering happens in the
+trainer via ``jax.device_put``.
+
+For multi-host SPMD each process constructs a loader with its
+``(shard_index, num_shards)`` so every host reads a disjoint slice of each
+(identically shuffled) epoch — the explicit per-host index scheme the
+reference delegates to ``DistributedSampler``.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    """Iterates minibatches of stacked-sample numpy tuples."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 4,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: Optional[bool] = None,
+        prefetch: int = 2,
+        shard_index: int = 0,
+        num_shards: int = 1,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        # Training wants fixed batch shapes (no recompiles); eval wants all
+        # samples. Default drop_last to the shuffle flag.
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            idxs = rng.permutation(n)
+        else:
+            idxs = np.arange(n)
+        return idxs[self.shard_index :: self.num_shards]
+
+    def __len__(self) -> int:
+        n = len(self._epoch_indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> Iterator[tuple]:
+        idxs = self._epoch_indices()
+        n = len(idxs)
+        stop = (
+            n - n % self.batch_size if self.drop_last else n
+        )
+        for start in range(0, stop, self.batch_size):
+            batch_idx = idxs[start : start + self.batch_size]
+            samples = [self.dataset[int(i)] for i in batch_idx]
+            yield tuple(
+                np.stack([s[j] for s in samples]) for j in range(len(samples[0]))
+            )
+
+    def __iter__(self) -> Iterator[tuple]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list[BaseException] = []
+
+        def producer():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            except BaseException as e:  # surface worker errors to consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

@@ -1,0 +1,232 @@
+"""Interaction/Propagation network message passing, TPU style.
+
+Behavioural spec comes from the reference ``InteractionNet`` /
+``PropagationNet`` (reference: neural_lam/gnn_layers.py:15-250):
+
+- message  = edge_mlp(concat(edge_attr, x_sender, x_receiver))
+             (+ x_sender residual for the propagation variant)
+- aggregate to the receiver node set only (``num_rec = max(recv)+1``),
+  sum or mean
+- node update = aggr_mlp(concat(rec_rep, aggregated))
+- receiver residual: rec_rep (interaction) or aggregated (propagation)
+- optional edge residual update: edge_rep + message
+
+The implementation is a pure function over parameter pytrees and a static
+:class:`EdgeSet`. Edges are padded to fixed sizes and sorted by receiver at
+graph-load time; padding edges aggregate into a dead segment (see
+``segment.py``), so every shape is static and XLA can fuse the
+gather -> MLP -> segment-sum chain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mlp import MLPParams, apply_mlp, init_mlp
+from .segment import segment_mean, segment_sum
+
+_PAD_MULTIPLE = 128  # lane width; keeps padded edge blocks tile-aligned
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class EdgeSet:
+    """Static, padded, (optionally receiver-sorted) edge connectivity.
+
+    Not a pytree: models close over EdgeSets so the index arrays become
+    jit-time constants.
+    """
+
+    senders: jax.Array  # (E_pad,) int32; padding rows -> 0
+    receivers: jax.Array  # (E_pad,) int32; padding rows -> num_rec
+    recv_gather: jax.Array  # (E_pad,) int32; receivers clamped to num_rec-1
+    recv_counts: jax.Array  # (num_rec,) int32 in-degree over valid edges
+    num_rec: int
+    num_valid: int
+    sorted_by_receiver: bool
+
+    @property
+    def num_padded(self) -> int:
+        return int(self.senders.shape[0])
+
+
+def make_edge_set(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_rec: Optional[int] = None,
+    pad_multiple: int = _PAD_MULTIPLE,
+    sort: bool = True,
+) -> tuple[EdgeSet, np.ndarray]:
+    """Build an :class:`EdgeSet` from raw (unsorted, unpadded) indices.
+
+    Returns the edge set and the permutation ``perm`` (new order -> original
+    edge position) that must also be applied to any per-edge feature arrays
+    (use :func:`pad_edge_features`).
+
+    ``num_rec`` defaults to ``receivers.max() + 1``, matching the reference's
+    convention of deriving the receiver-set size from the edge index
+    (reference: neural_lam/gnn_layers.py:74).
+    """
+    senders = np.asarray(senders, dtype=np.int32)
+    receivers = np.asarray(receivers, dtype=np.int32)
+    assert senders.shape == receivers.shape and senders.ndim == 1
+    num_valid = int(senders.shape[0])
+    if num_rec is None:
+        num_rec = int(receivers.max()) + 1 if num_valid > 0 else 0
+
+    if sort and num_valid > 0:
+        perm = np.argsort(receivers, kind="stable").astype(np.int64)
+    else:
+        perm = np.arange(num_valid, dtype=np.int64)
+    senders = senders[perm]
+    receivers = receivers[perm]
+
+    e_pad = max(_round_up(num_valid, pad_multiple), pad_multiple)
+    pad = e_pad - num_valid
+    senders_p = np.concatenate([senders, np.zeros(pad, dtype=np.int32)])
+    receivers_p = np.concatenate(
+        [receivers, np.full(pad, num_rec, dtype=np.int32)]
+    )
+    recv_counts = np.bincount(receivers, minlength=num_rec).astype(np.int32)
+
+    es = EdgeSet(
+        senders=jnp.asarray(senders_p),
+        receivers=jnp.asarray(receivers_p),
+        recv_gather=jnp.asarray(
+            np.minimum(receivers_p, max(num_rec - 1, 0)).astype(np.int32)
+        ),
+        recv_counts=jnp.asarray(recv_counts),
+        num_rec=num_rec,
+        num_valid=num_valid,
+        sorted_by_receiver=sort,
+    )
+    return es, perm
+
+
+def pad_edge_features(features: np.ndarray, edge_set: EdgeSet) -> np.ndarray:
+    """Zero-pad (already permuted) per-edge features to the padded edge dim."""
+    pad = edge_set.num_padded - features.shape[0]
+    assert pad >= 0
+    return np.concatenate(
+        [features, np.zeros((pad,) + features.shape[1:], features.dtype)]
+    )
+
+
+# Parameter pytree: {"edge": [MLPParams, ...], "aggr": [MLPParams, ...]}
+# Single-element lists unless chunked (SplitMLPs equivalent,
+# reference: neural_lam/gnn_layers.py:275-325).
+InteractionNetParams = dict
+
+
+def init_interaction_net(
+    rng: jax.Array,
+    input_dim: int,
+    hidden_layers: int = 1,
+    hidden_dim: Optional[int] = None,
+    num_edge_chunks: int = 1,
+    num_aggr_chunks: int = 1,
+    dtype: Any = jnp.float32,
+) -> InteractionNetParams:
+    """Initialise parameters.
+
+    Edge MLP input is ``3 * input_dim`` (edge, sender, receiver) and the
+    aggregation MLP input ``2 * input_dim`` (receiver, aggregated), as in
+    the reference (neural_lam/gnn_layers.py:90-91).
+    """
+    if hidden_dim is None:
+        hidden_dim = input_dim
+    edge_bp = [3 * input_dim] + [hidden_dim] * (hidden_layers + 1)
+    aggr_bp = [2 * input_dim] + [hidden_dim] * (hidden_layers + 1)
+    keys = jax.random.split(rng, num_edge_chunks + num_aggr_chunks)
+    edge_mlps = [
+        init_mlp(keys[i], edge_bp, dtype=dtype) for i in range(num_edge_chunks)
+    ]
+    aggr_mlps = [
+        init_mlp(keys[num_edge_chunks + i], aggr_bp, dtype=dtype)
+        for i in range(num_aggr_chunks)
+    ]
+    return {"edge": edge_mlps, "aggr": aggr_mlps}
+
+
+def _apply_chunked(
+    mlps: Sequence[MLPParams],
+    x: jax.Array,
+    chunk_sizes: Optional[Sequence[int]],
+) -> jax.Array:
+    """Apply one MLP, or per-chunk MLPs along the second-to-last axis."""
+    if len(mlps) == 1:
+        return apply_mlp(mlps[0], x)
+    assert chunk_sizes is not None and len(chunk_sizes) == len(mlps)
+    outs = []
+    start = 0
+    for mlp, size in zip(mlps, chunk_sizes):
+        outs.append(apply_mlp(mlp, x[..., start : start + size, :]))
+        start += size
+    return jnp.concatenate(outs, axis=-2)
+
+
+def apply_interaction_net(
+    params: InteractionNetParams,
+    edge_set: EdgeSet,
+    send_rep: jax.Array,
+    rec_rep: jax.Array,
+    edge_rep: jax.Array,
+    aggr: str = "sum",
+    update_edges: bool = True,
+    propagation: bool = False,
+    edge_chunk_sizes: Optional[Sequence[int]] = None,
+    aggr_chunk_sizes: Optional[Sequence[int]] = None,
+):
+    """One message-passing step on unbatched ``(N, d)`` representations.
+
+    Batch via ``jax.vmap`` with ``params``/``edge_set`` closed over.
+    Returns ``(new_rec_rep, new_edge_rep)`` if ``update_edges`` else
+    ``new_rec_rep``.
+    """
+    if aggr not in ("sum", "mean"):
+        raise ValueError(f"Unknown aggregation method: {aggr}")
+    if propagation:
+        aggr = "mean"  # reference: neural_lam/gnn_layers.py:221-230
+
+    x_send = send_rep[edge_set.senders]  # (E_pad, d)
+    x_rec = rec_rep[edge_set.recv_gather]  # (E_pad, d)
+    edge_in = jnp.concatenate([edge_rep, x_send, x_rec], axis=-1)
+    messages = _apply_chunked(params["edge"], edge_in, edge_chunk_sizes)
+    if propagation:
+        messages = x_send + messages
+
+    if aggr == "sum":
+        aggregated = segment_sum(
+            messages,
+            edge_set.receivers,
+            edge_set.num_rec,
+            indices_are_sorted=edge_set.sorted_by_receiver,
+        )
+    else:
+        aggregated = segment_mean(
+            messages,
+            edge_set.receivers,
+            edge_set.num_rec,
+            edge_set.recv_counts,
+            indices_are_sorted=edge_set.sorted_by_receiver,
+        )
+
+    rec_diff = _apply_chunked(
+        params["aggr"],
+        jnp.concatenate([rec_rep, aggregated], axis=-1),
+        aggr_chunk_sizes,
+    )
+    residual_base = aggregated if propagation else rec_rep
+    new_rec = residual_base + rec_diff
+
+    if update_edges:
+        return new_rec, edge_rep + messages
+    return new_rec

@@ -1,0 +1,81 @@
+"""Dataset/datastore integration: shapes, loader batching, standardization."""
+
+import numpy as np
+
+from neural_lam_tpu.datastore.dummy import DummyDatastore
+from neural_lam_tpu.dataset import WeatherDataset
+from neural_lam_tpu.loader import DataLoader
+
+
+def test_dummy_datastore_sample_shapes():
+    ds = DummyDatastore(n_grid_x=6, n_grid_y=5, n_timesteps=12)
+    dataset = WeatherDataset(ds, split="train", ar_steps=3)
+    init_states, target_states, forcing, target_times = dataset[0]
+    n_grid = 30
+    assert init_states.shape == (2, n_grid, 3)
+    assert target_states.shape == (3, n_grid, 3)
+    assert forcing.shape == (3, n_grid, 2 * 3)  # 2 forcing vars, window 3
+    assert target_times.shape == (3,)
+    assert target_times.dtype == np.int64
+
+
+def test_dummy_datastore_boundary_mask():
+    ds = DummyDatastore(n_grid_x=8, n_grid_y=8, n_boundary=2)
+    mask = ds.boundary_mask.values.reshape(8, 8)
+    assert mask[0, 0] == 1 and mask[1, 1] == 1
+    assert mask[4, 4] == 0
+    # frame width 2 on an 8x8 grid: interior is 4x4
+    assert mask.sum() == 64 - 16
+
+
+def test_dataloader_batching_and_shuffle():
+    ds = DummyDatastore(n_grid_x=4, n_grid_y=4, n_timesteps=20)
+    dataset = WeatherDataset(ds, split="train", ar_steps=1)
+    loader = DataLoader(dataset, batch_size=4, shuffle=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    init, target, forcing, times = batches[0]
+    assert init.shape == (4, 2, 16, 3)
+    assert target.shape == (4, 1, 16, 3)
+
+    # deterministic given epoch
+    loader.set_epoch(0)
+    again = list(loader)
+    np.testing.assert_array_equal(batches[0][0], again[0][0])
+    # different epoch order differs
+    loader.set_epoch(1)
+    other = list(loader)
+    assert not np.array_equal(batches[0][0], other[0][0])
+
+
+def test_dataloader_sharding_partitions_samples():
+    ds = DummyDatastore(n_grid_x=4, n_grid_y=4, n_timesteps=20)
+    dataset = WeatherDataset(ds, split="train", ar_steps=1)
+    all_times = set()
+    n_total = 0
+    for shard in range(2):
+        loader = DataLoader(
+            dataset,
+            batch_size=2,
+            shuffle=False,
+            drop_last=False,
+            shard_index=shard,
+            num_shards=2,
+        )
+        for batch in loader:
+            for t in batch[3][:, 0]:
+                all_times.add(int(t))
+                n_total += 1
+    assert n_total == len(dataset)
+    assert len(all_times) == len(dataset)  # disjoint coverage
+
+
+def test_standardize_flag():
+    ds = DummyDatastore(computed_stats=True)
+    da_raw = ds.get_dataarray("state", "train", standardize=False)
+    da_std = ds.get_dataarray("state", "train", standardize=True)
+    stats = ds.get_standardization_dataarray("state")
+    want = (da_raw.values - stats["state_mean"]) / stats["state_std"]
+    np.testing.assert_allclose(da_std.values, want, rtol=1e-6)
+    # standardized data ~ zero mean unit std
+    assert abs(da_std.values.mean()) < 0.1
