@@ -1,0 +1,115 @@
+"""Evaluation metrics on ``(..., N, num_vars)`` gridded tensors.
+
+Jax counterpart of the reference metric registry
+(reference: neural_lam/metrics.py:11-397). All metrics share the
+signature ``metric(pred, target, pred_std, mask, average_grid, sum_vars)``
+and the ``mask_and_reduce_metric`` reduction. The grid mask must be a
+*static* (host numpy) boolean array so masked selection lowers to a
+constant-index gather under ``jit``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_metric(metric_name: str) -> Callable[..., jax.Array]:
+    """Look up a metric function by (case-insensitive) name."""
+    metric_name_lower = metric_name.lower()
+    assert (
+        metric_name_lower in DEFINED_METRICS
+    ), f"Unknown metric: {metric_name}"
+    return DEFINED_METRICS[metric_name_lower]
+
+
+def mask_and_reduce_metric(
+    metric_entry_vals: jax.Array,
+    mask: Optional[np.ndarray],
+    average_grid: bool,
+    sum_vars: bool,
+) -> jax.Array:
+    """Select masked grid nodes, then mean over grid / sum over vars
+    (reference: metrics.py:38-85)."""
+    if mask is not None:
+        mask = np.asarray(mask, dtype=bool)
+        (node_idx,) = np.nonzero(mask)
+        metric_entry_vals = metric_entry_vals[..., node_idx, :]
+    if average_grid:
+        metric_entry_vals = jnp.mean(metric_entry_vals, axis=-2)
+    if sum_vars:
+        metric_entry_vals = jnp.sum(metric_entry_vals, axis=-1)
+    return metric_entry_vals
+
+
+def wmse(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):
+    """Squared error weighted by ``1 / pred_std**2``
+    (reference: metrics.py:88-138)."""
+    entry = (pred - target) ** 2 / (pred_std**2)
+    return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
+
+
+def mse(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):
+    """Unweighted squared error (pred_std replaced by ones)."""
+    return wmse(
+        pred, target, jnp.ones_like(pred_std), mask, average_grid, sum_vars
+    )
+
+
+def wmae(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):
+    """Absolute error weighted by ``1 / pred_std``
+    (reference: metrics.py:186-236)."""
+    entry = jnp.abs(pred - target) / pred_std
+    return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
+
+
+def mae(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):
+    """Unweighted absolute error (pred_std replaced by ones)."""
+    return wmae(
+        pred, target, jnp.ones_like(pred_std), mask, average_grid, sum_vars
+    )
+
+
+def nll(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):
+    """Gaussian negative log likelihood (reference: metrics.py:284-330)."""
+    var = pred_std**2
+    entry = 0.5 * (
+        jnp.log(2 * math.pi * var) + (target - pred) ** 2 / var
+    )
+    return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
+
+
+def _std_normal_pdf(x: jax.Array) -> jax.Array:
+    return jnp.exp(-0.5 * x * x) / math.sqrt(2 * math.pi)
+
+
+def _std_normal_cdf(x: jax.Array) -> jax.Array:
+    return 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
+
+
+def crps_gauss(
+    pred, target, pred_std, mask=None, average_grid=True, sum_vars=True
+):
+    """Closed-form Gaussian CRPS, negated for minimisation
+    (reference: metrics.py:333-387)."""
+    target_standard = (target - pred) / pred_std
+    entry = -pred_std * (
+        math.pi ** (-0.5)
+        - 2 * _std_normal_pdf(target_standard)
+        - target_standard * (2 * _std_normal_cdf(target_standard) - 1)
+    )
+    return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
+
+
+DEFINED_METRICS = {
+    "mse": mse,
+    "mae": mae,
+    "wmse": wmse,
+    "wmae": wmae,
+    "nll": nll,
+    "crps_gauss": crps_gauss,
+}

@@ -1,0 +1,103 @@
+"""Autoregressive forecaster: ``lax.scan`` rollout with boundary forcing.
+
+TPU-native counterpart of the reference ``ARForecaster``
+(reference: neural_lam/models/forecasters/autoregressive.py:14-146). The
+Python AR loop becomes a ``lax.scan`` over prediction steps so the
+unrolled graph compiles once regardless of rollout length; each step is
+optionally rematerialised (``jax.checkpoint``) so training-memory stays
+O(1) in ``pred_steps`` instead of storing every step's activations
+(the reference eats the full activation cost, SURVEY.md 5.7).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..datastore.base import BaseDatastore
+from .base import StepPredictor
+
+
+class ARForecaster:
+    """Unrolls a :class:`StepPredictor`, overwriting boundary nodes with
+    ground truth at every step."""
+
+    def __init__(
+        self,
+        predictor: StepPredictor,
+        datastore: BaseDatastore,
+        remat_steps: bool = True,
+    ) -> None:
+        self.predictor = predictor
+        self.remat_steps = remat_steps
+        # (N, 1) masks, matching the reference's buffers
+        # (reference: forecasters/autoregressive.py:36-45).
+        mask = np.asarray(
+            datastore.boundary_mask.data, dtype=np.float32
+        ).reshape(-1, 1)
+        self.boundary_mask = jnp.asarray(mask)
+        self.interior_mask = 1.0 - self.boundary_mask
+
+    @property
+    def predicts_std(self) -> bool:
+        return self.predictor.predicts_std
+
+    def init_params(self, rng: jax.Array) -> dict:
+        return self.predictor.init_params(rng)
+
+    def rollout(
+        self,
+        params: dict,
+        init_states: jax.Array,  # (2, N, d_state)
+        forcing_features: jax.Array,  # (T, N, d_forcing)
+        boundary_states: jax.Array,  # (T, N, d_state)
+    ) -> tuple[jax.Array, Optional[jax.Array]]:
+        """Unbatched AR rollout; returns ``(prediction (T, N, d), std|None)``.
+
+        Per step: predict, then blend
+        ``boundary_mask * truth + interior_mask * pred``
+        (reference: autoregressive.py:116-136). Batch via ``jax.vmap``.
+        """
+        output_std = self.predictor.predicts_std
+
+        def step(carry, inputs):
+            prev_prev_state, prev_state = carry
+            forcing, boundary_state = inputs
+            pred_state, pred_std = self.predictor.step(
+                params, prev_state, prev_prev_state, forcing
+            )
+            new_state = (
+                self.boundary_mask * boundary_state
+                + self.interior_mask * pred_state
+            )
+            out = (
+                (new_state, pred_std)
+                if output_std
+                else (new_state, jnp.zeros((0,), dtype=new_state.dtype))
+            )
+            return (prev_state, new_state), out
+
+        if self.remat_steps:
+            step = jax.checkpoint(step)
+
+        carry0 = (init_states[0], init_states[1])
+        _, (prediction, stds) = jax.lax.scan(
+            step, carry0, (forcing_features, boundary_states)
+        )
+        return prediction, (stds if output_std else None)
+
+    def forward(
+        self,
+        params: dict,
+        init_states: jax.Array,  # (B, 2, N, d_state)
+        forcing_features: jax.Array,  # (B, T, N, d_forcing)
+        boundary_states: jax.Array,  # (B, T, N, d_state)
+    ) -> tuple[jax.Array, Optional[jax.Array]]:
+        """Batched rollout via ``vmap`` over :meth:`rollout`."""
+        prediction, stds = jax.vmap(
+            lambda i, f, b: self.rollout(params, i, f, b)
+        )(init_states, forcing_features, boundary_states)
+        return prediction, (stds if self.predicts_std else None)

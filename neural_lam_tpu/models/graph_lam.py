@@ -1,0 +1,61 @@
+"""Flat-mesh graph LAM model (GraphCast/Keisler style).
+
+TPU-native counterpart of the reference ``GraphLAM``
+(reference: neural_lam/models/step_predictors/graph/graph_lam.py:16-183):
+the processor is a chain of InteractionNets on the single-level m2m edge
+set, threading both node and edge representations through the layers.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from ..ops.interaction import apply_interaction_net
+from ..ops.mlp import apply_mlp, init_mlp
+from .graph_base import BaseGraphModel
+
+
+class GraphLAM(BaseGraphModel):
+    """Graph model on a flat (possibly multiscale-merged) mesh."""
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        assert (
+            not self.hierarchical
+        ), "GraphLAM does not use a hierarchical mesh graph"
+
+    def _init_subclass_params(self, rng: jax.Array) -> dict:
+        k_mesh, k_m2m, k_proc = jax.random.split(rng, 3)
+        end = self.mlp_blueprint_end
+        mesh_dim = int(self.graph.mesh_static_features[0].shape[1])
+        m2m_dim = self.graph.m2m[0].feature_dim
+        return {
+            "mesh_embedder": init_mlp(k_mesh, [mesh_dim] + end),
+            "m2m_embedder": init_mlp(k_m2m, [m2m_dim] + end),
+            "processor": self.init_processor_nets(
+                k_proc, self.processor_layers
+            ),
+        }
+
+    def embed_mesh_nodes(self, params: dict) -> jax.Array:
+        return apply_mlp(
+            params["mesh_embedder"], self.graph.mesh_static_features[0]
+        )
+
+    def process_step(self, params: dict, mesh_rep: jax.Array) -> jax.Array:
+        """Chained InteractionNets with edge-representation threading
+        (reference: graph/graph_lam.py:102-121, 152-183)."""
+        edge_rep = apply_mlp(
+            params["m2m_embedder"], self.graph.m2m[0].features
+        )
+        for net_params in params["processor"]:
+            mesh_rep, edge_rep = apply_interaction_net(
+                net_params,
+                self.graph.m2m[0].edges,
+                send_rep=mesh_rep,
+                rec_rep=mesh_rep,
+                edge_rep=edge_rep,
+                aggr=self.mesh_aggr,
+                update_edges=True,
+            )
+        return mesh_rep

@@ -1,0 +1,139 @@
+"""Hi-LAM-Parallel: all mesh edge sets processed in one fused GNN.
+
+TPU-native counterpart of the reference ``HiLAMParallel``
+(reference: neural_lam/models/step_predictors/graph/hi_lam_parallel.py:16-209):
+same-level, up and down mesh edges are concatenated into one global edge
+set over the flattened multi-level node space, with separate per-chunk
+edge/aggregation MLPs (the SplitMLPs mechanism,
+reference: neural_lam/gnn_layers.py:275-325). Here the concatenation is
+done over the already padded per-set blocks, so chunk boundaries stay
+tile-aligned and static.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.interaction import EdgeSet, apply_interaction_net
+from .hierarchical import BaseHiGraphModel
+
+
+def _combine_edge_sets(
+    sections: list, section_offsets: list[tuple[int, int]], num_total: int
+) -> EdgeSet:
+    """Concatenate padded per-set edges into one global-index edge set.
+
+    ``section_offsets`` holds ``(sender_offset, receiver_offset)`` node
+    offsets per section; padding rows are re-routed to the global dead
+    segment ``num_total``.
+    """
+    senders_l, receivers_l = [], []
+    counts = np.zeros(num_total, dtype=np.int64)
+    num_valid = 0
+    for pe, (s_off, r_off) in zip(sections, section_offsets):
+        s = np.asarray(pe.edges.senders, dtype=np.int64)
+        r = np.asarray(pe.edges.receivers, dtype=np.int64)
+        valid = np.arange(s.shape[0]) < pe.edges.num_valid
+        senders_l.append(s + s_off)
+        receivers_l.append(np.where(valid, r + r_off, num_total))
+        counts += np.bincount(
+            r[valid] + r_off, minlength=num_total
+        )
+        num_valid += pe.edges.num_valid
+    senders = np.concatenate(senders_l).astype(np.int32)
+    receivers = np.concatenate(receivers_l).astype(np.int32)
+    return EdgeSet(
+        senders=jnp.asarray(senders),
+        receivers=jnp.asarray(receivers),
+        recv_gather=jnp.asarray(
+            np.minimum(receivers, num_total - 1).astype(np.int32)
+        ),
+        recv_counts=jnp.asarray(counts.astype(np.int32)),
+        num_rec=num_total,
+        num_valid=num_valid,
+        sorted_by_receiver=False,
+    )
+
+
+class HiLAMParallel(BaseHiGraphModel):
+    """Parallel hierarchical message passing via one chunked edge set."""
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        g = self.graph
+        L = self.num_levels
+        first_index_level = np.concatenate(
+            [[0], np.cumsum(self.level_mesh_sizes[:-1])]
+        ).astype(int)
+
+        # Section order: all same-level, then up, then down
+        # (reference: hi_lam_parallel.py:122-124).
+        self._sections = list(g.m2m) + list(g.up) + list(g.down)
+        offsets = (
+            [(first_index_level[l], first_index_level[l]) for l in range(L)]
+            + [
+                (first_index_level[l], first_index_level[l + 1])
+                for l in range(L - 1)
+            ]
+            + [
+                (first_index_level[l + 1], first_index_level[l])
+                for l in range(L - 1)
+            ]
+        )
+        self.total_mesh_nodes = int(sum(self.level_mesh_sizes))
+        self._total_edges = _combine_edge_sets(
+            self._sections, offsets, self.total_mesh_nodes
+        )
+        self.edge_split_sections = [
+            pe.edges.num_padded for pe in self._sections
+        ]
+
+    def _init_subclass_params(self, rng: jax.Array) -> dict:
+        k_hier, k_proc = jax.random.split(rng)
+        params = self._init_hier_params(k_hier)
+        params["processor"] = self.init_processor_nets(
+            k_proc,
+            self.processor_layers,
+            num_edge_chunks=len(self._sections),
+            num_aggr_chunks=self.num_levels,
+        )
+        return params
+
+    def hi_processor_step(
+        self, params, mesh_rep_levels, mesh_same_rep, mesh_up_rep,
+        mesh_down_rep,
+    ):
+        """Fused processing of all levels and edge sets at once
+        (reference: hi_lam_parallel.py:147-209)."""
+        mesh_rep = jnp.concatenate(mesh_rep_levels, axis=-2)
+        mesh_edge_rep = jnp.concatenate(
+            mesh_same_rep + mesh_up_rep + mesh_down_rep, axis=-2
+        )
+
+        for net_params in params["processor"]:
+            mesh_rep, mesh_edge_rep = apply_interaction_net(
+                net_params,
+                self._total_edges,
+                send_rep=mesh_rep,
+                rec_rep=mesh_rep,
+                edge_rep=mesh_edge_rep,
+                update_edges=True,
+                edge_chunk_sizes=self.edge_split_sections,
+                aggr_chunk_sizes=self.level_mesh_sizes,
+            )
+
+        # Split back into per-level / per-section lists
+        node_splits = np.cumsum(self.level_mesh_sizes[:-1]).tolist()
+        mesh_rep_levels = list(
+            jnp.split(mesh_rep, node_splits, axis=-2)
+        )
+        edge_splits = np.cumsum(self.edge_split_sections[:-1]).tolist()
+        sections = jnp.split(mesh_edge_rep, edge_splits, axis=-2)
+        L = self.num_levels
+        mesh_same_rep = list(sections[:L])
+        mesh_up_rep = list(sections[L : L + (L - 1)])
+        mesh_down_rep = list(sections[L + (L - 1) :])
+
+        return mesh_rep_levels, mesh_same_rep, mesh_up_rep, mesh_down_rep

@@ -1,0 +1,285 @@
+"""Training/eval harness: jitted SPMD train step, explicit loops.
+
+Replaces the reference's PyTorch-Lightning ``ForecasterModule``
+(reference: neural_lam/models/module.py:28-1014) with a small explicit
+trainer:
+
+- on-device batch standardization inside the jitted step
+  (reference: module.py:307-337),
+- loss = ``mean(loss_fn(pred, target, pred_std, mask=interior))``
+  (reference: module.py:361-386),
+- ``per_var_std = diff_std / sqrt(feature_weights)`` when the model has
+  no std head (reference: module.py:142-163),
+- optax AdamW with betas (0.9, 0.95) (reference: module.py:275-287),
+- data parallelism via a ``jax.sharding.Mesh``: batches sharded over the
+  ``data`` axis, params/optimizer state replicated; XLA inserts the
+  gradient all-reduce (the DDP equivalent, SURVEY.md 2.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .config import NeuralLAMConfig
+from .datastore.base import BaseDatastore
+from .loss_weighting import get_state_feature_weighting
+from .metrics import get_metric
+from .models.forecaster import ARForecaster
+
+
+@dataclasses.dataclass
+class TrainingArgs:
+    """Training hyperparameters (subset of the reference CLI flags,
+    reference: neural_lam/train_model.py:208-262)."""
+
+    lr: float = 1e-3
+    epochs: int = 200
+    batch_size: int = 4
+    ar_steps_train: int = 1
+    ar_steps_eval: int = 10
+    loss: str = "wmse"
+    val_interval: int = 1
+    val_steps_to_log: tuple[int, ...] = (1, 2, 3, 5, 10)
+    grad_checkpointing: bool = True
+
+
+class Trainer:
+    """Explicit training loop around an :class:`ARForecaster`."""
+
+    def __init__(
+        self,
+        forecaster: ARForecaster,
+        config: NeuralLAMConfig,
+        datastore: BaseDatastore,
+        args: TrainingArgs,
+        mesh: Optional[Mesh] = None,
+    ) -> None:
+        self.forecaster = forecaster
+        self.args = args
+        self.datastore = datastore
+
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), axis_names=("data",))
+        self.mesh = mesh
+        self._batch_sharding = NamedSharding(mesh, P("data"))
+        self._replicated = NamedSharding(mesh, P())
+
+        # Interior mask as a static numpy bool array
+        # (reference: module.py:129-140).
+        boundary = np.asarray(datastore.boundary_mask.data) > 0.5
+        self.interior_mask_bool = ~boundary
+
+        # per_var_std substitute when the model has no std head
+        # (reference: module.py:142-163).
+        stats = datastore.get_standardization_dataarray(category="state")
+        if not forecaster.predicts_std:
+            weights = get_state_feature_weighting(config, datastore)
+            diff_std = np.asarray(
+                stats["state_diff_std_standardized"], np.float32
+            )
+            self.per_var_std = jnp.asarray(diff_std / np.sqrt(weights))
+        else:
+            self.per_var_std = None
+
+        # Standardization stats, std clamped away from zero
+        # (reference: module.py:289-305).
+        eps = np.finfo(np.float32).eps
+        self.state_mean = jnp.asarray(
+            np.asarray(stats["state_mean"], np.float32)
+        )
+        self.state_std = jnp.asarray(
+            np.maximum(np.asarray(stats["state_std"], np.float32), eps)
+        )
+        f_stats = datastore.get_standardization_dataarray(category="forcing")
+        self._forcing_mean_raw = np.asarray(
+            f_stats.get("forcing_mean", np.zeros(0)), np.float32
+        )
+        self._forcing_std_raw = np.maximum(
+            np.asarray(f_stats.get("forcing_std", np.ones(0)), np.float32),
+            eps,
+        )
+
+        self.loss_fn = get_metric(args.loss)
+        self.optimizer = optax.adamw(args.lr, b1=0.9, b2=0.95)
+
+        self._train_step = None
+        self._eval_step: dict[int, Callable] = {}
+
+    # -- batch prep --------------------------------------------------------
+    def _tiled_forcing_stats(self, forcing_width: int):
+        """Per-window tiling of forcing stats, feature-major
+        (reference: module.py:307-337)."""
+        n_f = self._forcing_mean_raw.shape[-1]
+        if forcing_width == 0 or n_f == 0:
+            return (
+                jnp.zeros((forcing_width,), jnp.float32),
+                jnp.ones((forcing_width,), jnp.float32),
+            )
+        window = forcing_width // n_f
+        return (
+            jnp.asarray(np.repeat(self._forcing_mean_raw, window)),
+            jnp.asarray(np.repeat(self._forcing_std_raw, window)),
+        )
+
+    def standardize_batch(self, init_states, target_states, forcing):
+        """On-device standardization of state and forcing."""
+        init_states = (init_states - self.state_mean) / self.state_std
+        target_states = (target_states - self.state_mean) / self.state_std
+        if forcing.shape[-1] > 0:
+            f_mean, f_std = self._tiled_forcing_stats(forcing.shape[-1])
+            forcing = (forcing - f_mean) / f_std
+        return init_states, target_states, forcing
+
+    def device_put_batch(self, batch: tuple) -> tuple:
+        """Move a host batch to devices with batch-axis sharding."""
+        return tuple(
+            jax.device_put(np.asarray(a), self._batch_sharding)
+            for a in batch[:3]
+        )
+
+    # -- steps -------------------------------------------------------------
+    def _loss(self, params, init_states, target_states, forcing):
+        init_states, target_states, forcing = self.standardize_batch(
+            init_states, target_states, forcing
+        )
+        prediction, pred_std = self.forecaster.forward(
+            params, init_states, forcing, target_states
+        )
+        if pred_std is None:
+            pred_std = self.per_var_std
+        return jnp.mean(
+            self.loss_fn(
+                prediction,
+                target_states,
+                pred_std,
+                mask=self.interior_mask_bool,
+            )
+        )
+
+    def make_train_step(self) -> Callable:
+        """Build the jitted, donated ``(params, opt_state, batch) ->
+        (params, opt_state, loss)`` step."""
+
+        def train_step(params, opt_state, init, target, forcing):
+            loss, grads = jax.value_and_grad(self._loss)(
+                params, init, target, forcing
+            )
+            updates, opt_state = self.optimizer.update(
+                grads, opt_state, params
+            )
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    def make_eval_step(self, pred_steps: int) -> Callable:
+        """Jitted eval: returns total loss plus per-unroll-step losses
+        (reference: module.py:465-477)."""
+        steps_to_log = [
+            s for s in self.args.val_steps_to_log if s <= pred_steps
+        ]
+
+        def eval_step(params, init, target, forcing):
+            init_s, target_s, forcing_s = self.standardize_batch(
+                init, target, forcing
+            )
+            prediction, pred_std = self.forecaster.forward(
+                params, init_s, forcing_s, target_s
+            )
+            if pred_std is None:
+                pred_std = self.per_var_std
+            time_step_loss = jnp.mean(
+                self.loss_fn(
+                    prediction,
+                    target_s,
+                    pred_std,
+                    mask=self.interior_mask_bool,
+                    average_grid=True,
+                    sum_vars=True,
+                ),
+                axis=0,
+            )  # (pred_steps,)
+            out = {"loss": jnp.mean(time_step_loss)}
+            for s in steps_to_log:
+                out[f"loss_unroll{s}"] = time_step_loss[s - 1]
+            return out
+
+        return jax.jit(eval_step)
+
+    # -- loops -------------------------------------------------------------
+    def init_state(self, rng: jax.Array) -> tuple[Any, Any]:
+        """Initialise (replicated) params and optimizer state."""
+        params = self.forecaster.init_params(rng)
+        params = jax.device_put(params, self._replicated)
+        opt_state = self.optimizer.init(params)
+        return params, opt_state
+
+    def fit(
+        self,
+        params,
+        opt_state,
+        train_loader,
+        val_loader=None,
+        epochs: Optional[int] = None,
+        log_fn: Optional[Callable[[dict], None]] = None,
+    ):
+        """Run the training loop; returns final ``(params, opt_state,
+        history)``."""
+        if self._train_step is None:
+            self._train_step = self.make_train_step()
+        epochs = self.args.epochs if epochs is None else epochs
+        history = []
+        for epoch in range(epochs):
+            train_loader.set_epoch(epoch)
+            t0 = time.perf_counter()
+            losses = []
+            for batch in train_loader:
+                device_batch = self.device_put_batch(batch)
+                params, opt_state, loss = self._train_step(
+                    params, opt_state, *device_batch
+                )
+                losses.append(loss)
+            train_loss = float(jnp.mean(jnp.stack(losses)))
+            record = {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "epoch_seconds": time.perf_counter() - t0,
+            }
+            if val_loader is not None and (
+                (epoch + 1) % self.args.val_interval == 0
+            ):
+                record.update(self.evaluate(params, val_loader, "val"))
+            history.append(record)
+            if log_fn is not None:
+                log_fn(record)
+        return params, opt_state, history
+
+    def evaluate(self, params, loader, prefix: str = "val") -> dict:
+        """Mean eval metrics over a loader."""
+        pred_steps = None
+        sums: dict[str, float] = {}
+        count = 0
+        for batch in loader:
+            device_batch = self.device_put_batch(batch)
+            if pred_steps is None:
+                pred_steps = int(batch[1].shape[1])
+                if pred_steps not in self._eval_step:
+                    self._eval_step[pred_steps] = self.make_eval_step(
+                        pred_steps
+                    )
+            out = self._eval_step[pred_steps](params, *device_batch)
+            bsz = int(batch[0].shape[0])
+            for k, v in out.items():
+                sums[k] = sums.get(k, 0.0) + float(v) * bsz
+            count += bsz
+        return {
+            f"{prefix}_{k}": v / max(count, 1) for k, v in sums.items()
+        }
