@@ -1,0 +1,111 @@
+"""Benchmark: MEPS-size grid-points/s per chip (1-step fwd+bwd+update).
+
+Prints ONE JSON line ``{"metric", "value", "unit", "vs_baseline"}``.
+
+Config matches the reference's default MEPS training setup
+(reference: neural_lam/train_model.py:150-262; BASELINE.md): 268x238 =
+63,784 grid nodes, 17 state vars, 6 forcing vars (window 3), batch 4,
+hidden_dim 64, processor_layers 4, ar_steps 1, float32. The reference
+publishes no numbers (BASELINE.json ``published: {}``), so
+``vs_baseline`` is reported as 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+GRID_X, GRID_Y = 268, 238
+N_STATE, N_FORCING = 17, 6
+BATCH = 4
+HIDDEN_DIM, PROC_LAYERS = 64, 4
+AR_STEPS = 1
+WARMUP, ITERS = 2, 10
+
+CACHE_DIR = Path(__file__).parent / ".bench_cache"
+
+
+def main() -> None:
+    import jax
+
+    from neural_lam_tpu.config import DatastoreSelection, NeuralLAMConfig
+    from neural_lam_tpu.datastore.dummy import DummyDatastore
+    from neural_lam_tpu.graphs import create_graph_from_datastore
+    from neural_lam_tpu.models import ARForecaster, GraphLAM
+    from neural_lam_tpu.trainer import Trainer, TrainingArgs
+
+    CACHE_DIR.mkdir(exist_ok=True)
+    ds = DummyDatastore(
+        n_grid_x=GRID_X,
+        n_grid_y=GRID_Y,
+        n_timesteps=8,
+        n_state_features=N_STATE,
+        n_forcing_features=N_FORCING,
+        n_static_features=4,
+        root_path=CACHE_DIR,
+    )
+    graph_dir = ds.root_path / "graph" / "multiscale"
+    if not (graph_dir / "graph.npz").exists():
+        print("building graph...", file=sys.stderr)
+        create_graph_from_datastore(ds, graph_dir, hierarchical=False)
+
+    model = GraphLAM(
+        ds,
+        graph_name="multiscale",
+        hidden_dim=HIDDEN_DIM,
+        processor_layers=PROC_LAYERS,
+    )
+    forecaster = ARForecaster(model, ds)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path="")
+    )
+    args = TrainingArgs(batch_size=BATCH, ar_steps_train=AR_STEPS)
+    trainer = Trainer(forecaster, config, ds, args)
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+    train_step = trainer.make_train_step()
+
+    n = ds.num_grid_points
+    f_dim = N_FORCING * 3
+    rng = np.random.default_rng(0)
+    batch = (
+        rng.normal(size=(BATCH, 2, n, N_STATE)).astype(np.float32),
+        rng.normal(size=(BATCH, AR_STEPS, n, N_STATE)).astype(np.float32),
+        rng.normal(size=(BATCH, AR_STEPS, n, f_dim)).astype(np.float32),
+    )
+    device_batch, _ = trainer.device_put_batch(batch)
+
+    for _ in range(WARMUP):
+        params, opt_state, loss = train_step(
+            params, opt_state, *device_batch
+        )
+    jax.block_until_ready(loss)
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        params, opt_state, loss = train_step(
+            params, opt_state, *device_batch
+        )
+        jax.block_until_ready(loss)
+        times.append(time.perf_counter() - t0)
+
+    step_time = float(np.median(times))
+    grid_points_per_s = BATCH * n * AR_STEPS / step_time
+    print(
+        json.dumps(
+            {
+                "metric": "MEPS grid-points/s per chip (1-step fwd+bwd)",
+                "value": round(grid_points_per_s, 1),
+                "unit": "grid-points/s",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Checkpointing: best-val + latest-rescue, self-describing.
+
+Replaces Lightning's ``.ckpt`` files (reference: SURVEY.md 5.4) with
+orbax checkpoints of ``{params, opt_state, step}`` plus a JSON sidecar
+of the constructor arguments, so a checkpoint alone is enough to rebuild
+the architecture (the reference stores the argparse namespace in
+``hyper_parameters.args``, reference: neural_lam/train_model.py:41-72).
+Graph buffers and normalization stats stay OUT of checkpoints and are
+reloaded from the datastore/graph dir, matching the reference's
+``persistent=False`` buffers
+(reference: models/step_predictors/graph/base.py:114-119).
+
+The dual-checkpoint policy mirrors the reference's two callbacks
+(reference: train_model.py:500-516): ``best`` tracks min val loss,
+``latest`` is written every epoch as a crash rescue.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    flat = {}
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for path, leaf in leaves_with_paths:
+        key = jax.tree_util.keystr(path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+class CheckpointManager:
+    """Save/restore train state under ``run_dir/checkpoints``."""
+
+    def __init__(self, run_dir: str | Path) -> None:
+        self.ckpt_dir = Path(run_dir) / "checkpoints"
+        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.PyTreeCheckpointer()
+        self.best_val_loss = float("inf")
+
+    def _path(self, name: str) -> Path:
+        return self.ckpt_dir / name
+
+    def save(
+        self,
+        name: str,
+        params: Any,
+        opt_state: Any,
+        step: int,
+        hparams: Optional[dict] = None,
+    ) -> None:
+        """Write one named checkpoint (overwrites)."""
+        path = self._path(name)
+        if path.exists():
+            shutil.rmtree(path)
+        state = {
+            "params": jax.device_get(params),
+            "opt_state": jax.device_get(opt_state),
+            "step": np.int64(step),
+        }
+        self._ckptr.save(path.resolve(), state)
+        if hparams is not None:
+            (path / "hparams.json").write_text(
+                json.dumps(hparams, indent=2, default=str),
+                encoding="utf-8",
+            )
+
+    def save_latest(self, params, opt_state, step, hparams=None) -> None:
+        self.save("latest", params, opt_state, step, hparams)
+
+    def maybe_save_best(
+        self, val_loss: float, params, opt_state, step, hparams=None
+    ) -> bool:
+        """Save as ``min_val_loss`` iff this is the best validation loss."""
+        if val_loss < self.best_val_loss:
+            self.best_val_loss = val_loss
+            self.save("min_val_loss", params, opt_state, step, hparams)
+            return True
+        return False
+
+    def restore(
+        self, name: str, params_template: Any, opt_state_template: Any
+    ) -> tuple[Any, Any, int]:
+        """Restore ``(params, opt_state, step)`` against templates.
+
+        Templates supply the pytree structure (orbax restores by
+        structure); pass freshly initialised state.
+        """
+        path = self._path(name)
+        if not path.exists():
+            raise FileNotFoundError(f"No checkpoint at {path}")
+        template = {
+            "params": jax.device_get(params_template),
+            "opt_state": jax.device_get(opt_state_template),
+            "step": np.int64(0),
+        }
+        state = self._ckptr.restore(path.resolve(), item=template)
+        return state["params"], state["opt_state"], int(state["step"])
+
+    def restore_params_only(self, name: str, params_template: Any) -> Any:
+        """Restore only model params (fresh optimizer — the reference's
+        default unless ``--restore_opt``, reference: module.py:1012-1014)."""
+        path = self._path(name)
+        if not path.exists():
+            raise FileNotFoundError(f"No checkpoint at {path}")
+        state = self._ckptr.restore(path.resolve())
+        template_flat = _flatten(jax.device_get(params_template))
+        restored_flat = _flatten(state["params"])
+        if set(template_flat) != set(restored_flat):
+            missing = set(template_flat) - set(restored_flat)
+            extra = set(restored_flat) - set(template_flat)
+            raise ValueError(
+                f"Checkpoint params mismatch: missing {sorted(missing)}, "
+                f"unexpected {sorted(extra)}"
+            )
+        # Rebuild with the template's structure
+        leaves_paths = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(params_template)
+        )
+        treedef = jax.tree_util.tree_structure(
+            jax.device_get(params_template)
+        )
+        new_leaves = [
+            restored_flat[jax.tree_util.keystr(path)]
+            for path, _ in leaves_paths[0]
+        ]
+        return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    def load_hparams(self, name: str) -> Optional[dict]:
+        path = self._path(name) / "hparams.json"
+        if not path.exists():
+            return None
+        return json.loads(path.read_text(encoding="utf-8"))

@@ -1,0 +1,301 @@
+"""Train/eval CLI: ``python -m neural_lam_tpu.train_model``.
+
+Mirrors the reference CLI flag set
+(reference: neural_lam/train_model.py:76-548) on top of the explicit JAX
+trainer. Rank/device flags from the DDP world are replaced by the JAX
+SPMD equivalents (a single process drives all local devices; multi-host
+runs call ``jax.distributed.initialize`` when ``--multihost`` is set).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from . import utils
+from .checkpoint import CheckpointManager
+from .config import load_config_and_datastore
+from .dataset import WeatherDataset
+from .loader import DataLoader
+from .metrics import DEFINED_METRICS
+from .models import MODELS, ARForecaster
+from .trainer import Trainer, TrainingArgs
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Train or evaluate neural-lam-tpu models",
+    )
+    core = parser.add_argument_group("Core Configuration")
+    core.add_argument(
+        "--config_path",
+        type=str,
+        help="Path to the configuration for neural-lam-tpu",
+    )
+    core.add_argument(
+        "--model",
+        type=str,
+        default="graph_lam",
+        choices=sorted(MODELS),
+        help="Model architecture to train/evaluate",
+    )
+    core.add_argument("--seed", type=int, default=42, help="random seed")
+
+    runtime = parser.add_argument_group("Runtime & Device Settings")
+    runtime.add_argument(
+        "--multihost",
+        action="store_true",
+        help="Initialise jax.distributed for a multi-host slice",
+    )
+    runtime.add_argument(
+        "--precision",
+        type=str,
+        default="32",
+        choices=["32", "bf16"],
+        help="Numerical precision for compute (32/bf16)",
+    )
+    runtime.add_argument(
+        "--load",
+        type=str,
+        help="Run dir or checkpoint dir to load model parameters from",
+    )
+    runtime.add_argument(
+        "--restore_opt",
+        action="store_true",
+        help="If optimizer state should be restored with model",
+    )
+
+    arch = parser.add_argument_group("Model Architecture")
+    arch.add_argument("--graph", type=str, default="multiscale")
+    arch.add_argument("--hidden_dim", type=int, default=64)
+    arch.add_argument("--hidden_layers", type=int, default=1)
+    arch.add_argument("--processor_layers", type=int, default=4)
+    arch.add_argument(
+        "--mesh_aggr", type=str, default="sum", choices=["sum", "mean"]
+    )
+    arch.add_argument("--output_std", action="store_true")
+    for flag in (
+        "--g2m_gnn_type",
+        "--m2g_gnn_type",
+        "--mesh_up_gnn_type",
+        "--mesh_down_gnn_type",
+    ):
+        arch.add_argument(
+            flag,
+            type=str,
+            default="InteractionNet",
+            choices=["InteractionNet", "PropagationNet"],
+        )
+
+    train = parser.add_argument_group("Training Options")
+    train.add_argument("--epochs", type=int, default=200)
+    train.add_argument("--batch_size", type=int, default=4)
+    train.add_argument("--ar_steps_train", type=int, default=1)
+    train.add_argument(
+        "--loss", type=str, default="wmse", choices=sorted(DEFINED_METRICS)
+    )
+    train.add_argument("--lr", type=float, default=1e-3)
+    train.add_argument("--val_interval", type=int, default=1)
+
+    evalg = parser.add_argument_group("Evaluation Options")
+    evalg.add_argument(
+        "--eval",
+        type=str,
+        choices=["val", "test"],
+        help="Eval model on given data split instead of training",
+    )
+    evalg.add_argument("--ar_steps_eval", type=int, default=10)
+    evalg.add_argument("--n_example_pred", type=int, default=1)
+
+    logger = parser.add_argument_group("Logger Settings")
+    logger.add_argument(
+        "--logger",
+        type=str,
+        default="csv",
+        choices=["csv", "wandb", "mlflow", "none"],
+    )
+    logger.add_argument("--logger_project", type=str, default="neural_lam")
+    logger.add_argument("--logger_run_name", type=str, default=None)
+    logger.add_argument("--runs_root", type=str, default="runs")
+
+    metrics = parser.add_argument_group("Metrics & Monitoring")
+    metrics.add_argument(
+        "--val_steps_to_log",
+        type=int,
+        nargs="+",
+        default=[1, 2, 3, 5, 10],
+    )
+    metrics.add_argument("--metrics_watch", nargs="+", default=[])
+
+    data = parser.add_argument_group("Data Loading & Forcing")
+    data.add_argument("--num_past_forcing_steps", type=int, default=1)
+    data.add_argument("--num_future_forcing_steps", type=int, default=1)
+    data.add_argument(
+        "--load_single_member",
+        action="store_true",
+        help="Only use first ensemble member of ensemble datastores",
+    )
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.config_path is None:
+        raise SystemExit("--config_path is required")
+    # Validate eval step logging against rollout length
+    # (reference: train_model.py:362-407).
+    eval_steps = args.ar_steps_eval if args.eval else args.ar_steps_train
+    invalid = [s for s in args.val_steps_to_log if s > eval_steps]
+    if invalid and args.eval:
+        print(
+            f"warning: val_steps_to_log {invalid} exceed rollout length "
+            f"{eval_steps}; they will be skipped",
+            file=sys.stderr,
+        )
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+
+    utils.seed_everything(args.seed)
+
+    config, datastore = load_config_and_datastore(args.config_path)
+
+    predictor_kwargs = dict(
+        graph_name=args.graph,
+        hidden_dim=args.hidden_dim,
+        hidden_layers=args.hidden_layers,
+        processor_layers=args.processor_layers,
+        mesh_aggr=args.mesh_aggr,
+        num_past_forcing_steps=args.num_past_forcing_steps,
+        num_future_forcing_steps=args.num_future_forcing_steps,
+        output_std=args.output_std,
+        output_clamping_lower=config.training.output_clamping.lower,
+        output_clamping_upper=config.training.output_clamping.upper,
+        g2m_gnn_type=args.g2m_gnn_type,
+        m2g_gnn_type=args.m2g_gnn_type,
+    )
+    if args.model != "graph_lam":
+        predictor_kwargs.update(
+            mesh_up_gnn_type=args.mesh_up_gnn_type,
+            mesh_down_gnn_type=args.mesh_down_gnn_type,
+        )
+    predictor = MODELS[args.model](datastore, **predictor_kwargs)
+    forecaster = ARForecaster(predictor, datastore)
+
+    targs = TrainingArgs(
+        lr=args.lr,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        ar_steps_train=args.ar_steps_train,
+        ar_steps_eval=args.ar_steps_eval,
+        loss=args.loss,
+        val_interval=args.val_interval,
+        val_steps_to_log=tuple(args.val_steps_to_log),
+    )
+    trainer = Trainer(forecaster, config, datastore, targs)
+
+    import jax
+
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(args.seed))
+
+    run_name = args.logger_run_name or (
+        f"{args.model}-{time.strftime('%m_%d_%H_%M_%S')}"
+    )
+    run_dir = Path(args.runs_root) / run_name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    ckpt = CheckpointManager(run_dir)
+    hparams = {k: v for k, v in vars(args).items()}
+
+    if args.load:
+        load_dir = Path(args.load)
+        src = CheckpointManager(
+            load_dir if (load_dir / "checkpoints").exists()
+            else load_dir.parent.parent
+        )
+        name = (
+            load_dir.name
+            if load_dir.name in ("latest", "min_val_loss")
+            else "latest"
+        )
+        if args.restore_opt:
+            params, opt_state, _ = src.restore(name, params, opt_state)
+        else:
+            params = src.restore_params_only(name, params)
+        print(f"loaded checkpoint {name!r} from {src.ckpt_dir}")
+
+    def make_loader(split, ar_steps, shuffle):
+        dataset = WeatherDataset(
+            datastore,
+            split=split,
+            ar_steps=ar_steps,
+            num_past_forcing_steps=args.num_past_forcing_steps,
+            num_future_forcing_steps=args.num_future_forcing_steps,
+            load_single_member=args.load_single_member,
+        )
+        return DataLoader(
+            dataset,
+            batch_size=args.batch_size,
+            shuffle=shuffle,
+            seed=args.seed,
+        )
+
+    if args.eval:
+        loader = make_loader(args.eval, args.ar_steps_eval, shuffle=False)
+        metrics = trainer.evaluate(params, loader, prefix=args.eval)
+        print(json.dumps(metrics, indent=2))
+        (run_dir / f"{args.eval}_metrics.json").write_text(
+            json.dumps(metrics, indent=2), encoding="utf-8"
+        )
+        return
+
+    # Validation unrolls ar_steps_eval steps, like the reference DataModule
+    # (reference: weather_dataset.py:710-726).
+    train_loader = make_loader("train", args.ar_steps_train, shuffle=True)
+    val_loader = make_loader("val", args.ar_steps_eval, shuffle=False)
+
+    history_path = run_dir / "history.jsonl"
+
+    step_counter = {"epoch": 0}
+
+    def log_fn(record):
+        step_counter["epoch"] = record["epoch"]
+        with open(history_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(record) + "\n")
+        print(json.dumps(record))
+        ckpt.save_latest(
+            log_fn.params, log_fn.opt_state, record["epoch"], hparams
+        )
+        if "val_loss" in record:
+            ckpt.maybe_save_best(
+                record["val_loss"],
+                log_fn.params,
+                log_fn.opt_state,
+                record["epoch"],
+                hparams,
+            )
+
+    # Run epoch-by-epoch so checkpoints always see the current state
+    for epoch in range(args.epochs):
+        params, opt_state, history = trainer.fit(
+            params,
+            opt_state,
+            train_loader,
+            val_loader if (epoch + 1) % args.val_interval == 0 else None,
+            epochs=1,
+            start_epoch=epoch,
+        )
+        record = dict(history[0])
+        record["epoch"] = epoch
+        log_fn.params, log_fn.opt_state = params, opt_state
+        log_fn(record)
+
+
+if __name__ == "__main__":
+    main()

@@ -67,8 +67,15 @@ class Trainer:
         self.datastore = datastore
 
         if mesh is None:
-            mesh = Mesh(np.array(jax.devices()), axis_names=("data",))
+            # Largest device count that divides the batch size, so batch
+            # sharding is always valid (a 1-device mesh if nothing fits).
+            devices = jax.devices()
+            n = len(devices)
+            while n > 1 and args.batch_size % n != 0:
+                n -= 1
+            mesh = Mesh(np.array(devices[:n]), axis_names=("data",))
         self.mesh = mesh
+        self.num_data_shards = int(np.prod(mesh.devices.shape))
         self._batch_sharding = NamedSharding(mesh, P("data"))
         self._replicated = NamedSharding(mesh, P())
 
@@ -138,12 +145,27 @@ class Trainer:
             forcing = (forcing - f_mean) / f_std
         return init_states, target_states, forcing
 
-    def device_put_batch(self, batch: tuple) -> tuple:
-        """Move a host batch to devices with batch-axis sharding."""
-        return tuple(
-            jax.device_put(np.asarray(a), self._batch_sharding)
-            for a in batch[:3]
-        )
+    def device_put_batch(self, batch: tuple) -> tuple[tuple, int]:
+        """Move a host batch to devices with batch-axis sharding.
+
+        Partial batches (eval tails; the explicit per-host analog of the
+        reference's DistributedSampler padding caveat, README.md:528-530)
+        are padded up to a multiple of the mesh size by repeating the
+        final sample; returns ``(device_batch, real_batch_size)`` so
+        callers can drop padded rows from metrics.
+        """
+        real = int(np.asarray(batch[0]).shape[0])
+        n_shards = self.num_data_shards
+        pad = (-real) % n_shards
+        out = []
+        for a in batch[:3]:
+            a = np.asarray(a)
+            if pad:
+                a = np.concatenate(
+                    [a, np.repeat(a[-1:], pad, axis=0)], axis=0
+                )
+            out.append(jax.device_put(a, self._batch_sharding))
+        return tuple(out), real
 
     # -- steps -------------------------------------------------------------
     def _loss(self, params, init_states, target_states, forcing):
@@ -196,20 +218,17 @@ class Trainer:
             )
             if pred_std is None:
                 pred_std = self.per_var_std
-            time_step_loss = jnp.mean(
-                self.loss_fn(
-                    prediction,
-                    target_s,
-                    pred_std,
-                    mask=self.interior_mask_bool,
-                    average_grid=True,
-                    sum_vars=True,
-                ),
-                axis=0,
-            )  # (pred_steps,)
-            out = {"loss": jnp.mean(time_step_loss)}
+            time_step_loss = self.loss_fn(
+                prediction,
+                target_s,
+                pred_std,
+                mask=self.interior_mask_bool,
+                average_grid=True,
+                sum_vars=True,
+            )  # (B, pred_steps) per-sample so padded rows can be dropped
+            out = {"loss": jnp.mean(time_step_loss, axis=-1)}
             for s in steps_to_log:
-                out[f"loss_unroll{s}"] = time_step_loss[s - 1]
+                out[f"loss_unroll{s}"] = time_step_loss[:, s - 1]
             return out
 
         return jax.jit(eval_step)
@@ -230,6 +249,7 @@ class Trainer:
         val_loader=None,
         epochs: Optional[int] = None,
         log_fn: Optional[Callable[[dict], None]] = None,
+        start_epoch: int = 0,
     ):
         """Run the training loop; returns final ``(params, opt_state,
         history)``."""
@@ -237,12 +257,12 @@ class Trainer:
             self._train_step = self.make_train_step()
         epochs = self.args.epochs if epochs is None else epochs
         history = []
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, start_epoch + epochs):
             train_loader.set_epoch(epoch)
             t0 = time.perf_counter()
             losses = []
             for batch in train_loader:
-                device_batch = self.device_put_batch(batch)
+                device_batch, _ = self.device_put_batch(batch)
                 params, opt_state, loss = self._train_step(
                     params, opt_state, *device_batch
                 )
@@ -268,7 +288,7 @@ class Trainer:
         sums: dict[str, float] = {}
         count = 0
         for batch in loader:
-            device_batch = self.device_put_batch(batch)
+            device_batch, real = self.device_put_batch(batch)
             if pred_steps is None:
                 pred_steps = int(batch[1].shape[1])
                 if pred_steps not in self._eval_step:
@@ -276,10 +296,11 @@ class Trainer:
                         pred_steps
                     )
             out = self._eval_step[pred_steps](params, *device_batch)
-            bsz = int(batch[0].shape[0])
             for k, v in out.items():
-                sums[k] = sums.get(k, 0.0) + float(v) * bsz
-            count += bsz
+                sums[k] = sums.get(k, 0.0) + float(
+                    jnp.sum(v[:real])
+                )
+            count += real
         return {
             f"{prefix}_{k}": v / max(count, 1) for k, v in sums.items()
         }

@@ -1,0 +1,91 @@
+"""End-to-end CLI: create graph, train 2 epochs, evaluate from checkpoint.
+
+The CLI-level integration test (reference: tests/test_cli.py,
+tests/test_training.py:144-161) at tiny sizes.
+"""
+
+import json
+
+import pytest
+import yaml
+
+from neural_lam_tpu import create_graph, train_model
+
+
+@pytest.fixture(scope="module")
+def config_path(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_ds")
+    ds_cfg = root / "dummy.datastore.yaml"
+    ds_cfg.write_text(
+        yaml.safe_dump(
+            {
+                "n_grid_x": 10,
+                "n_grid_y": 10,
+                "n_timesteps": 16,
+                "seed": 7,
+            }
+        ),
+        encoding="utf-8",
+    )
+    cfg = root / "config.yaml"
+    cfg.write_text(
+        yaml.safe_dump(
+            {
+                "datastore": {
+                    "kind": "dummydata",
+                    "config_path": "dummy.datastore.yaml",
+                }
+            }
+        ),
+        encoding="utf-8",
+    )
+    return cfg
+
+
+def test_create_graph_cli(config_path):
+    create_graph.main(
+        ["--config_path", str(config_path), "--name", "1level", "--levels", "1"]
+    )
+    graph_dir = config_path.parent / "graph" / "1level"
+    assert (graph_dir / "graph.npz").exists()
+
+
+def test_train_and_eval_cli(config_path, tmp_path):
+    runs_root = tmp_path / "runs"
+    common = [
+        "--config_path", str(config_path),
+        "--graph", "1level",
+        "--hidden_dim", "8",
+        "--processor_layers", "2",
+        "--batch_size", "2",
+        "--runs_root", str(runs_root),
+        "--logger_run_name", "testrun",
+        "--val_steps_to_log", "1",
+    ]
+    train_model.main(common + ["--epochs", "2"])
+
+    run_dir = runs_root / "testrun"
+    assert (run_dir / "checkpoints" / "latest").exists()
+    assert (run_dir / "checkpoints" / "min_val_loss").exists()
+    history = [
+        json.loads(line)
+        for line in (run_dir / "history.jsonl").read_text().splitlines()
+    ]
+    assert len(history) == 2
+    assert all("train_loss" in h for h in history)
+
+    # Eval from the saved checkpoint
+    train_model.main(
+        common
+        + [
+            "--eval", "test",
+            "--ar_steps_eval", "2",
+            "--load", str(run_dir),
+            "--logger_run_name", "testeval",
+        ]
+    )
+    eval_dir = runs_root / "testeval"
+    metrics = json.loads(
+        (eval_dir / "test_metrics.json").read_text(encoding="utf-8")
+    )
+    assert "test_loss" in metrics and metrics["test_loss"] > 0

@@ -1,0 +1,130 @@
+"""Trainer harness: loss decreases, eval metrics, checkpoint round-trip.
+
+Plays the role of the reference's slow end-to-end training test
+(reference: tests/test_training.py:144-161) at tiny sizes, plus the
+checkpoint round-trip semantics
+(reference: tests/test_prediction_model_classes.py:74-170).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from neural_lam_tpu.checkpoint import CheckpointManager
+from neural_lam_tpu.config import (
+    DatastoreSelection,
+    NeuralLAMConfig,
+)
+from neural_lam_tpu.dataset import WeatherDataset
+from neural_lam_tpu.datastore.dummy import DummyDatastore
+from neural_lam_tpu.graphs import create_graph_from_datastore
+from neural_lam_tpu.loader import DataLoader
+from neural_lam_tpu.models import ARForecaster, GraphLAM
+from neural_lam_tpu.trainer import Trainer, TrainingArgs
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("trainer_ds")
+    ds = DummyDatastore(
+        n_grid_x=12, n_grid_y=12, n_timesteps=20, root_path=root
+    )
+    create_graph_from_datastore(
+        ds,
+        ds.root_path / "graph" / "1level",
+        hierarchical=False,
+        n_max_levels=1,
+    )
+    model = GraphLAM(
+        ds, graph_name="1level", hidden_dim=8, processor_layers=2
+    )
+    fc = ARForecaster(model, ds)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path="")
+    )
+    return ds, fc, config
+
+
+def _loaders(ds, ar_steps, batch_size=2):
+    train = DataLoader(
+        WeatherDataset(ds, split="train", ar_steps=ar_steps),
+        batch_size=batch_size,
+        shuffle=True,
+        seed=0,
+    )
+    val = DataLoader(
+        WeatherDataset(ds, split="val", ar_steps=ar_steps),
+        batch_size=batch_size,
+    )
+    return train, val
+
+
+def test_training_reduces_loss(setup):
+    ds, fc, config = setup
+    args = TrainingArgs(
+        lr=1e-3, batch_size=2, ar_steps_train=1, val_steps_to_log=(1,)
+    )
+    trainer = Trainer(fc, config, ds, args)
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+    train_loader, val_loader = _loaders(ds, ar_steps=1)
+
+    params, opt_state, history = trainer.fit(
+        params, opt_state, train_loader, val_loader, epochs=5
+    )
+    losses = [h["train_loss"] for h in history]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"Loss did not decrease: {losses}"
+    assert "val_loss" in history[-1]
+    assert "val_loss_unroll1" in history[-1]
+
+
+def test_eval_multi_step(setup):
+    ds, fc, config = setup
+    args = TrainingArgs(val_steps_to_log=(1, 3, 10))
+    trainer = Trainer(fc, config, ds, args)
+    params, _ = trainer.init_state(jax.random.PRNGKey(1))
+    _, val_loader = _loaders(ds, ar_steps=3)
+    metrics = trainer.evaluate(params, val_loader, prefix="test")
+    assert "test_loss" in metrics
+    assert "test_loss_unroll3" in metrics
+    # Steps beyond the rollout must be skipped, not crash
+    assert "test_loss_unroll10" not in metrics
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    ds, fc, config = setup
+    trainer = Trainer(fc, config, ds, TrainingArgs())
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(2))
+
+    mgr = CheckpointManager(tmp_path)
+    mgr.save_latest(params, opt_state, step=7, hparams={"model": "graph_lam"})
+
+    params2, opt2 = trainer.init_state(jax.random.PRNGKey(3))
+    restored_p, restored_o, step = mgr.restore("latest", params2, opt2)
+    assert step == 7
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(restored_p),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert mgr.load_hparams("latest") == {"model": "graph_lam"}
+
+    # Params-only restore (fresh optimizer, reference: module.py:1012-1014)
+    p_only = mgr.restore_params_only("latest", params2)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(p_only),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_best_checkpoint_policy(setup, tmp_path):
+    ds, fc, config = setup
+    trainer = Trainer(fc, config, ds, TrainingArgs())
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(4))
+    mgr = CheckpointManager(tmp_path)
+    assert mgr.maybe_save_best(1.0, params, opt_state, 1)
+    assert not mgr.maybe_save_best(2.0, params, opt_state, 2)
+    assert mgr.maybe_save_best(0.5, params, opt_state, 3)
+    _, _, step = mgr.restore("min_val_loss", params, opt_state)
+    assert step == 3
