@@ -1,0 +1,215 @@
+"""MEPS npy-file datastore: layout parsing, laziness, stats, dataset use.
+
+Exercises the same format the reference datastore reads
+(reference: neural_lam/datastore/npyfilesmeps/store.py:63-844) on a
+synthetic miniature dataset.
+"""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+import yaml
+
+from neural_lam_tpu.dataset import WeatherDataset
+from neural_lam_tpu.datastore.npyfilesmeps import NpyFilesDatastoreMEPS
+from neural_lam_tpu.datastore.npyfilesmeps.compute_standardization_stats import (
+    compute_stats,
+    save_stats,
+)
+
+NY, NX = 5, 4  # grid_shape_state is [ny, nx]
+N_GRID = NX * NY
+T = 7  # forecast steps per analysis time
+N_STATE_TOTAL = 4  # before feature removal
+DROP_IDX = [1]
+N_STATE = N_STATE_TOTAL - len(DROP_IDX)
+N_MEMBERS = 2
+ANALYSIS_TIMES = [
+    datetime(2022, 4, 1, 0),
+    datetime(2022, 4, 1, 12),
+    datetime(2022, 4, 2, 0),
+]
+
+
+@pytest.fixture(scope="module")
+def meps_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("meps")
+    rng = np.random.default_rng(0)
+
+    for split in ("train", "val", "test"):
+        samples = root / "samples" / split
+        samples.mkdir(parents=True)
+        for at in ANALYSIS_TIMES:
+            tstr = at.strftime("%Y%m%d%H")
+            for member in range(N_MEMBERS):
+                np.save(
+                    samples / f"nwp_{tstr}_mbr{member:03d}.npy",
+                    rng.normal(
+                        size=(T, NY, NX, N_STATE_TOTAL)
+                    ).astype(np.float32),
+                )
+            np.save(
+                samples / f"nwp_toa_downwelling_shortwave_flux_{tstr}.npy",
+                rng.uniform(0, 500, size=(T, NY, NX)).astype(np.float32),
+            )
+            np.save(
+                samples / f"wtr_{tstr}.npy",
+                rng.uniform(0, 1, size=(NY, NX)).astype(np.float32),
+            )
+
+    static = root / "static"
+    static.mkdir()
+    x = np.arange(NX, dtype=np.float32) * 1000
+    y = np.arange(NY, dtype=np.float32) * 1000
+    xy = np.stack(np.meshgrid(x, y, indexing="xy"), axis=0)  # (2, NY, NX)
+    np.save(static / "nwp_xy.npy", xy)
+    np.save(
+        static / "surface_geopotential.npy",
+        rng.normal(size=(NY, NX)).astype(np.float32),
+    )
+    border = np.zeros((NY, NX), dtype=np.float32)
+    border[0, :] = border[-1, :] = border[:, 0] = border[:, -1] = 1
+    np.save(static / "border_mask.npy", border)
+    np.save(static / "parameter_mean.npy", np.zeros(N_STATE, np.float32))
+    np.save(static / "parameter_std.npy", np.ones(N_STATE, np.float32))
+    np.save(static / "diff_mean.npy", np.zeros(N_STATE, np.float32))
+    np.save(static / "diff_std.npy", np.ones(N_STATE, np.float32))
+    np.save(static / "flux_stats.npy", np.array([250.0, 100.0], np.float32))
+
+    config = {
+        "dataset": {
+            "name": "meps_tiny",
+            "var_names": [f"var{i}" for i in range(N_STATE)],
+            "var_units": ["unit"] * N_STATE,
+            "var_longnames": [f"variable {i}" for i in range(N_STATE)],
+            "num_forcing_features": 1,
+            "num_timesteps": T,
+            "step_length": 3,
+            "num_ensemble_members": N_MEMBERS,
+            "remove_state_features_with_index": DROP_IDX,
+        },
+        "grid_shape_state": [NY, NX],
+        "projection": {
+            "class_name": "LambertConformal",
+            "kwargs": {"central_longitude": 15.0},
+        },
+    }
+    (root / "data_config.yaml").write_text(
+        yaml.safe_dump(config), encoding="utf-8"
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def store(meps_root):
+    return NpyFilesDatastoreMEPS(config_path=meps_root / "data_config.yaml")
+
+
+def test_metadata(store):
+    assert store.is_forecast and store.is_ensemble
+    assert store.num_grid_points == N_GRID
+    assert store.get_num_data_vars("state") == N_STATE
+    assert store.get_num_data_vars("forcing") == 6
+    assert store.get_num_data_vars("static") == 4
+    assert store.step_length == timedelta(hours=3)
+
+
+def test_state_dataarray_lazy_and_masked(store):
+    da = store.get_dataarray(category="state", split="train")
+    assert da.dims == (
+        "analysis_time",
+        "elapsed_forecast_duration",
+        "ensemble_member",
+        "grid_index",
+        "state_feature",
+    )
+    assert da.shape == (len(ANALYSIS_TIMES), T, N_MEMBERS, N_GRID, N_STATE)
+
+    # One analysis time loads without touching the others and matches the
+    # raw file contents (feature-dropped, x-major grid stacking)
+    item = da.data[1]
+    tstr = ANALYSIS_TIMES[1].strftime("%Y%m%d%H")
+    raw = np.load(
+        store.root_path / "samples" / "train" / f"nwp_{tstr}_mbr000.npy"
+    )
+    keep = [i for i in range(N_STATE_TOTAL) if i not in DROP_IDX]
+    expected = raw[..., keep].transpose(0, 2, 1, 3).reshape(T, N_GRID, N_STATE)
+    np.testing.assert_allclose(item[:, 0], expected, rtol=1e-6)
+
+
+def test_forcing_features(store):
+    da = store.get_dataarray(category="forcing", split="val")
+    assert da.shape == (len(ANALYSIS_TIMES), T, N_GRID, 6)
+    item = np.asarray(da.data[0])
+    # Datetime features are in [0, 1] and constant over the grid
+    assert item[..., 2:].min() >= 0 and item[..., 2:].max() <= 1
+    assert np.allclose(item[:, 0, 2:], item[:, -1, 2:])
+    # Analysis time 00 UTC: sin_hour = (sin(0) + 1) / 2 = 0.5
+    np.testing.assert_allclose(item[0, 0, 2], 0.5, atol=1e-6)
+    # Open water fraction is constant over forecast steps
+    np.testing.assert_allclose(item[0, :, 1], item[-1, :, 1])
+
+
+def test_static_and_boundary(store):
+    da = store.get_dataarray(category="static", split=None)
+    assert da.shape == (N_GRID, 4)
+    mask = store.boundary_mask
+    assert mask.data.shape == (N_GRID,)
+    assert mask.data.sum() == 2 * NX + 2 * NY - 4
+    xy = store.get_xy("state", stacked=True)
+    assert xy.shape == (N_GRID, 2)
+    # x-major: first Ny entries share x
+    assert np.allclose(xy[:NY, 0], xy[0, 0])
+
+
+def test_stats_roundtrip(store):
+    stats = store.get_standardization_dataarray("state")
+    assert stats["state_mean"].shape == (N_STATE,)
+    f_stats = store.get_standardization_dataarray("forcing")
+    np.testing.assert_allclose(f_stats["forcing_mean"][0], 250.0)
+    np.testing.assert_allclose(f_stats["forcing_std"][1:], 1.0)
+
+
+def test_weather_dataset_on_meps(store):
+    dataset = WeatherDataset(store, split="train", ar_steps=2)
+    # forecast data: one sample per (analysis_time, member)
+    assert len(dataset) == len(ANALYSIS_TIMES) * N_MEMBERS
+    init, target, forcing, times = dataset[1]
+    assert init.shape == (2, N_GRID, N_STATE)
+    assert target.shape == (2, N_GRID, N_STATE)
+    assert forcing.shape == (2, N_GRID, 6 * 3)
+    assert times.shape == (2,)
+    # Ensemble index mapping: idx 1 -> analysis 0, member 1
+    da = store.get_dataarray("state", split="train")
+    expected = np.asarray(da.data[0])[2:4, 1]
+    np.testing.assert_allclose(target, expected, rtol=1e-6)
+
+
+def test_compute_standardization_stats(meps_root, tmp_path):
+    store = NpyFilesDatastoreMEPS(config_path=meps_root / "data_config.yaml")
+    stats = compute_stats(store)
+    assert stats["parameter_mean"].shape == (N_STATE,)
+    # Standard normal synthetic data -> mean ~0, std ~1
+    assert np.all(np.abs(stats["parameter_mean"]) < 0.1)
+    assert np.all(np.abs(stats["parameter_std"] - 1.0) < 0.1)
+    # Save into a copy of static/ and reload through the store
+    save_stats(meps_root / "static", stats)
+    reloaded = store.get_standardization_dataarray("state")
+    np.testing.assert_allclose(
+        reloaded["state_mean"], stats["parameter_mean"]
+    )
+
+
+def test_lazy_member_selection(store):
+    """isel(ensemble_member=m) must not load any analysis-time files."""
+    da = store.get_dataarray(category="state", split="train")
+    loads = []
+    orig_loader = da.data._loader
+    da.data._loader = lambda i: (loads.append(i), orig_loader(i))[1]
+    sub = da.isel(ensemble_member=1)
+    assert loads == []  # still lazy
+    one = sub.isel(analysis_time=2, elapsed_forecast_duration=slice(0, 3))
+    vals = np.asarray(one.data)
+    assert vals.shape == (3, N_GRID, N_STATE)
+    assert loads == [2]  # exactly one file group read
