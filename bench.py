@@ -82,18 +82,18 @@ def main() -> None:
         params, opt_state, loss = train_step(
             params, opt_state, *device_batch
         )
-    jax.block_until_ready(loss)
+    jax.block_until_ready((params, loss))
 
-    times = []
+    # Chain ITERS steps with a single device sync at the end: the host
+    # round-trip through the device tunnel costs ~30 ms, which would
+    # otherwise dominate per-step timing.
+    t0 = time.perf_counter()
     for _ in range(ITERS):
-        t0 = time.perf_counter()
         params, opt_state, loss = train_step(
             params, opt_state, *device_batch
         )
-        jax.block_until_ready(loss)
-        times.append(time.perf_counter() - t0)
-
-    step_time = float(np.median(times))
+    jax.block_until_ready((params, loss))
+    step_time = (time.perf_counter() - t0) / ITERS
     grid_points_per_s = BATCH * n * AR_STEPS / step_time
     print(
         json.dumps(

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.interaction import EdgeSet, make_edge_set, pad_edge_features
+from ..ops.interaction import EdgeSet, make_edge_set, place_edge_features
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,8 +42,8 @@ def _make_padded(
 ) -> PaddedEdges:
     senders, receivers = edge_index[0], edge_index[1]
     edges, perm = make_edge_set(senders, receivers, num_rec=num_rec)
-    feats = pad_edge_features(
-        np.asarray(features, dtype=np.float32)[perm], edges
+    feats = place_edge_features(
+        np.asarray(features, dtype=np.float32), perm, edges
     )
     return PaddedEdges(edges=edges, features=jnp.asarray(feats))
 

@@ -35,7 +35,9 @@ def _combine_edge_sets(
     for pe, (s_off, r_off) in zip(sections, section_offsets):
         s = np.asarray(pe.edges.senders, dtype=np.int64)
         r = np.asarray(pe.edges.receivers, dtype=np.int64)
-        valid = np.arange(s.shape[0]) < pe.edges.num_valid
+        # Dead padding slots carry receiver == num_rec and may be
+        # interspersed (blocked layout), so detect them by value.
+        valid = r < pe.edges.num_rec
         senders_l.append(s + s_off)
         receivers_l.append(np.where(valid, r + r_off, num_total))
         counts += np.bincount(

@@ -12,6 +12,11 @@ from .interaction import (  # noqa: F401
     apply_interaction_net,
     init_interaction_net,
     make_edge_set,
-    pad_edge_features,
+    place_edge_features,
 )
-from .segment import segment_mean, segment_sum  # noqa: F401
+from .segment import (  # noqa: F401
+    aggregate_mean,
+    aggregate_sum,
+    segment_mean,
+    segment_sum,
+)

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mlp import MLPParams, apply_mlp, init_mlp
-from .segment import segment_mean, segment_sum
+from .pallas_segment import BlockedLayout, build_blocked_layout
+from .segment import aggregate_mean, aggregate_sum
 
 _PAD_MULTIPLE = 128  # lane width; keeps padded edge blocks tile-aligned
 
@@ -39,10 +40,15 @@ def _round_up(n: int, m: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class EdgeSet:
-    """Static, padded, (optionally receiver-sorted) edge connectivity.
+    """Static, padded edge connectivity in blocked-CSR order.
 
     Not a pytree: models close over EdgeSets so the index arrays become
-    jit-time constants.
+    jit-time constants. When ``layout`` is set, edges are receiver-sorted
+    with dead padding slots interspersed at receiver-block boundaries
+    (see ``pallas_segment.BlockedLayout``), enabling the fused Pallas
+    aggregation kernel on TPU. Note interspersed padding means the raw
+    ``receivers`` array is NOT globally sorted; padding rows are
+    identified by ``receivers == num_rec``, never by position.
     """
 
     senders: jax.Array  # (E_pad,) int32; padding rows -> 0
@@ -52,6 +58,7 @@ class EdgeSet:
     num_rec: int
     num_valid: int
     sorted_by_receiver: bool
+    layout: Optional[BlockedLayout] = None
 
     @property
     def num_padded(self) -> int:
@@ -67,9 +74,10 @@ def make_edge_set(
 ) -> tuple[EdgeSet, np.ndarray]:
     """Build an :class:`EdgeSet` from raw (unsorted, unpadded) indices.
 
-    Returns the edge set and the permutation ``perm`` (new order -> original
-    edge position) that must also be applied to any per-edge feature arrays
-    (use :func:`pad_edge_features`).
+    Returns the edge set and ``perm``: an ``(E_pad,)`` int64 map from
+    padded slot -> original edge position, with ``-1`` marking dead
+    padding slots. Apply it to per-edge feature arrays with
+    :func:`pad_edge_features`.
 
     ``num_rec`` defaults to ``receivers.max() + 1``, matching the reference's
     convention of deriving the receiver-set size from the edge index
@@ -82,15 +90,43 @@ def make_edge_set(
     if num_rec is None:
         num_rec = int(receivers.max()) + 1 if num_valid > 0 else 0
 
-    if sort and num_valid > 0:
-        perm = np.argsort(receivers, kind="stable").astype(np.int64)
-    else:
-        perm = np.arange(num_valid, dtype=np.int64)
-    senders = senders[perm]
-    receivers = receivers[perm]
+    if sort and num_valid > 0 and num_rec > 0:
+        sort_perm = np.argsort(receivers, kind="stable").astype(np.int64)
+        senders_sorted = senders[sort_perm]
+        receivers_sorted = receivers[sort_perm]
 
+        layout = build_blocked_layout(receivers_sorted, num_rec)
+        dead = layout.perm < 0
+        safe = np.where(dead, 0, layout.perm)
+        perm = np.where(dead, -1, sort_perm[safe])
+        senders_p = np.where(dead, 0, senders_sorted[safe]).astype(np.int32)
+        receivers_p = np.where(
+            dead, num_rec, receivers_sorted[safe]
+        ).astype(np.int32)
+        recv_counts = np.bincount(
+            receivers_sorted, minlength=num_rec
+        ).astype(np.int32)
+
+        es = EdgeSet(
+            senders=jnp.asarray(senders_p),
+            receivers=jnp.asarray(receivers_p),
+            recv_gather=jnp.asarray(
+                np.minimum(receivers_p, max(num_rec - 1, 0)).astype(
+                    np.int32
+                )
+            ),
+            recv_counts=jnp.asarray(recv_counts),
+            num_rec=num_rec,
+            num_valid=num_valid,
+            sorted_by_receiver=False,  # dead slots interspersed
+            layout=layout,
+        )
+        return es, perm
+
+    perm_base = np.arange(num_valid, dtype=np.int64)
     e_pad = max(_round_up(num_valid, pad_multiple), pad_multiple)
     pad = e_pad - num_valid
+    perm = np.concatenate([perm_base, np.full(pad, -1, dtype=np.int64)])
     senders_p = np.concatenate([senders, np.zeros(pad, dtype=np.int32)])
     receivers_p = np.concatenate(
         [receivers, np.full(pad, num_rec, dtype=np.int32)]
@@ -106,18 +142,39 @@ def make_edge_set(
         recv_counts=jnp.asarray(recv_counts),
         num_rec=num_rec,
         num_valid=num_valid,
-        sorted_by_receiver=sort,
+        sorted_by_receiver=False,
+        layout=None,
     )
     return es, perm
 
 
 def pad_edge_features(features: np.ndarray, edge_set: EdgeSet) -> np.ndarray:
-    """Zero-pad (already permuted) per-edge features to the padded edge dim."""
-    pad = edge_set.num_padded - features.shape[0]
-    assert pad >= 0
-    return np.concatenate(
-        [features, np.zeros((pad,) + features.shape[1:], features.dtype)]
+    """Place original-order per-edge features into padded slot order.
+
+    ``features`` is indexed by original edge position; the result has one
+    row per padded slot (zeros in dead slots). Requires the ``perm``
+    convention built into the edge set at construction; for backwards
+    compatibility the caller passes original-order features together
+    with the edge set's stored slot permutation via
+    :func:`make_edge_set`'s returned ``perm`` — see
+    :func:`place_edge_features`.
+    """
+    raise NotImplementedError(
+        "pad_edge_features was replaced by place_edge_features(features, "
+        "perm, edge_set)"
     )
+
+
+def place_edge_features(
+    features: np.ndarray, perm: np.ndarray, edge_set: EdgeSet
+) -> np.ndarray:
+    """Scatter original-order per-edge features into padded slot order."""
+    out = np.zeros(
+        (edge_set.num_padded,) + features.shape[1:], dtype=features.dtype
+    )
+    valid = perm >= 0
+    out[valid] = features[perm[valid]]
+    return out
 
 
 # Parameter pytree: {"edge": [MLPParams, ...], "aggr": [MLPParams, ...]}
@@ -204,20 +261,9 @@ def apply_interaction_net(
         messages = x_send + messages
 
     if aggr == "sum":
-        aggregated = segment_sum(
-            messages,
-            edge_set.receivers,
-            edge_set.num_rec,
-            indices_are_sorted=edge_set.sorted_by_receiver,
-        )
+        aggregated = aggregate_sum(edge_set, messages)
     else:
-        aggregated = segment_mean(
-            messages,
-            edge_set.receivers,
-            edge_set.num_rec,
-            edge_set.recv_counts,
-            indices_are_sorted=edge_set.sorted_by_receiver,
-        )
+        aggregated = aggregate_mean(edge_set, messages)
 
     rec_diff = _apply_chunked(
         params["aggr"],

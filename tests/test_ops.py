@@ -17,9 +17,8 @@ from neural_lam_tpu.ops import (
     init_interaction_net,
     init_mlp,
     make_edge_set,
-    pad_edge_features,
+    place_edge_features,
 )
-from neural_lam_tpu.ops.interaction import pad_edge_features  # noqa: F811
 
 
 def _np_mlp(params, x):
@@ -112,7 +111,8 @@ def test_interaction_net_matches_oracle(rng, aggr, propagation):
         rng, num_snd, num_rec, num_edges, d
     )
     es, perm = make_edge_set(senders, receivers, pad_multiple=16)
-    edge_rep_p = pad_edge_features(edge_rep[perm], es)
+    edge_rep_p = place_edge_features(edge_rep, perm, es)
+    valid = perm >= 0
 
     params = init_interaction_net(jax.random.PRNGKey(3), d)
     new_rec, new_edge = apply_interaction_net(
@@ -138,10 +138,10 @@ def test_interaction_net_matches_oracle(rng, aggr, propagation):
     np.testing.assert_allclose(
         np.asarray(new_rec), want_rec, rtol=1e-4, atol=1e-4
     )
-    # Only the valid (permuted) edges are meaningful.
+    # Only the valid (permuted) slots are meaningful.
     np.testing.assert_allclose(
-        np.asarray(new_edge)[: es.num_valid],
-        want_edge[perm],
+        np.asarray(new_edge)[valid],
+        want_edge[perm[valid]],
         rtol=1e-4,
         atol=1e-4,
     )
@@ -152,7 +152,7 @@ def test_interaction_net_update_edges_false(rng):
         rng, 5, 4, 12, 6
     )
     es, perm = make_edge_set(senders, receivers, pad_multiple=8)
-    edge_rep_p = pad_edge_features(edge_rep[perm], es)
+    edge_rep_p = place_edge_features(edge_rep, perm, es)
     params = init_interaction_net(jax.random.PRNGKey(1), 6)
     out = apply_interaction_net(
         params,
@@ -182,7 +182,7 @@ def test_disconnected_receiver_gets_zero_aggregate(rng):
         es,
         jnp.asarray(send_rep),
         jnp.asarray(rec_rep),
-        jnp.asarray(pad_edge_features(edge_rep[perm], es)),
+        jnp.asarray(place_edge_features(edge_rep, perm, es)),
         update_edges=False,
         aggr="mean",
     )
@@ -233,7 +233,7 @@ def test_vmap_batching_independence(rng):
         rng, 6, 5, 20, 8
     )
     es, perm = make_edge_set(senders, receivers)
-    edge_rep_p = pad_edge_features(edge_rep[perm], es)
+    edge_rep_p = place_edge_features(edge_rep, perm, es)
     params = init_interaction_net(jax.random.PRNGKey(7), 8)
 
     B = 3
@@ -263,7 +263,7 @@ def test_gradients_flow_through_all_inputs(rng):
         rng, 6, 5, 20, 8
     )
     es, perm = make_edge_set(senders, receivers)
-    edge_rep_p = pad_edge_features(edge_rep[perm], es)
+    edge_rep_p = place_edge_features(edge_rep, perm, es)
     params = init_interaction_net(jax.random.PRNGKey(2), 8)
 
     def loss(p, s, r, e):
@@ -279,7 +279,7 @@ def test_gradients_flow_through_all_inputs(rng):
     gp, gs, gr, ge = grads
     assert float(jnp.abs(gs).max()) > 0
     assert float(jnp.abs(gr).max()) > 0
-    assert float(jnp.abs(ge[: es.num_valid]).max()) > 0
+    assert float(jnp.abs(ge[perm >= 0]).max()) > 0
     leaves = jax.tree_util.tree_leaves(gp)
     assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)

@@ -1,0 +1,90 @@
+"""Pallas blocked-CSR segment-sum kernel vs XLA oracle (interpret mode).
+
+On CPU these run the kernel through the Pallas interpreter, exercising
+the exact program that compiles for TPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neural_lam_tpu.ops.interaction import make_edge_set, place_edge_features
+from neural_lam_tpu.ops.pallas_segment import (
+    build_blocked_layout,
+    make_blocked_segment_sum,
+)
+from neural_lam_tpu.ops.segment import aggregate_mean, aggregate_sum
+
+
+@pytest.mark.parametrize("block_rows,chunk_edges", [(64, 128), (128, 256)])
+@pytest.mark.parametrize("shape", [(977, 301), (50, 700), (128, 64)])
+def test_kernel_matches_segment_sum(shape, block_rows, chunk_edges):
+    E, N = shape
+    rng = np.random.default_rng(E + N)
+    recv = np.sort(rng.integers(0, N, E))
+    layout = build_blocked_layout(
+        recv, N, block_rows=block_rows, chunk_edges=chunk_edges
+    )
+    msgs = rng.normal(size=(E, 32)).astype(np.float32)
+    mb = np.zeros((layout.num_blocked, 32), np.float32)
+    valid = layout.perm >= 0
+    mb[valid] = msgs[layout.perm[valid]]
+
+    seg = make_blocked_segment_sum(layout, interpret=True)
+    out = seg(jnp.asarray(mb))
+    ref = jax.ops.segment_sum(
+        jnp.asarray(msgs), jnp.asarray(recv), num_segments=N
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_kernel_gradients_match(monkeypatch):
+    E, N, D = 500, 130, 16
+    rng = np.random.default_rng(0)
+    recv = np.sort(rng.integers(0, N, E))
+    layout = build_blocked_layout(recv, N, block_rows=64, chunk_edges=128)
+    msgs = rng.normal(size=(E, D)).astype(np.float32)
+    mb = np.zeros((layout.num_blocked, D), np.float32)
+    valid = layout.perm >= 0
+    mb[valid] = msgs[layout.perm[valid]]
+    seg = make_blocked_segment_sum(layout, interpret=True)
+
+    w = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    g = jax.grad(lambda m: jnp.sum(seg(m) * w))(jnp.asarray(mb))
+    g_ref = jax.grad(
+        lambda m: jnp.sum(
+            jax.ops.segment_sum(m, jnp.asarray(recv), num_segments=N) * w
+        )
+    )(jnp.asarray(msgs))
+    got = np.asarray(g)[valid][np.argsort(layout.perm[valid])]
+    np.testing.assert_allclose(got, np.asarray(g_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g)[~valid], 0.0)
+
+
+def test_aggregate_dispatch_pallas_vs_fallback(monkeypatch):
+    """aggregate_sum/mean must agree between the Pallas-interpret path
+    and the XLA fallback on the same EdgeSet."""
+    rng = np.random.default_rng(3)
+    E, N, D = 300, 90, 8
+    senders = rng.integers(0, 40, E)
+    receivers = rng.integers(0, N, E)
+    es, perm = make_edge_set(senders, receivers, num_rec=N)
+    assert es.layout is not None
+    msgs = rng.normal(size=(es.num_padded, D)).astype(np.float32)
+    # Zero dead slots: the fallback path routes them to the dead segment
+    # anyway, but keep inputs identical for exactness.
+    msgs[perm < 0] = 0
+
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    got_sum = aggregate_sum(es, jnp.asarray(msgs))
+    got_mean = aggregate_mean(es, jnp.asarray(msgs))
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "off")
+    ref_sum = aggregate_sum(es, jnp.asarray(msgs))
+    ref_mean = aggregate_mean(es, jnp.asarray(msgs))
+    np.testing.assert_allclose(
+        np.asarray(got_sum), np.asarray(ref_sum), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_mean), np.asarray(ref_mean), atol=1e-5
+    )
