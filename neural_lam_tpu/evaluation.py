@@ -1,0 +1,175 @@
+"""Test-phase evaluation: metric tables, heatmaps, spatial maps, examples.
+
+Counterpart of the reference's ``test_step`` / ``on_test_epoch_end``
+artifact pipeline (reference: neural_lam/models/module.py:511-962):
+
+- per-(unroll step, variable) MSE/MAE accumulated over the test set,
+  converted to RMSE and rescaled to physical units by the state std,
+- per-grid-node spatial loss maps averaged over the test set,
+- CSV tables + heatmap/spatial figures via ``vis``,
+- example prediction/target map plots for the first samples.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import vis
+from .loggers import BaseLogger, NullLogger
+from .metrics import mae as mae_metric
+from .metrics import mse as mse_metric
+
+
+def run_test_evaluation(
+    trainer,
+    params,
+    loader,
+    datastore,
+    run_dir: str | Path,
+    logger: Optional[BaseLogger] = None,
+    split: str = "test",
+    n_example_pred: int = 1,
+    spatial_steps: tuple[int, ...] = (1, -1),
+) -> dict:
+    """Full evaluation with artifacts; returns the scalar metrics dict."""
+    run_dir = Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    logger = logger or NullLogger()
+
+    interior = trainer.interior_mask_bool
+    stats = datastore.get_standardization_dataarray(category="state")
+    state_mean = np.asarray(stats["state_mean"], np.float32)
+    state_std = np.asarray(stats["state_std"], np.float32)
+
+    @jax.jit
+    def eval_batch(params, init, target, forcing):
+        init_s, target_s, forcing_s = trainer.standardize_batch(
+            init, target, forcing
+        )
+        prediction, pred_std = trainer.forecaster.forward(
+            params, init_s, forcing_s, target_s
+        )
+        if pred_std is None:
+            pred_std = trainer.per_var_std
+        loss = trainer.loss_fn(
+            prediction, target_s, pred_std, mask=interior
+        )  # (B, T)
+        mse_sv = mse_metric(
+            prediction, target_s, pred_std, mask=interior, sum_vars=False
+        )  # (B, T, d)
+        mae_sv = mae_metric(
+            prediction, target_s, pred_std, mask=interior, sum_vars=False
+        )
+        # Spatial loss: per grid node, summed over vars, averaged over
+        # batch (reference: module.py:571-582 with average_grid=False).
+        spatial = jnp.mean(
+            trainer.loss_fn(
+                prediction, target_s, pred_std,
+                mask=None, average_grid=False, sum_vars=True,
+            ),
+            axis=0,
+        )  # (T, N)
+        return loss, mse_sv, mae_sv, spatial, prediction
+
+    sums: dict[str, np.ndarray] = {}
+    count = 0
+    example_plotted = 0
+    pred_steps = None
+    for batch in loader:
+        device_batch, real = trainer.device_put_batch(batch)
+        loss, mse_sv, mae_sv, spatial, prediction = eval_batch(
+            params, *device_batch
+        )
+        if pred_steps is None:
+            pred_steps = int(loss.shape[1])
+        bsz = real
+        for key, val in (
+            ("loss", np.asarray(loss)[:real].sum(axis=0)),
+            ("mse", np.asarray(mse_sv)[:real].sum(axis=0)),
+            ("mae", np.asarray(mae_sv)[:real].sum(axis=0)),
+            # spatial is already batch-averaged over padded rows; weight
+            # by real fraction for correctness on the unpadded tail
+            ("spatial", np.asarray(spatial) * bsz),
+        ):
+            sums[key] = sums.get(key, 0) + val
+        count += bsz
+
+        # Example prediction plots from the first batch(es)
+        # (reference: module.py:584-768).
+        while example_plotted < n_example_pred and example_plotted < real:
+            i = example_plotted
+            pred_phys = (
+                np.asarray(prediction)[i] * state_std + state_mean
+            )  # (T, N, d)
+            target_phys = np.asarray(batch[1])[i]
+            t_last = pred_steps - 1
+            var_names = datastore.get_vars_names("state")
+            var_units = datastore.get_vars_units("state")
+            for v, (name, unit) in enumerate(zip(var_names, var_units)):
+                fig = vis.plot_prediction(
+                    pred_phys[t_last, :, v],
+                    target_phys[t_last, :, v],
+                    datastore,
+                    title=(
+                        f"{name} ({unit}), "
+                        f"t={(t_last + 1)} steps"
+                    ),
+                )
+                logger.log_image(
+                    f"{split}_example_{i}/{name}", fig, step=t_last + 1
+                )
+                vis.plt.close(fig)
+            example_plotted += 1
+
+    mean_loss_per_step = sums["loss"] / count  # (T,)
+    mse_per_step_var = sums["mse"] / count  # (T, d)
+    mae_per_step_var = sums["mae"] / count
+    spatial_mean = sums["spatial"] / count  # (T, N)
+
+    # Physical-unit RMSE/MAE (reference: module.py:837-858)
+    rmse_phys = np.sqrt(mse_per_step_var) * state_std
+    mae_phys = mae_per_step_var * state_std
+
+    metrics = {f"{split}_loss": float(mean_loss_per_step.mean())}
+    for s in trainer.args.val_steps_to_log:
+        if s <= len(mean_loss_per_step):
+            metrics[f"{split}_loss_unroll{s}"] = float(
+                mean_loss_per_step[s - 1]
+            )
+
+    # Artifacts
+    vis.save_metrics_csv(rmse_phys, datastore, run_dir / f"{split}_rmse.csv")
+    vis.save_metrics_csv(mae_phys, datastore, run_dir / f"{split}_mae.csv")
+    for name, table in (("rmse", rmse_phys), ("mae", mae_phys)):
+        fig = vis.plot_error_heatmap(
+            table, datastore, title=f"{split} {name.upper()}"
+        )
+        fig.savefig(run_dir / f"{split}_{name}_heatmap.pdf")
+        logger.log_image(f"{split}_{name}_heatmap", fig)
+        vis.plt.close(fig)
+
+    for step in spatial_steps:
+        idx = step - 1 if step > 0 else pred_steps + step
+        if not 0 <= idx < pred_steps:
+            continue
+        fig = vis.plot_spatial_error(
+            spatial_mean[idx],
+            datastore,
+            title=f"{split} spatial loss, step {idx + 1}",
+        )
+        fig.savefig(run_dir / f"{split}_spatial_loss_step{idx + 1}.pdf")
+        logger.log_image(f"{split}_spatial_loss", fig, step=idx + 1)
+        vis.plt.close(fig)
+    np.save(run_dir / "mean_spatial_loss.npy", spatial_mean)
+
+    (run_dir / f"{split}_metrics.json").write_text(
+        json.dumps(metrics, indent=2), encoding="utf-8"
+    )
+    logger.log_metrics(metrics)
+    return metrics

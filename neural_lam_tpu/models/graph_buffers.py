@@ -38,10 +38,15 @@ class PaddedEdges:
 
 
 def _make_padded(
-    edge_index: np.ndarray, features: np.ndarray, num_rec: int
+    edge_index: np.ndarray,
+    features: np.ndarray,
+    num_rec: int,
+    num_send: int,
 ) -> PaddedEdges:
     senders, receivers = edge_index[0], edge_index[1]
-    edges, perm = make_edge_set(senders, receivers, num_rec=num_rec)
+    edges, perm = make_edge_set(
+        senders, receivers, num_rec=num_rec, num_send=num_send
+    )
     feats = place_edge_features(
         np.asarray(features, dtype=np.float32), perm, edges
     )
@@ -106,27 +111,45 @@ def build_graph_buffers(
     level_sizes = [m.shape[0] for m in mesh_static]
 
     m2m = tuple(
-        _make_padded(idx, feat, num_rec=level_sizes[lev])
+        _make_padded(
+            idx, feat, num_rec=level_sizes[lev], num_send=level_sizes[lev]
+        )
         for lev, (idx, feat) in enumerate(zip(m2m_indices, m2m_features))
     )
     g2m = _make_padded(
-        graph["g2m_edge_index"], graph["g2m_features"], num_rec=level_sizes[0]
+        graph["g2m_edge_index"],
+        graph["g2m_features"],
+        num_rec=level_sizes[0],
+        num_send=num_grid_nodes,
     )
     m2g = _make_padded(
-        graph["m2g_edge_index"], graph["m2g_features"], num_rec=num_grid_nodes
+        graph["m2g_edge_index"],
+        graph["m2g_features"],
+        num_rec=num_grid_nodes,
+        num_send=level_sizes[0],
     )
 
     up: tuple[PaddedEdges, ...] = ()
     down: tuple[PaddedEdges, ...] = ()
     if hierarchical:
         up = tuple(
-            _make_padded(idx, feat, num_rec=level_sizes[lev + 1])
+            _make_padded(
+                idx,
+                feat,
+                num_rec=level_sizes[lev + 1],
+                num_send=level_sizes[lev],
+            )
             for lev, (idx, feat) in enumerate(
                 zip(graph["mesh_up_edge_index"], graph["mesh_up_features"])
             )
         )
         down = tuple(
-            _make_padded(idx, feat, num_rec=level_sizes[lev])
+            _make_padded(
+                idx,
+                feat,
+                num_rec=level_sizes[lev],
+                num_send=level_sizes[lev + 1],
+            )
             for lev, (idx, feat) in enumerate(
                 zip(graph["mesh_down_edge_index"], graph["mesh_down_features"])
             )

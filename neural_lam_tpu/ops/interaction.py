@@ -29,7 +29,12 @@ import numpy as np
 
 from .mlp import MLPParams, apply_mlp, init_mlp
 from .pallas_segment import BlockedLayout, build_blocked_layout
-from .segment import aggregate_mean, aggregate_sum
+from .segment import (
+    aggregate_mean,
+    aggregate_sum,
+    gather_receivers,
+    gather_senders,
+)
 
 _PAD_MULTIPLE = 128  # lane width; keeps padded edge blocks tile-aligned
 
@@ -59,6 +64,13 @@ class EdgeSet:
     num_valid: int
     sorted_by_receiver: bool
     layout: Optional[BlockedLayout] = None
+    # Sender-side blocked layout, used by the Pallas custom-VJP of the
+    # sender-feature gather (the gradient of a gather is a scatter-add,
+    # which needs sender-sorted blocking). ``rslot_of_sslot`` maps each
+    # sender-layout slot to its receiver-layout slot (num_padded = dead).
+    send_layout: Optional[BlockedLayout] = None
+    rslot_of_sslot: Optional[jax.Array] = None
+    num_send: Optional[int] = None
 
     @property
     def num_padded(self) -> int:
@@ -71,6 +83,7 @@ def make_edge_set(
     num_rec: Optional[int] = None,
     pad_multiple: int = _PAD_MULTIPLE,
     sort: bool = True,
+    num_send: Optional[int] = None,
 ) -> tuple[EdgeSet, np.ndarray]:
     """Build an :class:`EdgeSet` from raw (unsorted, unpadded) indices.
 
@@ -107,6 +120,26 @@ def make_edge_set(
             receivers_sorted, minlength=num_rec
         ).astype(np.int32)
 
+        send_layout = None
+        rslot_of_sslot = None
+        if num_send is not None and num_send > 0:
+            # Receiver-blocked slot index of every valid edge
+            valid_slots = np.nonzero(~dead)[0]
+            senders_valid = senders_p[valid_slots].astype(np.int64)
+            ssort = np.argsort(senders_valid, kind="stable")
+            send_layout = build_blocked_layout(
+                senders_valid[ssort], num_send
+            )
+            sdead = send_layout.perm < 0
+            ssafe = np.where(sdead, 0, send_layout.perm)
+            rslot_of_sslot = jnp.asarray(
+                np.where(
+                    sdead,
+                    senders_p.shape[0],  # dead -> appended zero row
+                    valid_slots[ssort[ssafe]],
+                ).astype(np.int32)
+            )
+
         es = EdgeSet(
             senders=jnp.asarray(senders_p),
             receivers=jnp.asarray(receivers_p),
@@ -120,6 +153,9 @@ def make_edge_set(
             num_valid=num_valid,
             sorted_by_receiver=False,  # dead slots interspersed
             layout=layout,
+            send_layout=send_layout,
+            rslot_of_sslot=rslot_of_sslot,
+            num_send=num_send,
         )
         return es, perm
 
@@ -253,8 +289,8 @@ def apply_interaction_net(
     if propagation:
         aggr = "mean"  # reference: neural_lam/gnn_layers.py:221-230
 
-    x_send = send_rep[edge_set.senders]  # (E_pad, d)
-    x_rec = rec_rep[edge_set.recv_gather]  # (E_pad, d)
+    x_send = gather_senders(edge_set, send_rep)  # (E_pad, d)
+    x_rec = gather_receivers(edge_set, rec_rep)  # (E_pad, d)
     edge_in = jnp.concatenate([edge_rep, x_send, x_rec], axis=-1)
     messages = _apply_chunked(params["edge"], edge_in, edge_chunk_sizes)
     if propagation:

@@ -230,6 +230,13 @@ def _blocked_segment_sum_bwd_impl(
     )(layout.chunk_block, layout.local_ids, grad_out)
 
 
+def blocked_segment_sum_nondiff(
+    messages: jax.Array, layout: BlockedLayout, interpret: bool = False
+) -> jax.Array:
+    """Raw (non-differentiable) kernel entry for custom VJPs elsewhere."""
+    return _blocked_segment_sum_fwd_impl(messages, layout, interpret)
+
+
 def make_blocked_segment_sum(layout: BlockedLayout, interpret: bool = False):
     """Build a differentiable ``messages (E_blocked, D) -> (num_rec, D)``
     segment sum closed over a static layout."""

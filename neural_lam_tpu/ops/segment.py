@@ -18,13 +18,17 @@ from typing import TYPE_CHECKING
 import jax
 import jax.numpy as jnp
 
-from .pallas_segment import make_blocked_segment_sum
+from .pallas_segment import (
+    blocked_segment_sum_nondiff,
+    make_blocked_segment_sum,
+)
 
 if TYPE_CHECKING:  # pragma: no cover
     from .interaction import EdgeSet
 
-# id(layout) -> differentiable segment-sum callable
+# id(layout or edge_set) -> cached callable
 _SEG_CACHE: dict[int, object] = {}
+_GATHER_CACHE: dict[tuple[int, str], object] = {}
 
 
 def _pallas_enabled() -> bool:
@@ -81,6 +85,87 @@ def aggregate_sum(edge_set: "EdgeSet", messages: jax.Array) -> jax.Array:
         edge_set.num_rec,
         indices_are_sorted=edge_set.sorted_by_receiver,
     )
+
+
+def gather_senders(edge_set: "EdgeSet", send_rep: jax.Array) -> jax.Array:
+    """Per-edge sender features ``send_rep[senders]``.
+
+    On TPU the gradient (a scatter-add into the sender node set, the
+    slowest op in XLA's AD of the message-passing step) runs through the
+    Pallas kernel over a sender-sorted blocked layout.
+    """
+    if edge_set.send_layout is not None and _pallas_enabled():
+        key = (id(edge_set), "send")
+        if key not in _GATHER_CACHE:
+            layout = edge_set.send_layout
+            senders = edge_set.senders
+            rslot = edge_set.rslot_of_sslot
+            interpret = _interpret_mode()
+
+            @jax.custom_vjp
+            def gather(x):
+                return x[senders]
+
+            def fwd(x):
+                return gather(x), None
+
+            def bwd(_, grad_msgs):
+                grad_pad = jnp.concatenate(
+                    [
+                        grad_msgs,
+                        jnp.zeros(
+                            (1, grad_msgs.shape[-1]), grad_msgs.dtype
+                        ),
+                    ],
+                    axis=0,
+                )
+                grad_sorted = grad_pad[rslot]
+                return (
+                    blocked_segment_sum_nondiff(
+                        grad_sorted, layout, interpret
+                    ),
+                )
+
+            gather.defvjp(fwd, bwd)
+            _GATHER_CACHE[key] = gather
+        return _GATHER_CACHE[key](send_rep)
+    return send_rep[edge_set.senders]
+
+
+def gather_receivers(edge_set: "EdgeSet", rec_rep: jax.Array) -> jax.Array:
+    """Per-edge receiver features with a Pallas scatter-free gradient.
+
+    The backward scatter-add is exactly the receiver-sorted blocked
+    segment sum, so it reuses the forward aggregation kernel.
+    """
+    if edge_set.layout is not None and _pallas_enabled():
+        key = (id(edge_set), "recv")
+        if key not in _GATHER_CACHE:
+            layout = edge_set.layout
+            recv_gather = edge_set.recv_gather
+            interpret = _interpret_mode()
+
+            @jax.custom_vjp
+            def gather(x):
+                return x[recv_gather]
+
+            def fwd(x):
+                return gather(x), None
+
+            def bwd(_, grad_msgs):
+                # Upstream grads at dead slots are exactly zero (their
+                # messages never reach the loss); the kernel drops them
+                # again via the one-hot, so no masking is needed.
+                return (
+                    blocked_segment_sum_nondiff(
+                        grad_msgs, layout, interpret
+                    ),
+                )
+
+            gather.defvjp(fwd, bwd)
+            _GATHER_CACHE[key] = gather
+        return _GATHER_CACHE[key](rec_rep)
+    return rec_rep[edge_set.recv_gather]
 
 
 def aggregate_mean(edge_set: "EdgeSet", messages: jax.Array) -> jax.Array:

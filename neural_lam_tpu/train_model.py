@@ -246,13 +246,32 @@ def main(argv=None) -> None:
             seed=args.seed,
         )
 
+    from .evaluation import run_test_evaluation
+    from .loggers import setup_training_logger
+
+    logger = setup_training_logger(
+        args.logger,
+        run_dir,
+        project=args.logger_project,
+        run_name=run_name,
+        config=hparams,
+    )
+    logger.log_hparams(hparams)
+
     if args.eval:
         loader = make_loader(args.eval, args.ar_steps_eval, shuffle=False)
-        metrics = trainer.evaluate(params, loader, prefix=args.eval)
-        print(json.dumps(metrics, indent=2))
-        (run_dir / f"{args.eval}_metrics.json").write_text(
-            json.dumps(metrics, indent=2), encoding="utf-8"
+        metrics = run_test_evaluation(
+            trainer,
+            params,
+            loader,
+            datastore,
+            run_dir,
+            logger=logger,
+            split=args.eval,
+            n_example_pred=args.n_example_pred,
         )
+        print(json.dumps(metrics, indent=2))
+        logger.finish()
         return
 
     # Validation unrolls ar_steps_eval steps, like the reference DataModule
@@ -269,6 +288,7 @@ def main(argv=None) -> None:
         with open(history_path, "a", encoding="utf-8") as f:
             f.write(json.dumps(record) + "\n")
         print(json.dumps(record))
+        logger.log_metrics(record, step=record["epoch"])
         ckpt.save_latest(
             log_fn.params, log_fn.opt_state, record["epoch"], hparams
         )
@@ -295,6 +315,7 @@ def main(argv=None) -> None:
         record["epoch"] = epoch
         log_fn.params, log_fn.opt_state = params, opt_state
         log_fn(record)
+    logger.finish()
 
 
 if __name__ == "__main__":

@@ -88,3 +88,48 @@ def test_aggregate_dispatch_pallas_vs_fallback(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got_mean), np.asarray(ref_mean), atol=1e-5
     )
+
+
+def test_custom_vjp_gathers_match_xla_ad(monkeypatch):
+    """Full interaction-net gradients must agree between the Pallas
+    custom-VJP gather path and plain XLA autodiff."""
+    from neural_lam_tpu.ops import (
+        apply_interaction_net,
+        init_interaction_net,
+    )
+
+    rng = np.random.default_rng(11)
+    E, Ns, Nr, D = 220, 35, 50, 8
+    senders = rng.integers(0, Ns, E)
+    receivers = rng.integers(0, Nr, E)
+    es, perm = make_edge_set(senders, receivers, num_rec=Nr, num_send=Ns)
+    assert es.send_layout is not None
+    edge_rep = place_edge_features(
+        rng.normal(size=(E, D)).astype(np.float32), perm, es
+    )
+    send_rep = rng.normal(size=(Ns, D)).astype(np.float32)
+    rec_rep = rng.normal(size=(Nr, D)).astype(np.float32)
+    params = init_interaction_net(jax.random.PRNGKey(0), D)
+
+    # Loss must only consume valid edge rows: dead padding slots are
+    # invisible to the model (never aggregated), and the Pallas VJP
+    # correctly assigns them zero gradient where plain XLA AD would
+    # propagate artificial gradients from a loss that reads them.
+    valid = np.nonzero(perm >= 0)[0]
+
+    def loss(p, s, r, e):
+        new_rec, new_edge = apply_interaction_net(p, es, s, r, e)
+        return jnp.sum(new_rec**2) + jnp.sum(jnp.sin(new_edge[valid]))
+
+    args = (params, jnp.asarray(send_rep), jnp.asarray(rec_rep),
+            jnp.asarray(edge_rep))
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    got = jax.grad(loss, argnums=(1, 2))(*args)
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "off")
+    want = jax.grad(loss, argnums=(1, 2))(*args)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want[0]), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(want[1]), rtol=1e-4, atol=1e-4
+    )
