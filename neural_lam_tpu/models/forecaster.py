@@ -29,7 +29,7 @@ class ARForecaster:
         self,
         predictor: StepPredictor,
         datastore: BaseDatastore,
-        remat_steps: bool = True,
+        remat_steps: Optional[bool] = None,
     ) -> None:
         self.predictor = predictor
         self.remat_steps = remat_steps
@@ -80,7 +80,15 @@ class ARForecaster:
             )
             return (prev_state, new_state), out
 
-        if self.remat_steps:
+        # Rematerialise per AR step to bound rollout memory; for a 1-step
+        # rollout remat is a pure extra forward, so default it off there.
+        pred_steps = int(forcing_features.shape[0])
+        use_remat = (
+            self.remat_steps
+            if self.remat_steps is not None
+            else pred_steps > 1
+        )
+        if use_remat:
             step = jax.checkpoint(step)
 
         carry0 = (init_states[0], init_states[1])

@@ -1,0 +1,238 @@
+"""MDP zarr datastore + minizarr reader on a synthetic store.
+
+Writes a zarr v2 directory by hand (JSON metadata + zlib chunks, the
+format xarray/mllam-data-prep produce) and reads it back through
+``MDPDatastore`` (reference: neural_lam/datastore/mdp.py:25-420).
+"""
+
+import json
+import zlib
+from datetime import timedelta
+
+import numpy as np
+import pytest
+import yaml
+
+from neural_lam_tpu.dataset import WeatherDataset
+from neural_lam_tpu.datastore.mdp import MDPDatastore
+
+NX, NY = 8, 9
+N_GRID = NX * NY
+T = 20
+N_STATE, N_FORCING, N_STATIC = 3, 2, 1
+
+
+def _write_array(
+    root, name, values, dims, attrs=None, chunks=None, compress=True
+):
+    values = np.ascontiguousarray(values)
+    adir = root / name
+    adir.mkdir(parents=True)
+    chunks = list(chunks or values.shape) or [1]
+    meta = {
+        "zarr_format": 2,
+        "shape": list(values.shape),
+        "chunks": chunks if values.shape else [1],
+        "dtype": values.dtype.str,
+        "compressor": {"id": "zlib", "level": 1} if compress else None,
+        "fill_value": None,
+        "filters": None,
+        "order": "C",
+    }
+    (adir / ".zarray").write_text(json.dumps(meta), encoding="utf-8")
+    all_attrs = {"_ARRAY_DIMENSIONS": list(dims)}
+    all_attrs.update(attrs or {})
+    (adir / ".zattrs").write_text(json.dumps(all_attrs), encoding="utf-8")
+
+    n_chunks = [
+        -(-s // c) for s, c in zip(values.shape, meta["chunks"])
+    ] or [1]
+    for idx in np.ndindex(*n_chunks):
+        if values.shape:
+            slices = tuple(
+                slice(i * c, (i + 1) * c)
+                for i, c in zip(idx, meta["chunks"])
+            )
+            chunk = values[slices]
+            # pad partial chunks to full chunk shape
+            pad = [
+                (0, c - s)
+                for c, s in zip(meta["chunks"], chunk.shape)
+            ]
+            chunk = np.pad(chunk, pad)
+            key = ".".join(str(i) for i in idx)
+        else:
+            chunk = values
+            key = "0"
+        raw = chunk.tobytes()
+        (adir / key).write_bytes(
+            zlib.compress(raw, 1) if compress else raw
+        )
+
+
+@pytest.fixture(scope="module")
+def mdp_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mdp")
+    zarr_dir = root / "danra.datastore.zarr"
+    zarr_dir.mkdir()
+    (zarr_dir / ".zgroup").write_text('{"zarr_format": 2}')
+
+    rng = np.random.default_rng(0)
+    # y-major stacking (grid_index = y * NX + x), the mllam default
+    xs = np.tile(1000.0 * np.arange(NX), NY)
+    ys = np.repeat(2000.0 * np.arange(NY), NX)
+    hours = np.arange(T) * 3
+    state = rng.normal(size=(T, N_GRID, N_STATE)).astype(np.float32)
+    forcing = rng.normal(size=(T, N_GRID, N_FORCING)).astype(np.float32)
+    static = rng.normal(size=(N_GRID, N_STATIC)).astype(np.float32)
+
+    _write_array(
+        zarr_dir, "time", hours.astype("int64"),
+        ["time"], attrs={"units": "hours since 1990-09-01 00:00:00"},
+    )
+    _write_array(zarr_dir, "x", xs, ["grid_index"])
+    _write_array(zarr_dir, "y", ys, ["grid_index"])
+    _write_array(
+        zarr_dir, "state", state,
+        ["time", "grid_index", "state_feature"],
+        chunks=[7, N_GRID, N_STATE],
+    )
+    _write_array(
+        zarr_dir, "forcing", forcing,
+        ["time", "grid_index", "forcing_feature"],
+    )
+    _write_array(
+        zarr_dir, "static", static, ["grid_index", "static_feature"]
+    )
+    for cat, n in (
+        ("state", N_STATE), ("forcing", N_FORCING), ("static", N_STATIC)
+    ):
+        names = np.array([f"{cat}{i}" for i in range(n)], dtype="<U10")
+        _write_array(
+            zarr_dir, f"{cat}_feature", names, [f"{cat}_feature"]
+        )
+        _write_array(
+            zarr_dir, f"{cat}_feature_units",
+            np.array(["unit"] * n, dtype="<U6"), [f"{cat}_feature"],
+        )
+        _write_array(
+            zarr_dir, f"{cat}_feature_long_name",
+            np.array([f"{cat} var {i}" for i in range(n)], dtype="<U20"),
+            [f"{cat}_feature"],
+        )
+    # splits: train = first 12 steps, val next 4, test last 4
+    split_times = np.array(
+        [[hours[0], hours[11]], [hours[12], hours[15]],
+         [hours[16], hours[19]]],
+        dtype="int64",
+    )
+    _write_array(
+        zarr_dir, "splits", split_times,
+        ["split_name", "split_part"],
+        attrs={"units": "hours since 1990-09-01 00:00:00"},
+    )
+    _write_array(
+        zarr_dir, "splits_split_name",
+        np.array(["train", "val", "test"], dtype="<U5"), ["split_name"],
+    )
+    _write_array(
+        zarr_dir, "splits_split_part",
+        np.array(["start", "end"], dtype="<U5"), ["split_part"],
+    )
+    for cat, vals in (("state", state), ("forcing", forcing),
+                      ("static", static[None])):
+        mean = vals.reshape(-1, vals.shape[-1]).mean(0)
+        std = vals.reshape(-1, vals.shape[-1]).std(0)
+        _write_array(
+            zarr_dir, f"{cat}__train__mean", mean, [f"{cat}_feature"]
+        )
+        _write_array(
+            zarr_dir, f"{cat}__train__std", std, [f"{cat}_feature"]
+        )
+    diffs = np.diff(state, axis=0).reshape(-1, N_STATE)
+    _write_array(
+        zarr_dir, "state__train__diff_mean", diffs.mean(0),
+        ["state_feature"],
+    )
+    _write_array(
+        zarr_dir, "state__train__diff_std", diffs.std(0),
+        ["state_feature"],
+    )
+
+    config = {
+        "schema_version": "v0.5.0",
+        "extra": {
+            "projection": {
+                "class_name": "LambertConformal",
+                "kwargs": {"central_longitude": 25.0},
+            }
+        },
+    }
+    (root / "danra.datastore.yaml").write_text(
+        yaml.safe_dump(config), encoding="utf-8"
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def store(mdp_root):
+    return MDPDatastore(
+        config_path=mdp_root / "danra.datastore.yaml", n_boundary_points=2
+    )
+
+
+def test_metadata(store):
+    assert not store.is_forecast and not store.is_ensemble
+    assert store.num_grid_points == N_GRID
+    assert store.grid_shape_state.x == NX
+    assert store.grid_shape_state.y == NY
+    assert store.step_length == timedelta(hours=3)
+    assert store.get_vars_names("state") == ["state0", "state1", "state2"]
+    assert store.get_vars_long_names("forcing") == [
+        "forcing var 0", "forcing var 1",
+    ]
+
+
+def test_split_selection(store):
+    da_train = store.get_dataarray("state", split="train")
+    da_val = store.get_dataarray("state", split="val")
+    da_test = store.get_dataarray("state", split="test")
+    assert da_train.shape == (12, N_GRID, N_STATE)
+    assert da_val.shape == (4, N_GRID, N_STATE)
+    assert da_test.shape == (4, N_GRID, N_STATE)
+    assert da_train.dims == ("time", "grid_index", "state_feature")
+
+
+def test_standardization_stats(store):
+    stats = store.get_standardization_dataarray("state")
+    assert stats["state_mean"].shape == (N_STATE,)
+    # diff stats must be standardized by state std
+    assert "state_diff_std_standardized" in stats
+    da = store.get_dataarray("state", split="train", standardize=True)
+    vals = np.asarray(da.data)
+    assert abs(vals.mean()) < 0.1 and abs(vals.std() - 1) < 0.1
+
+
+def test_boundary_mask_and_xy(store):
+    mask = np.asarray(store.boundary_mask.data)
+    assert mask.shape == (N_GRID,)
+    # 2-point frame on an 8x9 grid: interior (8-4)*(9-4)=20 zeros
+    assert int((mask == 0).sum()) == (NX - 4) * (NY - 4)
+    xy = store.get_xy("state", stacked=True)
+    assert xy.shape == (N_GRID, 2)
+    unstacked = store.get_xy("state", stacked=False)
+    assert unstacked.shape == (NX, NY, 2)
+    # consistency: stacking the unstacked x field reproduces stacked x
+    np.testing.assert_allclose(
+        store.stack_grid_coords(unstacked[..., 0]), xy[:, 0]
+    )
+
+
+def test_weather_dataset_on_mdp(store):
+    dataset = WeatherDataset(store, split="train", ar_steps=2)
+    # window = max(2,1)+2+1 = 5 -> 12-5+1 = 8 samples
+    assert len(dataset) == 8
+    init, target, forcing, times = dataset[0]
+    assert init.shape == (2, N_GRID, N_STATE)
+    assert target.shape == (2, N_GRID, N_STATE)
+    assert forcing.shape == (2, N_GRID, N_FORCING * 3)
