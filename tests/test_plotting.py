@@ -1,0 +1,70 @@
+"""Vis/plotting smoke + artifact tests (cartopy-free environment).
+
+Covers the artifact set of the reference test phase
+(reference: tests/test_plotting.py, neural_lam/models/module.py:770-962).
+"""
+
+import numpy as np
+import pytest
+
+from neural_lam_tpu import vis
+from neural_lam_tpu.datastore.dummy import DummyDatastore
+from neural_lam_tpu.datastore.plot_example import plot_example_from_datastore
+from neural_lam_tpu.graphs import create_graph_from_datastore
+from neural_lam_tpu.plot_graph import plot_graph
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    return DummyDatastore(
+        n_grid_x=12, n_grid_y=12,
+        root_path=tmp_path_factory.mktemp("plot_ds"),
+    )
+
+
+def test_plot_prediction(ds):
+    rng = np.random.default_rng(0)
+    n = ds.num_grid_points
+    fig = vis.plot_prediction(
+        rng.normal(size=n), rng.normal(size=n), ds, title="t2m"
+    )
+    assert len(fig.axes) >= 2
+    vis.plt.close(fig)
+
+
+def test_plot_spatial_error_and_heatmap(ds, tmp_path):
+    rng = np.random.default_rng(1)
+    fig = vis.plot_spatial_error(
+        rng.uniform(size=ds.num_grid_points), ds, title="err"
+    )
+    vis.plt.close(fig)
+
+    errors = rng.uniform(1, 2, size=(5, ds.get_num_data_vars("state")))
+    fig = vis.plot_error_heatmap(errors, ds, title="rmse")
+    vis.plt.close(fig)
+
+    csv = tmp_path / "m.csv"
+    vis.save_metrics_csv(errors, ds, csv)
+    lines = csv.read_text().splitlines()
+    assert len(lines) == 6
+    assert lines[0].startswith("lead_time_h,")
+    # lead times use the datastore step length (3h)
+    assert lines[1].split(",")[0] == "3"
+
+
+def test_plot_example_from_datastore(ds):
+    fig = plot_example_from_datastore("state", ds, n_examples=2)
+    vis.plt.close(fig)
+
+
+@pytest.mark.parametrize("hierarchical", [False, True])
+def test_plot_graph(tmp_path, hierarchical):
+    ds = DummyDatastore(n_grid_x=30, n_grid_y=30, root_path=tmp_path)
+    name = "hier" if hierarchical else "flat"
+    create_graph_from_datastore(
+        ds, ds.root_path / "graph" / name, hierarchical=hierarchical
+    )
+    fig = plot_graph(ds, name, show_grid_edges=True)
+    fig.savefig(tmp_path / "graph.png", dpi=50)
+    assert (tmp_path / "graph.png").exists()
+    vis.plt.close(fig)
