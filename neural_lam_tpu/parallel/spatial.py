@@ -1,0 +1,508 @@
+"""Spatial graph partitioning: sharded nodes, per-shard edges, halos.
+
+The novel scale-out component (absent in the reference, which replicates
+the whole grid+mesh graph on every device,
+reference: models/step_predictors/graph/base.py:114-119; plan per
+SURVEY.md 2.2): grid and mesh nodes are split into ``P`` contiguous
+x-major slabs, every edge is owned by the shard of its RECEIVER, and the
+per-shard edge tables (local receiver ids, global sender ids, features)
+are stacked along a leading shard axis and fed to a ``shard_map`` over
+the ``spatial`` mesh axis. Inside the shard the step is plain
+single-device code; sender features cross shard boundaries through one
+``all_gather`` per message-passing round (halo exchange v1 — a full
+gather; neighbor-only ``ppermute`` halos are a later refinement), and
+the masked loss reduces with ``psum``.
+
+All shards get identical static shapes (edge tables padded to the
+per-set maximum, node slabs padded to a common length), so the SPMD
+program is uniform.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.graph_lam import GraphLAM
+from ..ops.mlp import apply_mlp
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedEdges:
+    """Per-shard edge tables, stacked on a leading shard axis.
+
+    ``senders`` hold GLOBAL node ids into the (padded) sender node
+    array; ``recv_local`` hold ids local to the shard's receiver slab,
+    with the dead value ``n_rec_local`` marking padding edges.
+    """
+
+    senders: np.ndarray  # (P, E_max) int32
+    recv_local: np.ndarray  # (P, E_max) int32
+    features: np.ndarray  # (P, E_max, d_f) float32
+    recv_counts: np.ndarray  # (P, n_rec_local) int32
+    n_rec_local: int
+
+
+def _shard_edges(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    features: np.ndarray,
+    n_rec_local: int,
+    n_shards: int,
+) -> ShardedEdges:
+    """Assign edges to the shard owning their receiver; localise ids."""
+    senders = np.asarray(senders, dtype=np.int64)
+    receivers = np.asarray(receivers, dtype=np.int64)
+    shard_of_edge = receivers // n_rec_local
+    per_shard = [np.nonzero(shard_of_edge == s)[0] for s in range(n_shards)]
+    e_max = _round_up(max(max(len(p) for p in per_shard), 1), 8)
+
+    snd = np.zeros((n_shards, e_max), dtype=np.int32)
+    rcv = np.full((n_shards, e_max), n_rec_local, dtype=np.int32)
+    fts = np.zeros(
+        (n_shards, e_max) + features.shape[1:], dtype=np.float32
+    )
+    counts = np.zeros((n_shards, n_rec_local), dtype=np.int32)
+    for s, sel in enumerate(per_shard):
+        k = len(sel)
+        snd[s, :k] = senders[sel]
+        local = receivers[sel] - s * n_rec_local
+        rcv[s, :k] = local
+        fts[s, :k] = features[sel]
+        counts[s] = np.bincount(local, minlength=n_rec_local)
+    return ShardedEdges(
+        senders=snd,
+        recv_local=rcv,
+        features=fts,
+        recv_counts=counts,
+        n_rec_local=n_rec_local,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SpatialPartition:
+    """Everything needed to run GraphLAM spatially sharded."""
+
+    n_shards: int
+    # padded global sizes and per-shard slab sizes
+    n_grid: int
+    n_grid_pad: int
+    n_grid_local: int
+    n_mesh: int
+    n_mesh_pad: int
+    n_mesh_local: int
+    g2m: ShardedEdges
+    m2m: ShardedEdges
+    m2g: ShardedEdges
+    grid_static: np.ndarray  # (n_grid_pad, d_static)
+    mesh_static: np.ndarray  # (n_mesh_pad, 2)
+    boundary_mask: np.ndarray  # (n_grid_pad, 1); padding nodes -> 1
+    interior_mask: np.ndarray  # (n_grid_pad, 1); padding nodes -> 0
+
+    def pad_grid_array(self, arr: np.ndarray) -> np.ndarray:
+        """Zero-pad a ``(..., n_grid, d)`` array to ``n_grid_pad``."""
+        pad = self.n_grid_pad - arr.shape[-2]
+        if pad == 0:
+            return arr
+        widths = [(0, 0)] * (arr.ndim - 2) + [(0, pad), (0, 0)]
+        return np.pad(arr, widths)
+
+
+def build_spatial_partition(
+    model: GraphLAM, datastore, n_shards: int
+) -> SpatialPartition:
+    """Partition a GraphLAM's graph over ``n_shards`` spatial slabs."""
+    g = model.graph
+    n_grid = g.num_grid_nodes
+    n_mesh = int(g.mesh_static_features[0].shape[0])
+    n_grid_local = _round_up(-(-n_grid // n_shards), 8)
+    n_mesh_local = _round_up(-(-n_mesh // n_shards), 8)
+    n_grid_pad = n_grid_local * n_shards
+    n_mesh_pad = n_mesh_local * n_shards
+
+    def valid_edges(pe):
+        r = np.asarray(pe.edges.receivers)
+        s = np.asarray(pe.edges.senders)
+        f = np.asarray(pe.features)
+        keep = r < pe.edges.num_rec
+        return s[keep], r[keep], f[keep]
+
+    g2m = _shard_edges(*valid_edges(g.g2m), n_mesh_local, n_shards)
+    m2m = _shard_edges(*valid_edges(g.m2m[0]), n_mesh_local, n_shards)
+    m2g = _shard_edges(*valid_edges(g.m2g), n_grid_local, n_shards)
+
+    grid_static = np.zeros(
+        (n_grid_pad, model.grid_static_features.shape[1]), np.float32
+    )
+    grid_static[:n_grid] = np.asarray(model.grid_static_features)
+    mesh_static = np.zeros((n_mesh_pad, 2), np.float32)
+    mesh_static[:n_mesh] = np.asarray(g.mesh_static_features[0])
+
+    boundary = np.ones((n_grid_pad, 1), np.float32)
+    boundary[:n_grid, 0] = np.asarray(
+        datastore.boundary_mask.data
+    ).reshape(-1)
+    interior = np.zeros((n_grid_pad, 1), np.float32)
+    interior[:n_grid, 0] = 1.0 - boundary[:n_grid, 0]
+
+    return SpatialPartition(
+        n_shards=n_shards,
+        n_grid=n_grid,
+        n_grid_pad=n_grid_pad,
+        n_grid_local=n_grid_local,
+        n_mesh=n_mesh,
+        n_mesh_pad=n_mesh_pad,
+        n_mesh_local=n_mesh_local,
+        g2m=g2m,
+        m2m=m2m,
+        m2g=m2g,
+        grid_static=grid_static,
+        mesh_static=mesh_static,
+        boundary_mask=boundary,
+        interior_mask=interior,
+    )
+
+
+def _seg_sum_local(messages, recv_local, n_rec_local):
+    out = jax.ops.segment_sum(
+        messages, recv_local, num_segments=n_rec_local + 1
+    )
+    return out[:n_rec_local]
+
+
+def _interaction_local(
+    params,
+    senders,
+    recv_local,
+    recv_counts,
+    n_rec_local: int,
+    x_send_global,
+    rec_rep,
+    edge_rep,
+    aggr: str = "sum",
+    update_edges: bool = True,
+):
+    """Interaction net with global senders and local receivers.
+
+    Semantics identical to ``apply_interaction_net``
+    (reference: neural_lam/gnn_layers.py:15-190), with runtime (sharded)
+    edge tables instead of static EdgeSets.
+    """
+    x_send = x_send_global[senders]
+    x_rec = rec_rep[jnp.minimum(recv_local, n_rec_local - 1)]
+    edge_in = jnp.concatenate([edge_rep, x_send, x_rec], axis=-1)
+    messages = apply_mlp(params["edge"][0], edge_in)
+    aggregated = _seg_sum_local(messages, recv_local, n_rec_local)
+    if aggr == "mean":
+        aggregated = aggregated / jnp.maximum(recv_counts, 1)[:, None]
+    rec_diff = apply_mlp(
+        params["aggr"][0],
+        jnp.concatenate([rec_rep, aggregated], axis=-1),
+    )
+    new_rec = rec_rep + rec_diff
+    if update_edges:
+        return new_rec, edge_rep + messages
+    return new_rec
+
+
+class ShardedGraphLAM:
+    """Spatially sharded GraphLAM training/forward over a device mesh.
+
+    Parameters are replicated; node arrays are sharded over the
+    ``spatial`` mesh axis (and the batch over ``data``). The per-step
+    math matches :class:`~neural_lam_tpu.models.graph_lam.GraphLAM`
+    exactly — validated by the equivalence tests — so single-chip and
+    sharded runs are interchangeable.
+    """
+
+    def __init__(
+        self,
+        model: GraphLAM,
+        datastore,
+        mesh: Mesh,
+        loss_interior_count: Optional[int] = None,
+    ) -> None:
+        assert "spatial" in mesh.axis_names, "mesh needs a 'spatial' axis"
+        self.model = model
+        self.mesh = mesh
+        self.n_shards = mesh.shape["spatial"]
+        self.part = build_spatial_partition(
+            model, datastore, self.n_shards
+        )
+        self.n_interior = (
+            int(self.part.interior_mask.sum())
+            if loss_interior_count is None
+            else loss_interior_count
+        )
+
+        stats = datastore.get_standardization_dataarray(category="state")
+        eps = np.finfo(np.float32).eps
+        self.state_mean = jnp.asarray(
+            np.asarray(stats["state_mean"], np.float32)
+        )
+        self.state_std = jnp.asarray(
+            np.maximum(np.asarray(stats["state_std"], np.float32), eps)
+        )
+
+    # -- sharding helpers --------------------------------------------------
+    def node_sharding(self) -> NamedSharding:
+        """Sharding for (B, T?, N_pad, d) arrays: batch over data,
+        nodes over spatial."""
+        return NamedSharding(self.mesh, P("data", None, "spatial", None))
+
+    def _shard_tables(self):
+        """Device-put the stacked per-shard tables with shard-axis
+        partitioning (each device holds only its own tables)."""
+        shard0 = NamedSharding(self.mesh, P("spatial"))
+
+        def put(arr):
+            return jax.device_put(jnp.asarray(arr), shard0)
+
+        p = self.part
+        tables = {
+            "g2m": (p.g2m.senders, p.g2m.recv_local, p.g2m.features,
+                    p.g2m.recv_counts),
+            "m2m": (p.m2m.senders, p.m2m.recv_local, p.m2m.features,
+                    p.m2m.recv_counts),
+            "m2g": (p.m2g.senders, p.m2g.recv_local, p.m2g.features,
+                    p.m2g.recv_counts),
+        }
+        out = {k: tuple(put(a) for a in v) for k, v in tables.items()}
+        # Node tables are reshaped to a leading shard axis so every
+        # table leaf uniformly arrives as (1, ...) inside the shard.
+        P_ = self.n_shards
+        out["grid_static"] = put(
+            p.grid_static.reshape(P_, p.n_grid_local, -1)
+        )
+        out["mesh_static"] = put(
+            p.mesh_static.reshape(P_, p.n_mesh_local, -1)
+        )
+        out["boundary_mask"] = put(
+            p.boundary_mask.reshape(P_, p.n_grid_local, 1)
+        )
+        out["interior_mask"] = put(
+            p.interior_mask.reshape(P_, p.n_grid_local, 1)
+        )
+        return out
+
+    # -- the sharded step --------------------------------------------------
+    def _local_step(
+        self, params, tables, prev_state, prev_prev_state, forcing
+    ):
+        """One predictor step on LOCAL (N_loc, d) node slabs.
+
+        Mirrors ``BaseGraphModel.step``
+        (reference: models/step_predictors/graph/base.py:228-344) with
+        an ``all_gather`` halo before each message-passing round.
+        """
+        model = self.model
+        part = self.part
+
+        grid_features = jnp.concatenate(
+            (prev_state, prev_prev_state, forcing, tables["grid_static"]),
+            axis=-1,
+        )
+        grid_emb = apply_mlp(params["grid_embedder"], grid_features)
+        g2m_emb = apply_mlp(params["g2m_embedder"], tables["g2m"][2])
+        m2g_emb = apply_mlp(params["m2g_embedder"], tables["m2g"][2])
+        mesh_emb = apply_mlp(
+            params["mesh_embedder"], tables["mesh_static"]
+        )
+
+        # Halo exchange: full gather of grid embeddings over ICI
+        grid_emb_global = jax.lax.all_gather(
+            grid_emb, "spatial", tiled=True
+        )
+        mesh_rep = _interaction_local(
+            params["g2m_gnn"],
+            tables["g2m"][0],
+            tables["g2m"][1],
+            tables["g2m"][3],
+            part.n_mesh_local,
+            grid_emb_global,
+            mesh_emb,
+            g2m_emb,
+            update_edges=False,
+        )
+        grid_rep = grid_emb + apply_mlp(
+            params["encoding_grid_mlp"], grid_emb
+        )
+
+        m2m_edge_rep = apply_mlp(params["m2m_embedder"], tables["m2m"][2])
+        for net_params in params["processor"]:
+            mesh_rep_global = jax.lax.all_gather(
+                mesh_rep, "spatial", tiled=True
+            )
+            mesh_rep, m2m_edge_rep = _interaction_local(
+                net_params,
+                tables["m2m"][0],
+                tables["m2m"][1],
+                tables["m2m"][3],
+                part.n_mesh_local,
+                mesh_rep_global,
+                mesh_rep,
+                m2m_edge_rep,
+                aggr=model.mesh_aggr,
+                update_edges=True,
+            )
+
+        mesh_rep_global = jax.lax.all_gather(
+            mesh_rep, "spatial", tiled=True
+        )
+        grid_rep = _interaction_local(
+            params["m2g_gnn"],
+            tables["m2g"][0],
+            tables["m2g"][1],
+            tables["m2g"][3],
+            part.n_grid_local,
+            mesh_rep_global,
+            grid_rep,
+            m2g_emb,
+            update_edges=False,
+        )
+        net_output = apply_mlp(params["output_map"], grid_rep)
+
+        if model.output_std:
+            pred_delta_mean, pred_std_raw = jnp.split(
+                net_output, 2, axis=-1
+            )
+            pred_std = jax.nn.softplus(pred_std_raw)
+        else:
+            pred_delta_mean = net_output
+            pred_std = None
+        rescaled = pred_delta_mean * model.diff_std + model.diff_mean
+        new_state = model.get_clamped_new_state(rescaled, prev_state)
+        return new_state, pred_std
+
+    def _local_rollout(
+        self, params, tables, init_states, forcing, boundary
+    ):
+        """AR rollout on local slabs (reference:
+        forecasters/autoregressive.py:109-146)."""
+        def step(carry, inputs):
+            prev_prev, prev = carry
+            forcing_t, boundary_t = inputs
+            pred, _ = self._local_step(
+                params, tables, prev, prev_prev, forcing_t
+            )
+            new_state = (
+                tables["boundary_mask"] * boundary_t
+                + (1.0 - tables["boundary_mask"]) * pred
+            )
+            return (prev, new_state), new_state
+
+        (_, _), prediction = jax.lax.scan(
+            step, (init_states[0], init_states[1]), (forcing, boundary)
+        )
+        return prediction
+
+    def make_train_step(self, optimizer, per_var_std: jax.Array):
+        """Jitted sharded train step ``(params, opt, batch) -> ...``.
+
+        The wmse loss is computed as interior-masked sums psummed over
+        the spatial axis (matching the reference masked mean,
+        reference: models/module.py:379-386), then pmean'd over data.
+        """
+        part = self.part
+        tables = self._shard_tables()
+        n_interior = self.n_interior
+
+        def loss_local(params, tbl, init, target, forcing):
+            # standardize on device
+            init = (init - self.state_mean) / self.state_std
+            target_s = (target - self.state_mean) / self.state_std
+
+            def one_sample(i, t, f):
+                pred = self._local_rollout(params, tbl, i, f, t)
+                err = ((pred - t) ** 2) / (per_var_std**2)
+                masked = err * tbl["interior_mask"]
+                return jnp.sum(masked, axis=-2)  # (T, d)
+
+            sums = jax.vmap(one_sample)(init, target_s, forcing)
+            sums = jax.lax.psum(sums, "spatial")  # (B, T, d)
+            loss = jnp.mean(jnp.sum(sums / n_interior, axis=-1))
+            return jax.lax.pmean(loss, "data")
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(),  # params (replicated)
+                jax.tree_util.tree_map(
+                    lambda _: P("spatial"), tables
+                ),
+                P("data", None, "spatial", None),
+                P("data", None, "spatial", None),
+                P("data", None, "spatial", None),
+            ),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def loss_and_grad(params, tbl, init, target, forcing):
+            # Tables arrive with a leading per-device shard axis of 1
+            tbl = jax.tree_util.tree_map(lambda a: a[0], tbl)
+            loss, grads = jax.value_and_grad(loss_local)(
+                params, tbl, init, target, forcing
+            )
+            # Params are replicated, so each device holds only the
+            # partial gradient through its own shard of the compute;
+            # the full gradient is the sum over BOTH axes (the 1/D of
+            # the data-axis pmean is already inside loss_local).
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, ("spatial", "data")), grads
+            )
+            return loss, grads
+
+        def train_step(params, opt_state, init, target, forcing):
+            loss, grads = loss_and_grad(
+                params, tables, init, target, forcing
+            )
+            updates, opt_state = optimizer.update(
+                grads, opt_state, params
+            )
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(train_step, donate_argnums=(0, 1)), tables
+
+    def forward(self, params, init_states, forcing, boundary):
+        """Sharded batched rollout returning the (global, unpadded)
+        prediction; for parity tests and sharded evaluation."""
+        tables = self._shard_tables()
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(),
+                jax.tree_util.tree_map(
+                    lambda _: P("spatial"), tables
+                ),
+                P("data", None, "spatial", None),
+                P("data", None, "spatial", None),
+                P("data", None, "spatial", None),
+            ),
+            out_specs=P("data", None, "spatial", None),
+            check_vma=False,
+        )
+        def run(params, tbl, init, forcing, boundary):
+            tbl = jax.tree_util.tree_map(lambda a: a[0], tbl)
+            return jax.vmap(
+                lambda i, f, b: self._local_rollout(
+                    params, tbl, i, f, b
+                )
+            )(init, forcing, boundary)
+
+        pred = run(params, tables, init_states, forcing, boundary)
+        return pred[..., : self.part.n_grid, :]
