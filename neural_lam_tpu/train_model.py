@@ -69,6 +69,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="If optimizer state should be restored with model",
     )
+    runtime.add_argument(
+        "--profile_dir",
+        type=str,
+        default=None,
+        help="Capture a jax.profiler trace of a few training steps "
+        "into this directory (view with TensorBoard/XProf)",
+    )
 
     arch = parser.add_argument_group("Model Architecture")
     arch.add_argument("--graph", type=str, default="multiscale")
@@ -198,6 +205,7 @@ def main(argv=None) -> None:
         loss=args.loss,
         val_interval=args.val_interval,
         val_steps_to_log=tuple(args.val_steps_to_log),
+        profile_dir=args.profile_dir,
     )
     trainer = Trainer(forecaster, config, datastore, targs)
 
@@ -239,11 +247,16 @@ def main(argv=None) -> None:
             num_future_forcing_steps=args.num_future_forcing_steps,
             load_single_member=args.load_single_member,
         )
+        # Multi-host: each process reads a disjoint shard of every epoch
+        # (the explicit per-host index scheme replacing the reference's
+        # DistributedSampler, SURVEY.md 7).
         return DataLoader(
             dataset,
             batch_size=args.batch_size,
             shuffle=shuffle,
             seed=args.seed,
+            shard_index=jax.process_index(),
+            num_shards=jax.process_count(),
         )
 
     from .evaluation import run_test_evaluation

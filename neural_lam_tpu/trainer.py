@@ -49,6 +49,11 @@ class TrainingArgs:
     val_interval: int = 1
     val_steps_to_log: tuple[int, ...] = (1, 2, 3, 5, 10)
     grad_checkpointing: bool = True
+    # jax.profiler trace capture (SURVEY.md 5.1): when set, epoch 0
+    # captures steps [2, 2+profile_steps) into this directory for
+    # TensorBoard/XProf.
+    profile_dir: Optional[str] = None
+    profile_steps: int = 5
 
 
 class Trainer:
@@ -257,21 +262,53 @@ class Trainer:
             self._train_step = self.make_train_step()
         epochs = self.args.epochs if epochs is None else epochs
         history = []
+        profiling = False
         for epoch in range(start_epoch, start_epoch + epochs):
             train_loader.set_epoch(epoch)
             t0 = time.perf_counter()
             losses = []
-            for batch in train_loader:
-                device_batch, _ = self.device_put_batch(batch)
+            n_samples = 0
+            for step_idx, batch in enumerate(train_loader):
+                if (
+                    self.args.profile_dir
+                    and epoch == start_epoch
+                    and step_idx == 2
+                ):
+                    jax.profiler.start_trace(self.args.profile_dir)
+                    profiling = True
+                device_batch, real = self.device_put_batch(batch)
                 params, opt_state, loss = self._train_step(
                     params, opt_state, *device_batch
                 )
                 losses.append(loss)
+                n_samples += real
+                if (
+                    profiling
+                    and step_idx == 2 + self.args.profile_steps - 1
+                ):
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    profiling = False
+            if profiling:  # short epoch: close the trace cleanly
+                jax.profiler.stop_trace()
+                profiling = False
+            jax.block_until_ready(losses[-1] if losses else ())
             train_loss = float(jnp.mean(jnp.stack(losses)))
+            epoch_seconds = time.perf_counter() - t0
+            num_grid = getattr(
+                self.datastore, "num_grid_points", 0
+            )
             record = {
                 "epoch": epoch,
                 "train_loss": train_loss,
-                "epoch_seconds": time.perf_counter() - t0,
+                "epoch_seconds": epoch_seconds,
+                # the north-star throughput counter (SURVEY.md 5.1)
+                "grid_points_per_s": (
+                    n_samples
+                    * num_grid
+                    * self.args.ar_steps_train
+                    / max(epoch_seconds, 1e-9)
+                ),
             }
             if val_loader is not None and (
                 (epoch + 1) % self.args.val_interval == 0
