@@ -138,3 +138,65 @@ class CheckpointManager:
         if not path.exists():
             return None
         return json.loads(path.read_text(encoding="utf-8"))
+
+
+_ARCH_KEYS = (
+    "graph",
+    "hidden_dim",
+    "hidden_layers",
+    "processor_layers",
+    "mesh_aggr",
+    "num_past_forcing_steps",
+    "num_future_forcing_steps",
+    "output_std",
+    "g2m_gnn_type",
+    "m2g_gnn_type",
+    "mesh_up_gnn_type",
+    "mesh_down_gnn_type",
+)
+
+
+def build_forecaster_from_hparams(hparams: dict, datastore):
+    """Reconstruct the exact forecaster architecture from saved hparams.
+
+    Checkpoints are self-describing: the CLI namespace is stored in
+    ``hparams.json``, so the architecture can be rebuilt from the
+    checkpoint alone with only the datastore re-injected — the same
+    contract as the reference
+    (reference: neural_lam/train_model.py:41-72,
+    models/module.py:119-124).
+    """
+    from .models import MODELS, ARForecaster
+
+    model_name = hparams["model"]
+    kwargs = {}
+    for key in _ARCH_KEYS:
+        if key in hparams:
+            kwargs["graph_name" if key == "graph" else key] = hparams[key]
+    if model_name == "graph_lam":
+        kwargs.pop("mesh_up_gnn_type", None)
+        kwargs.pop("mesh_down_gnn_type", None)
+    predictor = MODELS[model_name](datastore, **kwargs)
+    return ARForecaster(predictor, datastore)
+
+
+def load_forecaster_from_checkpoint(
+    run_dir: str | Path, datastore, name: str = "latest"
+):
+    """Rebuild forecaster + params from a run directory alone.
+
+    Returns ``(forecaster, params, hparams)``.
+    """
+    import jax
+
+    mgr = CheckpointManager(run_dir)
+    hparams = mgr.load_hparams(name)
+    if hparams is None:
+        raise FileNotFoundError(
+            f"No hparams.json in checkpoint {name!r} under {run_dir}; "
+            "cannot reconstruct the architecture"
+        )
+    forecaster = build_forecaster_from_hparams(hparams, datastore)
+    template = forecaster.init_params(jax.random.PRNGKey(0))
+    params = mgr.restore_params_only(name, template)
+    return forecaster, params, hparams

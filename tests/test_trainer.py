@@ -128,3 +128,42 @@ def test_best_checkpoint_policy(setup, tmp_path):
     assert mgr.maybe_save_best(0.5, params, opt_state, 3)
     _, _, step = mgr.restore("min_val_loss", params, opt_state)
     assert step == 3
+
+
+def test_checkpoint_self_describing_reconstruction(setup, tmp_path):
+    """Rebuild the exact architecture from a checkpoint alone
+    (reference: neural_lam/train_model.py:41-72)."""
+    from neural_lam_tpu.checkpoint import load_forecaster_from_checkpoint
+
+    ds, fc, config = setup
+    trainer = Trainer(fc, config, ds, TrainingArgs())
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(5))
+    mgr = CheckpointManager(tmp_path)
+    hparams = {
+        "model": "graph_lam",
+        "graph": "1level",
+        "hidden_dim": 8,
+        "hidden_layers": 1,
+        "processor_layers": 2,
+        "mesh_aggr": "sum",
+        "output_std": False,
+    }
+    mgr.save_latest(params, opt_state, step=3, hparams=hparams)
+
+    fc2, params2, hp2 = load_forecaster_from_checkpoint(tmp_path, ds)
+    assert hp2["hidden_dim"] == 8
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(params2),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # The rebuilt forecaster runs with the restored params
+    n = ds.num_grid_points
+    rng = np.random.default_rng(0)
+    out, _ = fc2.predictor.step(
+        params2,
+        rng.normal(size=(n, 3)).astype(np.float32),
+        rng.normal(size=(n, 3)).astype(np.float32),
+        rng.normal(size=(n, 6)).astype(np.float32),
+    )
+    assert out.shape == (n, 3)
