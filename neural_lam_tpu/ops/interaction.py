@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .mlp import MLPParams, apply_mlp, init_mlp
+from .mlp import MLPParams, apply_mlp, apply_mlp_split_first, init_mlp
 from .pallas_segment import BlockedLayout, build_blocked_layout
 from .segment import (
     aggregate_mean,
@@ -291,8 +291,15 @@ def apply_interaction_net(
 
     x_send = gather_senders(edge_set, send_rep)  # (E_pad, d)
     x_rec = gather_receivers(edge_set, rec_rep)  # (E_pad, d)
-    edge_in = jnp.concatenate([edge_rep, x_send, x_rec], axis=-1)
-    messages = _apply_chunked(params["edge"], edge_in, edge_chunk_sizes)
+    if len(params["edge"]) == 1:
+        # Split-weight first layer: avoids materialising the 3x-wide
+        # concat on the hot path.
+        messages = apply_mlp_split_first(
+            params["edge"][0], (edge_rep, x_send, x_rec)
+        )
+    else:
+        edge_in = jnp.concatenate([edge_rep, x_send, x_rec], axis=-1)
+        messages = _apply_chunked(params["edge"], edge_in, edge_chunk_sizes)
     if propagation:
         messages = x_send + messages
 

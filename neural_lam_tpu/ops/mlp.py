@@ -77,3 +77,36 @@ def apply_mlp(params: MLPParams, x: jax.Array) -> jax.Array:
     if params["ln"] is not None:
         x = _layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
     return x
+
+
+def apply_mlp_split_first(
+    params: MLPParams, parts: Sequence[jax.Array]
+) -> jax.Array:
+    """Apply the MLP to the (virtual) concatenation of ``parts``.
+
+    ``concat(parts) @ W`` is computed as ``sum_i parts[i] @ W_i`` with
+    the first-layer weight sliced by part widths, so the concatenated
+    activation — 3x the width of each part on the message-passing hot
+    path — is never materialised in HBM. Numerically identical to
+    ``apply_mlp(params, concat(parts))`` up to f32 summation order.
+    """
+    layers = params["layers"]
+    w0, b0 = layers[0]["w"], layers[0]["b"]
+    x = b0
+    start = 0
+    for part in parts:
+        width = part.shape[-1]
+        x = x + part @ w0[start : start + width]
+        start += width
+    assert start == w0.shape[0], (
+        f"parts widths {start} != first-layer input {w0.shape[0]}"
+    )
+    n = len(layers)
+    for i, layer in enumerate(layers[1:], start=1):
+        x = jax.nn.silu(x)
+        x = x @ layer["w"] + layer["b"]
+    if n == 1:
+        pass  # single-layer MLP: no activation
+    if params["ln"] is not None:
+        x = _layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
+    return x

@@ -237,6 +237,18 @@ def blocked_segment_sum_nondiff(
     return _blocked_segment_sum_fwd_impl(messages, layout, interpret)
 
 
+def blocked_expand_nondiff(
+    node_rep: jax.Array, layout: BlockedLayout, interpret: bool = False
+) -> jax.Array:
+    """Raw expansion ``node_rep[receiver[e]]`` in blocked edge order.
+
+    Dead slots produce zero rows. This is the forward dual of the
+    segment sum and streams each receiver block once instead of doing a
+    per-row XLA gather.
+    """
+    return _blocked_segment_sum_bwd_impl(node_rep, layout, interpret)
+
+
 def make_blocked_segment_sum(layout: BlockedLayout, interpret: bool = False):
     """Build a differentiable ``messages (E_blocked, D) -> (num_rec, D)``
     segment sum closed over a static layout."""

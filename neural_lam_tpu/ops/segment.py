@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .pallas_segment import (
+    blocked_expand_nondiff,
     blocked_segment_sum_nondiff,
     make_blocked_segment_sum,
 )
@@ -142,12 +143,14 @@ def gather_receivers(edge_set: "EdgeSet", rec_rep: jax.Array) -> jax.Array:
         key = (id(edge_set), "recv")
         if key not in _GATHER_CACHE:
             layout = edge_set.layout
-            recv_gather = edge_set.recv_gather
             interpret = _interpret_mode()
 
             @jax.custom_vjp
             def gather(x):
-                return x[recv_gather]
+                # Streamed Pallas expansion instead of an XLA row gather.
+                # Dead slots read zeros rather than a junk row; both are
+                # invisible to the loss (dead messages never aggregate).
+                return blocked_expand_nondiff(x, layout, interpret)
 
             def fwd(x):
                 return gather(x), None
