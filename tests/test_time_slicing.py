@@ -181,3 +181,145 @@ def test_too_few_timesteps_raises():
     ds = SinglePointDatastore(np.arange(4), forcing_values=np.arange(4))
     with pytest.raises(ValueError):
         WeatherDataset(ds, ar_steps=5)
+
+
+class SinglePointForecastDatastore(BaseDatastore):
+    """Forecast-mode single point: value = analysis_idx*100 + step.
+
+    Lets forecast-window arithmetic be asserted exactly, like the
+    reference's EnsembleDummyDatastore value-encoding trick
+    (reference: tests/dummy_datastore.py:483-768).
+    """
+
+    is_forecast = True
+
+    def __init__(self, n_analysis=3, n_steps=8, with_forcing=True):
+        self.n_analysis = n_analysis
+        self.n_steps = n_steps
+        self.with_forcing = with_forcing
+        t0 = np.datetime64("2020-01-01T00:00")
+        self._analysis_times = t0 + np.timedelta64(6, "h") * np.arange(
+            n_analysis
+        )
+        self._elapsed = np.timedelta64(1, "h") * np.arange(n_steps)
+
+    root_path = Path("/nonexistent")
+    config = {}
+
+    @property
+    def step_length(self):
+        return timedelta(hours=1)
+
+    def get_vars_units(self, category):
+        return ["unit"]
+
+    def get_vars_names(self, category):
+        return [f"{category}_var"]
+
+    def get_vars_long_names(self, category):
+        return [f"{category} var"]
+
+    def get_num_data_vars(self, category):
+        if category == "forcing":
+            return 1 if self.with_forcing else 0
+        return 1
+
+    def get_standardization_dataarray(self, category):
+        return {
+            f"{category}_mean": np.zeros(1, np.float32),
+            f"{category}_std": np.ones(1, np.float32),
+            "state_diff_mean_standardized": np.zeros(1, np.float32),
+            "state_diff_std_standardized": np.ones(1, np.float32),
+        }
+
+    def get_dataarray(self, category, split, standardize=False):
+        if category == "static":
+            return None
+        if category == "forcing" and not self.with_forcing:
+            return None
+        a = np.arange(self.n_analysis)[:, None]
+        s = np.arange(self.n_steps)[None, :]
+        vals = (a * 100 + s).astype(np.float32)
+        if category == "forcing":
+            vals = vals + 0.5  # distinguishable from state
+        return FieldArray(
+            data=vals.reshape(self.n_analysis, self.n_steps, 1, 1),
+            dims=(
+                "analysis_time",
+                "elapsed_forecast_duration",
+                "grid_index",
+                f"{category}_feature",
+            ),
+            coords={
+                "analysis_time": self._analysis_times,
+                "elapsed_forecast_duration": self._elapsed.astype(
+                    "timedelta64[ns]"
+                ),
+                "grid_index": np.arange(1),
+                f"{category}_feature": np.array([f"{category}_var"]),
+            },
+        )
+
+    @property
+    def boundary_mask(self):
+        return FieldArray(
+            data=np.zeros(1, np.float32),
+            dims=("grid_index",),
+            coords={"grid_index": np.arange(1)},
+        )
+
+    def get_xy(self, category, stacked):
+        return np.zeros((1, 2))
+
+    num_grid_points = 1
+
+
+def test_forecast_mode_windows():
+    """One sample per analysis time; init = steps [0,1], targets follow
+    (reference: weather_dataset.py:201-264 forecast branch)."""
+    ds = SinglePointForecastDatastore(n_analysis=3, n_steps=8)
+    dataset = WeatherDataset(
+        ds, ar_steps=3, num_past_forcing_steps=1,
+        num_future_forcing_steps=1,
+    )
+    assert len(dataset) == 3
+    init, target, forcing, times = dataset[1]
+    np.testing.assert_allclose(init.reshape(-1), [100, 101])
+    np.testing.assert_allclose(target.reshape(-1), [102, 103, 104])
+    # forcing windows [t-1, t, t+1] per target step, feature-major
+    np.testing.assert_allclose(
+        forcing.reshape(3, 3),
+        np.array(
+            [[101.5, 102.5, 103.5],
+             [102.5, 103.5, 104.5],
+             [103.5, 104.5, 105.5]]
+        ),
+    )
+
+
+def test_forecast_mode_large_past_offset():
+    """num_past > 2 shifts the usable window start
+    (reference: weather_dataset.py:222-236)."""
+    ds = SinglePointForecastDatastore(n_analysis=2, n_steps=8)
+    dataset = WeatherDataset(
+        ds, ar_steps=2, num_past_forcing_steps=3,
+        num_future_forcing_steps=0,
+    )
+    init, target, forcing, _ = dataset[0]
+    # init states start at step max(0, past-2) = 1
+    np.testing.assert_allclose(init.reshape(-1), [1, 2])
+    np.testing.assert_allclose(target.reshape(-1), [3, 4])
+    # forcing window [t-3..t] for each target step
+    np.testing.assert_allclose(
+        forcing.reshape(2, 4),
+        np.array([[0.5, 1.5, 2.5, 3.5], [1.5, 2.5, 3.5, 4.5]]),
+    )
+
+
+def test_forecast_mode_too_few_steps_raises():
+    ds = SinglePointForecastDatastore(n_analysis=2, n_steps=4)
+    with pytest.raises(ValueError):
+        WeatherDataset(
+            ds, ar_steps=3, num_past_forcing_steps=1,
+            num_future_forcing_steps=1,
+        )
