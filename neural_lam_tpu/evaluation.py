@@ -26,6 +26,37 @@ from .metrics import mae as mae_metric
 from .metrics import mse as mse_metric
 
 
+def _write_prediction_gif(
+    pred_t, target_t, datastore, var_name, path
+) -> None:
+    """Animate prediction vs target over lead time as a GIF
+    (reference: module.py:600-768 ``--create_gif``)."""
+    from PIL import Image
+
+    vmin = float(min(pred_t.min(), target_t.min()))
+    vmax = float(max(pred_t.max(), target_t.max()))
+    frames = []
+    for t in range(pred_t.shape[0]):
+        fig = vis.plot_prediction(
+            pred_t[t], target_t[t], datastore,
+            title=f"{var_name} t={t + 1}", vrange=(vmin, vmax),
+        )
+        fig.canvas.draw()
+        frames.append(
+            Image.fromarray(
+                np.asarray(fig.canvas.buffer_rgba())
+            ).convert("RGB")
+        )
+        vis.plt.close(fig)
+    frames[0].save(
+        path,
+        save_all=True,
+        append_images=frames[1:],
+        duration=500,
+        loop=0,
+    )
+
+
 def run_test_evaluation(
     trainer,
     params,
@@ -36,6 +67,9 @@ def run_test_evaluation(
     split: str = "test",
     n_example_pred: int = 1,
     spatial_steps: tuple[int, ...] = (1, -1),
+    create_gif: bool = False,
+    metrics_watch: Optional[list[str]] = None,
+    var_leads_metrics_watch: Optional[dict] = None,
 ) -> dict:
     """Full evaluation with artifacts; returns the scalar metrics dict."""
     run_dir = Path(run_dir)
@@ -125,6 +159,15 @@ def run_test_evaluation(
                     f"{split}_example_{i}/{name}", fig, step=t_last + 1
                 )
                 vis.plt.close(fig)
+                if create_gif:
+                    _write_prediction_gif(
+                        pred_phys[:, :, v],
+                        target_phys[:, :, v],
+                        datastore,
+                        name,
+                        run_dir
+                        / f"{split}_example_{i}_{name}.gif",
+                    )
             example_plotted += 1
 
     mean_loss_per_step = sums["loss"] / count  # (T,)
@@ -142,6 +185,26 @@ def run_test_evaluation(
             metrics[f"{split}_loss_unroll{s}"] = float(
                 mean_loss_per_step[s - 1]
             )
+
+    # Promote watched (metric, variable, lead time) scalars
+    # (reference: module.py:806-817).
+    if metrics_watch:
+        var_names = datastore.get_vars_names("state")
+        tables = {"rmse": rmse_phys, "mae": mae_phys}
+        for watched in metrics_watch:
+            key = watched.split("_")[-1]
+            table = tables.get(key)
+            if table is None:
+                continue
+            for var, leads in (var_leads_metrics_watch or {}).items():
+                if var not in var_names:
+                    continue
+                v = var_names.index(var)
+                for lead in leads:
+                    if 1 <= lead <= table.shape[0]:
+                        metrics[f"{split}_{key}_{var}_step{lead}"] = (
+                            float(table[lead - 1, v])
+                        )
 
     # Artifacts
     vis.save_metrics_csv(rmse_phys, datastore, run_dir / f"{split}_rmse.csv")

@@ -118,6 +118,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     evalg.add_argument("--ar_steps_eval", type=int, default=10)
     evalg.add_argument("--n_example_pred", type=int, default=1)
+    evalg.add_argument(
+        "--create_gif",
+        action="store_true",
+        help="Animate example predictions over lead time as GIFs",
+    )
 
     logger = parser.add_argument_group("Logger Settings")
     logger.add_argument(
@@ -138,6 +143,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=[1, 2, 3, 5, 10],
     )
     metrics.add_argument("--metrics_watch", nargs="+", default=[])
+    metrics.add_argument(
+        "--var_leads_metrics_watch",
+        type=str,
+        default="{}",
+        help="JSON mapping of variable name -> list of lead steps to "
+        'watch, e.g. \'{"t2m": [1, 5]}\'',
+    )
 
     data = parser.add_argument_group("Data Loading & Forcing")
     data.add_argument("--num_past_forcing_steps", type=int, default=1)
@@ -273,6 +285,16 @@ def main(argv=None) -> None:
 
     if args.eval:
         loader = make_loader(args.eval, args.ar_steps_eval, shuffle=False)
+        var_leads = json.loads(args.var_leads_metrics_watch)
+        # Validate watched variables against the datastore at CLI time
+        # (reference: train_model.py:396-407).
+        known_vars = set(datastore.get_vars_names("state"))
+        unknown = set(var_leads) - known_vars
+        if unknown:
+            raise SystemExit(
+                f"--var_leads_metrics_watch names unknown state "
+                f"variables: {sorted(unknown)}"
+            )
         metrics = run_test_evaluation(
             trainer,
             params,
@@ -282,6 +304,9 @@ def main(argv=None) -> None:
             logger=logger,
             split=args.eval,
             n_example_pred=args.n_example_pred,
+            create_gif=args.create_gif,
+            metrics_watch=args.metrics_watch,
+            var_leads_metrics_watch=var_leads,
         )
         print(json.dumps(metrics, indent=2))
         logger.finish()

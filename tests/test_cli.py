@@ -89,3 +89,39 @@ def test_train_and_eval_cli(config_path, tmp_path):
         (eval_dir / "test_metrics.json").read_text(encoding="utf-8")
     )
     assert "test_loss" in metrics and metrics["test_loss"] > 0
+
+
+def test_eval_with_gif_and_watch(config_path, tmp_path):
+    runs_root = tmp_path / "runs2"
+    common = [
+        "--config_path", str(config_path),
+        "--graph", "1level",
+        "--hidden_dim", "8",
+        "--processor_layers", "2",
+        "--batch_size", "2",
+        "--runs_root", str(runs_root),
+        "--val_steps_to_log", "1",
+    ]
+    train_model.main(
+        common + ["--epochs", "1", "--logger_run_name", "gifrun"]
+    )
+    train_model.main(
+        common
+        + [
+            "--eval", "test",
+            "--ar_steps_eval", "3",
+            "--load", str(runs_root / "gifrun"),
+            "--logger_run_name", "gifeval",
+            "--create_gif",
+            "--metrics_watch", "test_rmse",
+            "--var_leads_metrics_watch", '{"state_var_0": [1, 3]}',
+        ]
+    )
+    eval_dir = runs_root / "gifeval"
+    metrics = json.loads(
+        (eval_dir / "test_metrics.json").read_text(encoding="utf-8")
+    )
+    assert "test_rmse_state_var_0_step1" in metrics
+    assert "test_rmse_state_var_0_step3" in metrics
+    gifs = list(eval_dir.glob("*.gif"))
+    assert gifs, "expected example-prediction GIFs"
