@@ -63,12 +63,23 @@ class BaseGraphModel(StepPredictor):
         output_clamping_upper: Optional[dict[str, float]] = None,
         g2m_gnn_type: str = "InteractionNet",
         m2g_gnn_type: str = "InteractionNet",
+        compute_dtype: Any = jnp.float32,
     ) -> None:
         super().__init__(
             datastore=datastore,
             output_std=output_std,
             output_clamping_lower=output_clamping_lower,
             output_clamping_upper=output_clamping_upper,
+        )
+        # Mixed precision: all static node/edge features and the hidden
+        # activations run in this dtype (bf16 halves the HBM traffic of
+        # the bandwidth-bound message-passing path); parameters stay in
+        # float32 outside the step and are cast by the caller. The
+        # reference trains fp32 by default (train_model.py:125-129), so
+        # float32 remains the default here too.
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        self.grid_static_features = self.grid_static_features.astype(
+            self.compute_dtype
         )
         self.hidden_dim = hidden_dim
         self.hidden_layers = hidden_layers
@@ -98,7 +109,10 @@ class BaseGraphModel(StepPredictor):
         )
         self.hierarchical = hierarchical
         self.graph: GraphBuffers = build_graph_buffers(
-            hierarchical, graph_dict, self.num_grid_nodes
+            hierarchical,
+            graph_dict,
+            self.num_grid_nodes,
+            dtype=self.compute_dtype,
         )
         self.num_mesh_nodes = self.graph.num_mesh_nodes
 
@@ -182,8 +196,16 @@ class BaseGraphModel(StepPredictor):
         (reference: graph/base.py:228-344): embed, g2m, process, m2g,
         output-map, diff-stat rescale, clamped residual add.
         """
+        # Hidden compute runs in compute_dtype (bf16 under mixed
+        # precision); the state update below stays float32.
+        dtype = self.compute_dtype
         grid_features = jnp.concatenate(
-            (prev_state, prev_prev_state, forcing, self.grid_static_features),
+            (
+                prev_state.astype(dtype),
+                prev_prev_state.astype(dtype),
+                forcing.astype(dtype),
+                self.grid_static_features,
+            ),
             axis=-1,
         )
 
@@ -218,6 +240,7 @@ class BaseGraphModel(StepPredictor):
         )
         net_output = apply_mlp(params["output_map"], grid_rep)
 
+        net_output = net_output.astype(jnp.float32)
         if self.output_std:
             pred_delta_mean, pred_std_raw = jnp.split(net_output, 2, axis=-1)
             pred_std = jax.nn.softplus(pred_std_raw)
@@ -228,7 +251,9 @@ class BaseGraphModel(StepPredictor):
         rescaled_delta_mean = (
             pred_delta_mean * self.diff_std + self.diff_mean
         )
-        new_state = self.get_clamped_new_state(rescaled_delta_mean, prev_state)
+        new_state = self.get_clamped_new_state(
+            rescaled_delta_mean, prev_state.astype(jnp.float32)
+        )
         return new_state, pred_std
 
     def init_processor_nets(

@@ -42,6 +42,7 @@ def _make_padded(
     features: np.ndarray,
     num_rec: int,
     num_send: int,
+    dtype=np.float32,
 ) -> PaddedEdges:
     senders, receivers = edge_index[0], edge_index[1]
     edges, perm = make_edge_set(
@@ -50,7 +51,7 @@ def _make_padded(
     feats = place_edge_features(
         np.asarray(features, dtype=np.float32), perm, edges
     )
-    return PaddedEdges(edges=edges, features=jnp.asarray(feats))
+    return PaddedEdges(edges=edges, features=jnp.asarray(feats, dtype=dtype))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,7 +94,10 @@ class GraphBuffers:
 
 
 def build_graph_buffers(
-    hierarchical: bool, graph: dict[str, Any], num_grid_nodes: int
+    hierarchical: bool,
+    graph: dict[str, Any],
+    num_grid_nodes: int,
+    dtype=np.float32,
 ) -> GraphBuffers:
     """Convert a loaded (numpy) graph dict into padded device buffers."""
     if hierarchical:
@@ -112,7 +116,8 @@ def build_graph_buffers(
 
     m2m = tuple(
         _make_padded(
-            idx, feat, num_rec=level_sizes[lev], num_send=level_sizes[lev]
+            idx, feat, num_rec=level_sizes[lev], num_send=level_sizes[lev],
+            dtype=dtype,
         )
         for lev, (idx, feat) in enumerate(zip(m2m_indices, m2m_features))
     )
@@ -121,12 +126,14 @@ def build_graph_buffers(
         graph["g2m_features"],
         num_rec=level_sizes[0],
         num_send=num_grid_nodes,
+        dtype=dtype,
     )
     m2g = _make_padded(
         graph["m2g_edge_index"],
         graph["m2g_features"],
         num_rec=num_grid_nodes,
         num_send=level_sizes[0],
+        dtype=dtype,
     )
 
     up: tuple[PaddedEdges, ...] = ()
@@ -138,6 +145,7 @@ def build_graph_buffers(
                 feat,
                 num_rec=level_sizes[lev + 1],
                 num_send=level_sizes[lev],
+                dtype=dtype,
             )
             for lev, (idx, feat) in enumerate(
                 zip(graph["mesh_up_edge_index"], graph["mesh_up_features"])
@@ -149,6 +157,7 @@ def build_graph_buffers(
                 feat,
                 num_rec=level_sizes[lev],
                 num_send=level_sizes[lev + 1],
+                dtype=dtype,
             )
             for lev, (idx, feat) in enumerate(
                 zip(graph["mesh_down_edge_index"], graph["mesh_down_features"])
@@ -161,7 +170,9 @@ def build_graph_buffers(
         g2m=g2m,
         m2g=m2g,
         m2m=m2m,
-        mesh_static_features=tuple(jnp.asarray(m) for m in mesh_static),
+        mesh_static_features=tuple(
+            jnp.asarray(m, dtype=dtype) for m in mesh_static
+        ),
         up=up,
         down=down,
     )

@@ -1,0 +1,30 @@
+"""Native (C) runtime components, with pure-python fallbacks.
+
+Currently: ``_fastcodec`` — LZ4 block decoding and blosc byte-unshuffle
+for the zarr reader. Build in place with::
+
+    python -m neural_lam_tpu.native.build
+
+``get_fastcodec()`` returns the compiled module or ``None``; callers
+keep their python fallbacks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+_fastcodec = None
+_tried = False
+
+
+def get_fastcodec() -> Optional[object]:
+    global _fastcodec, _tried
+    if not _tried:
+        _tried = True
+        try:
+            from . import _fastcodec as mod  # type: ignore
+
+            _fastcodec = mod
+        except ImportError:
+            _fastcodec = None
+    return _fastcodec

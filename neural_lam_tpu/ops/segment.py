@@ -79,6 +79,13 @@ def aggregate_sum(edge_set: "EdgeSet", messages: jax.Array) -> jax.Array:
             _SEG_CACHE[key] = make_blocked_segment_sum(
                 layout, interpret=_interpret_mode()
             )
+        # The kernels are compiled for f32 only: Mosaic's bf16 path
+        # compiles ~5x slower and the aggregation accumulates in f32
+        # anyway. Cast at the boundary under mixed precision.
+        if messages.dtype != jnp.float32:
+            return _SEG_CACHE[key](
+                messages.astype(jnp.float32)
+            ).astype(messages.dtype)
         return _SEG_CACHE[key](messages)
     return segment_sum(
         messages,
@@ -129,6 +136,11 @@ def gather_senders(edge_set: "EdgeSet", send_rep: jax.Array) -> jax.Array:
 
             gather.defvjp(fwd, bwd)
             _GATHER_CACHE[key] = gather
+        if send_rep.dtype != jnp.float32:
+            return (
+                _GATHER_CACHE[key](send_rep.astype(jnp.float32))
+                .astype(send_rep.dtype)
+            )
         return _GATHER_CACHE[key](send_rep)
     return send_rep[edge_set.senders]
 
@@ -167,6 +179,11 @@ def gather_receivers(edge_set: "EdgeSet", rec_rep: jax.Array) -> jax.Array:
 
             gather.defvjp(fwd, bwd)
             _GATHER_CACHE[key] = gather
+        if rec_rep.dtype != jnp.float32:
+            return (
+                _GATHER_CACHE[key](rec_rep.astype(jnp.float32))
+                .astype(rec_rep.dtype)
+            )
         return _GATHER_CACHE[key](rec_rep)
     return rec_rep[edge_set.recv_gather]
 

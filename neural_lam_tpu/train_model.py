@@ -199,6 +199,7 @@ def main(argv=None) -> None:
         output_clamping_upper=config.training.output_clamping.upper,
         g2m_gnn_type=args.g2m_gnn_type,
         m2g_gnn_type=args.m2g_gnn_type,
+        compute_dtype="bfloat16" if args.precision == "bf16" else "float32",
     )
     if args.model != "graph_lam":
         predictor_kwargs.update(
@@ -218,6 +219,7 @@ def main(argv=None) -> None:
         val_interval=args.val_interval,
         val_steps_to_log=tuple(args.val_steps_to_log),
         profile_dir=args.profile_dir,
+        precision=args.precision,
     )
     trainer = Trainer(forecaster, config, datastore, targs)
 

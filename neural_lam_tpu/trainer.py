@@ -49,6 +49,10 @@ class TrainingArgs:
     val_interval: int = 1
     val_steps_to_log: tuple[int, ...] = (1, 2, 3, 5, 10)
     grad_checkpointing: bool = True
+    # "32" (reference default) or "bf16": cast params + batch to
+    # bfloat16 inside the step (f32 master params/optimizer state);
+    # build the model with compute_dtype=bf16 to match.
+    precision: str = "32"
     # jax.profiler trace capture (SURVEY.md 5.1): when set, epoch 0
     # captures steps [2, 2+profile_steps) into this directory for
     # TensorBoard/XProf.
@@ -177,9 +181,16 @@ class Trainer:
         init_states, target_states, forcing = self.standardize_batch(
             init_states, target_states, forcing
         )
+        if self.args.precision == "bf16":
+            # f32 master params; bf16 compute copies inside the step.
+            # The model casts activations itself (compute_dtype).
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16), params
+            )
         prediction, pred_std = self.forecaster.forward(
             params, init_states, forcing, target_states
         )
+        prediction = prediction.astype(jnp.float32)
         if pred_std is None:
             pred_std = self.per_var_std
         return jnp.mean(

@@ -28,6 +28,16 @@ import numpy as np
 
 # -- codecs -----------------------------------------------------------------
 def _lz4_decompress_block(src: bytes, dst_size: int) -> bytes:
+    """LZ4 block decoder: native C extension when built, else python."""
+    from ..native import get_fastcodec
+
+    mod = get_fastcodec()
+    if mod is not None:
+        return mod.lz4_decompress(src, dst_size)
+    return _lz4_decompress_block_py(src, dst_size)
+
+
+def _lz4_decompress_block_py(src: bytes, dst_size: int) -> bytes:
     """Pure-python LZ4 block decoder (no frame header)."""
     dst = bytearray()
     i = 0
@@ -123,13 +133,19 @@ def _blosc_decompress(data: bytes) -> bytes:
         out = b"".join(out_parts)
 
     if byte_shuffle and typesize > 1 and not memcpyed:
-        arr = np.frombuffer(out, dtype=np.uint8)
-        n_elem = len(out) // typesize
-        out = (
-            arr[: n_elem * typesize]
-            .reshape(typesize, n_elem)
-            .T.tobytes()
-        )
+        from ..native import get_fastcodec
+
+        mod = get_fastcodec()
+        if mod is not None and len(out) % typesize == 0:
+            out = mod.byte_unshuffle(out, typesize)
+        else:
+            arr = np.frombuffer(out, dtype=np.uint8)
+            n_elem = len(out) // typesize
+            out = (
+                arr[: n_elem * typesize]
+                .reshape(typesize, n_elem)
+                .T.tobytes()
+            )
     return out
 
 

@@ -167,3 +167,49 @@ def test_checkpoint_self_describing_reconstruction(setup, tmp_path):
         rng.normal(size=(n, 6)).astype(np.float32),
     )
     assert out.shape == (n, 3)
+
+
+def test_bf16_mixed_precision_training(setup):
+    """bf16 compute path: finite decreasing loss, f32 outputs close to
+    the f32 path at init."""
+    ds, _, config = setup
+    import jax.numpy as jnp
+
+    model16 = GraphLAM(
+        ds, graph_name="1level", hidden_dim=8, processor_layers=2,
+        compute_dtype=jnp.bfloat16,
+    )
+    model32 = GraphLAM(
+        ds, graph_name="1level", hidden_dim=8, processor_layers=2,
+    )
+    params = model32.init_params(jax.random.PRNGKey(0))
+    n = ds.num_grid_points
+    rng = np.random.default_rng(0)
+    prev = jnp.asarray(rng.normal(size=(n, 3)), dtype=jnp.float32)
+    forcing = jnp.asarray(rng.normal(size=(n, 6)), dtype=jnp.float32)
+    out32, _ = model32.step(params, prev, prev, forcing)
+    p16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16), params
+    )
+    out16, _ = model16.step(p16, prev, prev, forcing)
+    assert out16.dtype == jnp.float32  # state update stays f32
+    np.testing.assert_allclose(
+        np.asarray(out16), np.asarray(out32), rtol=0.1, atol=0.1
+    )
+
+    fc = ARForecaster(model16, ds)
+    trainer = Trainer(
+        fc, config, ds,
+        TrainingArgs(batch_size=2, precision="bf16", val_steps_to_log=(1,)),
+    )
+    tp, topt = trainer.init_state(jax.random.PRNGKey(1))
+    train_loader, _ = _loaders(ds, ar_steps=1)
+    tp, topt, history = trainer.fit(tp, topt, train_loader, epochs=3)
+    losses = [h["train_loss"] for h in history]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # master params stay f32
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(tp)
+    )
