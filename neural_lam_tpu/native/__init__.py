@@ -13,18 +13,20 @@ from __future__ import annotations
 
 from typing import Optional
 
-_fastcodec = None
+_cached_mod = None
 _tried = False
 
 
 def get_fastcodec() -> Optional[object]:
-    global _fastcodec, _tried
+    global _cached_mod, _tried
     if not _tried:
         _tried = True
         try:
-            from . import _fastcodec as mod  # type: ignore
+            import importlib
 
-            _fastcodec = mod
+            _cached_mod = importlib.import_module(
+                f"{__name__}._fastcodec"
+            )
         except ImportError:
-            _fastcodec = None
-    return _fastcodec
+            _cached_mod = None
+    return _cached_mod
