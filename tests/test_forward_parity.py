@@ -211,3 +211,173 @@ def test_rollout_parity(setup):
     np.testing.assert_allclose(
         np.asarray(got), want, rtol=2e-3, atol=2e-3
     )
+
+
+class OracleHiLAM:
+    """Literal float64 implementation of the HiLAM forward
+    (reference: hierarchical.py:176-282, hi_lam.py:165-360)."""
+
+    def __init__(self, model, datastore, graph_name):
+        self.model = model
+        graph_dir = datastore.root_path / "graph" / graph_name
+        extent = datastore.get_xy_extent("state")
+        span = max(extent[1] - extent[0], extent[3] - extent[2])
+        _, g = load_graph(graph_dir, mesh_node_features_scaling=span)
+        self.g = g
+        self.L = len(g["mesh_static_features"])
+        self.static = np.asarray(model.grid_static_features, np.float64)
+        self.diff_mean = np.asarray(model.diff_mean, np.float64)
+        self.diff_std = np.asarray(model.diff_std, np.float64)
+
+    def _apply(self, p, name, lev, send, rec, edge, **kw):
+        ei = self.g[name][lev]
+        return np_interaction(
+            p, ei[0], ei[1], rec.shape[0], send, rec, edge, **kw
+        )
+
+    def step(self, params, prev, prev_prev, forcing):
+        g = self.g
+        L = self.L
+        grid_features = np.concatenate(
+            [prev, prev_prev, forcing, self.static], axis=-1
+        )
+        grid_emb = np_mlp(params["grid_embedder"], grid_features)
+        g2m_emb = np_mlp(params["g2m_embedder"], g["g2m_features"])
+        m2g_emb = np_mlp(params["m2g_embedder"], g["m2g_features"])
+        mesh_emb0 = np_mlp(
+            params["mesh_embedders"][0], g["mesh_static_features"][0]
+        )
+        mesh_rep = np_interaction(
+            params["g2m_gnn"],
+            g["g2m_edge_index"][0],
+            g["g2m_edge_index"][1],
+            mesh_emb0.shape[0],
+            grid_emb,
+            mesh_emb0,
+            g2m_emb,
+            update_edges=False,
+        )
+        grid_rep = grid_emb + np_mlp(
+            params["encoding_grid_mlp"], grid_emb
+        )
+
+        # process_step: embed levels >=1 and all edge sets
+        levels = [mesh_rep] + [
+            np_mlp(params["mesh_embedders"][l], g["mesh_static_features"][l])
+            for l in range(1, L)
+        ]
+        same = [
+            np_mlp(params["mesh_same_embedders"][l], g["m2m_features"][l])
+            for l in range(L)
+        ]
+        up = [
+            np_mlp(params["mesh_up_embedders"][l], g["mesh_up_features"][l])
+            for l in range(L - 1)
+        ]
+        down = [
+            np_mlp(
+                params["mesh_down_embedders"][l], g["mesh_down_features"][l]
+            )
+            for l in range(L - 1)
+        ]
+
+        # MESH INIT sweep up
+        for l in range(1, L):
+            new_node, new_edge = self._apply(
+                params["mesh_init_gnns"][l - 1], "mesh_up_edge_index",
+                l - 1, levels[l - 1], levels[l], up[l - 1],
+            )
+            levels[l] = new_node
+            up[l - 1] = new_edge
+
+        # hi_processor_step: down then up sweep per layer
+        for layer in range(self.model.processor_layers):
+            dg = params["mesh_down_gnns"][layer]
+            dsg = params["mesh_down_same_gnns"][layer]
+            ug = params["mesh_up_gnns"][layer]
+            usg = params["mesh_up_same_gnns"][layer]
+            # down sweep
+            levels[-1], same[-1] = self._apply(
+                dsg[-1], "m2m_edge_index", L - 1,
+                levels[-1], levels[-1], same[-1],
+            )
+            for l in range(L - 2, -1, -1):
+                new_node, down[l] = self._apply(
+                    dg[l], "mesh_down_edge_index", l,
+                    levels[l + 1], levels[l], down[l],
+                )
+                levels[l], same[l] = self._apply(
+                    dsg[l], "m2m_edge_index", l,
+                    new_node, new_node, same[l],
+                )
+            # up sweep
+            levels[0], same[0] = self._apply(
+                usg[0], "m2m_edge_index", 0,
+                levels[0], levels[0], same[0],
+            )
+            for l in range(1, L):
+                new_node, up[l - 1] = self._apply(
+                    ug[l - 1], "mesh_up_edge_index", l - 1,
+                    levels[l - 1], levels[l], up[l - 1],
+                )
+                levels[l], same[l] = self._apply(
+                    usg[l], "m2m_edge_index", l,
+                    new_node, new_node, same[l],
+                )
+
+        # MESH READ OUT sweep down
+        for l in range(L - 2, -1, -1):
+            levels[l] = self._apply(
+                params["mesh_read_gnns"][l], "mesh_down_edge_index", l,
+                levels[l + 1], levels[l], down[l],
+                update_edges=False,
+            )
+
+        grid_rep = np_interaction(
+            params["m2g_gnn"],
+            g["m2g_edge_index"][0],
+            g["m2g_edge_index"][1],
+            grid_rep.shape[0],
+            levels[0],
+            grid_rep,
+            m2g_emb,
+            update_edges=False,
+        )
+        out = np_mlp(params["output_map"], grid_rep)
+        delta = out * self.diff_std + self.diff_mean
+        return prev + delta
+
+
+def test_hi_lam_one_step_parity(tmp_path):
+    from neural_lam_tpu.models import HiLAM
+
+    ds = DummyDatastore(
+        n_grid_x=27, n_grid_y=27, n_timesteps=10, root_path=tmp_path
+    )
+    create_graph_from_datastore(
+        ds, ds.root_path / "graph" / "hierarchical", hierarchical=True
+    )
+    model = HiLAM(
+        ds, graph_name="hierarchical", hidden_dim=4, processor_layers=2
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    n = ds.num_grid_points
+    rng = np.random.default_rng(2)
+    prev = rng.normal(size=(n, 3)).astype(np.float32)
+    prev_prev = rng.normal(size=(n, 3)).astype(np.float32)
+    forcing = rng.normal(size=(n, 6)).astype(np.float32)
+
+    got, _ = jax.jit(model.step)(
+        params, jnp.asarray(prev), jnp.asarray(prev_prev),
+        jnp.asarray(forcing),
+    )
+    oracle = OracleHiLAM(model, ds, "hierarchical")
+    want = oracle.step(
+        params,
+        prev.astype(np.float64),
+        prev_prev.astype(np.float64),
+        forcing.astype(np.float64),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), want, rtol=5e-4, atol=5e-4
+    )
