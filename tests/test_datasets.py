@@ -1,6 +1,7 @@
 """Dataset/datastore integration: shapes, loader batching, standardization."""
 
 import numpy as np
+import pytest
 
 from neural_lam_tpu.datastore.dummy import DummyDatastore
 from neural_lam_tpu.dataset import WeatherDataset
@@ -79,3 +80,35 @@ def test_standardize_flag():
     np.testing.assert_allclose(da_std.values, want, rtol=1e-6)
     # standardized data ~ zero mean unit std
     assert abs(da_std.values.mean()) < 0.1
+
+
+def test_ensemble_analysis_datastore_exact_values(tmp_path):
+    """Ensemble members expose as independent samples, time-major
+    (reference: tests/test_datasets.py:383-453 with the deterministic
+    EnsembleDummyDatastore values)."""
+    from neural_lam_tpu.datastore.dummy import EnsembleDummyDatastore
+
+    ds = EnsembleDummyDatastore(
+        n_members=3, n_grid_x=4, n_grid_y=4, n_timesteps=10,
+        root_path=tmp_path,
+    )
+    dataset = WeatherDataset(ds, split="train", ar_steps=2)
+    base_len = 10 - (2 + 2 + 1) + 1
+    assert len(dataset) == base_len * 3
+
+    # idx -> (sample divmod members): idx 4 -> sample 1, member 1
+    init, target, forcing, _ = dataset[4]
+    # sample 1 -> times [1,2] init, [3,4] targets; member 1
+    np.testing.assert_allclose(init[:, 0, 0], [1 * 100 + 1, 2 * 100 + 1])
+    np.testing.assert_allclose(
+        target[:, 0, 0], [3 * 100 + 1, 4 * 100 + 1]
+    )
+
+    # load_single_member uses only member 0
+    with pytest.warns(UserWarning):
+        single = WeatherDataset(
+            ds, split="train", ar_steps=2, load_single_member=True
+        )
+    assert len(single) == base_len
+    init_s, _, _, _ = single[1]
+    np.testing.assert_allclose(init_s[:, 0, 0], [100, 200])
