@@ -43,39 +43,55 @@ class _RunningMoments:
 
 
 def compute_stats(
-    datastore: NpyFilesDatastoreMEPS, subsample_step: int = 1
+    datastore: NpyFilesDatastoreMEPS,
+    subsample_step: int = 1,
+    num_workers: int = 1,
 ) -> dict[str, np.ndarray]:
     """Return all stats arrays for the train split.
 
     ``subsample_step`` matches the reference's diff subsampling: one-step
     differences are taken between states ``subsample_step`` file-steps
     apart (the effective model step, reference: c_s_s.py:363-465).
+    ``num_workers > 1`` parallelises the per-analysis-time reads with a
+    thread pool — the single-host replacement for the reference's
+    torch.distributed multi-node pass (reference: c_s_s.py:92-139).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     da_state = datastore.get_dataarray(category="state", split="train")
     da_forcing = datastore.get_dataarray(category="forcing", split="train")
 
     n_state = datastore.get_num_data_vars("state")
     n_analysis = da_state.shape[0]
 
+    def load_pair(i):
+        return (
+            np.asarray(da_state.data[i]),
+            np.asarray(da_forcing.data[i]),
+        )
+
     state_mom = _RunningMoments(n_state)
     flux_mom = _RunningMoments(1)
-    for i in range(n_analysis):
-        state = np.asarray(da_state.data[i])  # (T[, M], grid, d)
-        state_mom.update(state)
-        forcing = np.asarray(da_forcing.data[i])  # (T, grid, 6)
-        flux_mom.update(forcing[..., :1])
+    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
+        for state, forcing in pool.map(load_pair, range(n_analysis)):
+            state_mom.update(state)  # (T[, M], grid, d)
+            flux_mom.update(forcing[..., :1])
     state_mean, state_std = state_mom.finalize()
     flux_mean, flux_std = flux_mom.finalize()
 
     diff_mom = _RunningMoments(n_state)
-    for i in range(n_analysis):
-        state = np.asarray(da_state.data[i])
-        standardized = (state - state_mean) / state_std
-        sub = standardized[::subsample_step] if subsample_step > 1 else (
-            standardized
-        )
-        diffs = np.diff(sub, axis=0)
-        diff_mom.update(diffs)
+    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
+        for state in pool.map(
+            lambda i: np.asarray(da_state.data[i]), range(n_analysis)
+        ):
+            standardized = (state - state_mean) / state_std
+            sub = (
+                standardized[::subsample_step]
+                if subsample_step > 1
+                else standardized
+            )
+            diffs = np.diff(sub, axis=0)
+            diff_mom.update(diffs)
     diff_mean, diff_std = diff_mom.finalize()
 
     return {
@@ -104,10 +120,15 @@ def main(argv=None) -> None:
         help="Path to the datastore config (data_config.yaml)",
     )
     parser.add_argument("--subsample_step", type=int, default=1)
+    parser.add_argument("--num_workers", type=int, default=4)
     args = parser.parse_args(argv)
 
     datastore = NpyFilesDatastoreMEPS(config_path=args.datastore_config_path)
-    stats = compute_stats(datastore, subsample_step=args.subsample_step)
+    stats = compute_stats(
+        datastore,
+        subsample_step=args.subsample_step,
+        num_workers=args.num_workers,
+    )
     save_stats(datastore.root_path / "static", stats)
     for name, arr in stats.items():
         print(f"{name}: shape {arr.shape}")

@@ -176,6 +176,37 @@ class Trainer:
             out.append(jax.device_put(a, self._batch_sharding))
         return tuple(out), real
 
+    def device_prefetch(self, loader, depth: int = 2):
+        """Iterate ``(device_batch, real_batch_size)`` with host->device
+        transfer overlapped ahead of compute (the double-buffering that
+        replaces DataLoader worker pipelining, SURVEY.md §7)."""
+        import threading
+        import queue as queue_mod
+
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
+        sentinel = object()
+        err: list[BaseException] = []
+
+        def producer():
+            try:
+                for batch in loader:
+                    q.put(self.device_put_batch(batch))
+            except BaseException as e:
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+
     # -- steps -------------------------------------------------------------
     def _loss(self, params, init_states, target_states, forcing):
         init_states, target_states, forcing = self.standardize_batch(
@@ -279,7 +310,9 @@ class Trainer:
             t0 = time.perf_counter()
             losses = []
             n_samples = 0
-            for step_idx, batch in enumerate(train_loader):
+            for step_idx, (device_batch, real) in enumerate(
+                self.device_prefetch(train_loader)
+            ):
                 if (
                     self.args.profile_dir
                     and epoch == start_epoch
@@ -287,7 +320,6 @@ class Trainer:
                 ):
                     jax.profiler.start_trace(self.args.profile_dir)
                     profiling = True
-                device_batch, real = self.device_put_batch(batch)
                 params, opt_state, loss = self._train_step(
                     params, opt_state, *device_batch
                 )

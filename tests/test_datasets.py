@@ -112,3 +112,21 @@ def test_ensemble_analysis_datastore_exact_values(tmp_path):
     assert len(single) == base_len
     init_s, _, _, _ = single[1]
     np.testing.assert_allclose(init_s[:, 0, 0], [100, 200])
+
+
+def test_weather_data_module(tmp_path):
+    """DataModule bundle (reference: weather_dataset.py:641-772)."""
+    from neural_lam_tpu.loader import WeatherDataModule
+
+    ds = DummyDatastore(
+        n_grid_x=5, n_grid_y=5, n_timesteps=16, root_path=tmp_path
+    )
+    dm = WeatherDataModule(
+        ds, ar_steps_train=1, ar_steps_eval=3, batch_size=2
+    )
+    train_batch = next(iter(dm.train_dataloader()))
+    assert train_batch[1].shape[1] == 1  # ar_steps_train
+    val_batch = next(iter(dm.val_dataloader()))
+    assert val_batch[1].shape[1] == 3  # ar_steps_eval
+    test_batch = next(iter(dm.test_dataloader()))
+    assert test_batch[0].shape == (2, 2, 25, 3)
