@@ -103,9 +103,60 @@ class ARForecaster:
         init_states: jax.Array,  # (B, 2, N, d_state)
         forcing_features: jax.Array,  # (B, T, N, d_forcing)
         boundary_states: jax.Array,  # (B, T, N, d_state)
+        batched_layout: bool = True,
     ) -> tuple[jax.Array, Optional[jax.Array]]:
-        """Batched rollout via ``vmap`` over :meth:`rollout`."""
-        prediction, stds = jax.vmap(
-            lambda i, f, b: self.rollout(params, i, f, b)
-        )(init_states, forcing_features, boundary_states)
-        return prediction, (stds if self.predicts_std else None)
+        """Batched rollout.
+
+        Default path transposes once into the node-major layout
+        ``(N, B, d)`` and runs the whole rollout there: every
+        gather/segment op then moves B-times wider rows, which is the
+        TPU-fast regime (row-bound ops dominate at hidden_dim 64).
+        ``batched_layout=False`` falls back to ``vmap`` over
+        :meth:`rollout` (identical numerics; used for equivalence
+        tests).
+        """
+        if not batched_layout:
+            prediction, stds = jax.vmap(
+                lambda i, f, b: self.rollout(params, i, f, b)
+            )(init_states, forcing_features, boundary_states)
+            return prediction, (stds if self.predicts_std else None)
+
+        output_std = self.predictor.predicts_std
+        # (B, T, N, d) -> (T, N, B, d)
+        init_nm = jnp.moveaxis(init_states, 0, 2)
+        forcing_nm = jnp.moveaxis(forcing_features, 0, 2)
+        boundary_nm = jnp.moveaxis(boundary_states, 0, 2)
+        bmask = self.boundary_mask[:, None, :]  # (N, 1, 1)
+        imask = 1.0 - bmask
+
+        def step(carry, inputs):
+            prev_prev_state, prev_state = carry
+            forcing, boundary_state = inputs
+            pred_state, pred_std = self.predictor.step(
+                params, prev_state, prev_prev_state, forcing
+            )
+            new_state = bmask * boundary_state + imask * pred_state
+            out = (
+                (new_state, pred_std)
+                if output_std
+                else (new_state, jnp.zeros((0,), dtype=new_state.dtype))
+            )
+            return (prev_state, new_state), out
+
+        pred_steps = int(forcing_nm.shape[0])
+        use_remat = (
+            self.remat_steps
+            if self.remat_steps is not None
+            else pred_steps > 1
+        )
+        if use_remat:
+            step = jax.checkpoint(step)
+        carry0 = (init_nm[0], init_nm[1])
+        _, (prediction, stds) = jax.lax.scan(
+            step, carry0, (forcing_nm, boundary_nm)
+        )
+        # (T, N, B, d) -> (B, T, N, d)
+        prediction = jnp.moveaxis(prediction, 2, 0)
+        if output_std:
+            return prediction, jnp.moveaxis(stds, 2, 0)
+        return prediction, None

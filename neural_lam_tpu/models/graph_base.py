@@ -190,7 +190,8 @@ class BaseGraphModel(StepPredictor):
         prev_prev_state: jax.Array,
         forcing: jax.Array,
     ) -> tuple[jax.Array, Optional[jax.Array]]:
-        """One-step prediction on unbatched ``(N, d)`` arrays.
+        """One-step prediction on ``(N, d)`` or node-major batched
+        ``(N, B, d)`` arrays.
 
         Same pipeline as the reference forward
         (reference: graph/base.py:228-344): embed, g2m, process, m2g,
@@ -199,12 +200,18 @@ class BaseGraphModel(StepPredictor):
         # Hidden compute runs in compute_dtype (bf16 under mixed
         # precision); the state update below stays float32.
         dtype = self.compute_dtype
+        static = self.grid_static_features
+        if prev_state.ndim == 3:  # node-major batched layout
+            static = jnp.broadcast_to(
+                static[:, None, :],
+                (static.shape[0], prev_state.shape[1], static.shape[1]),
+            )
         grid_features = jnp.concatenate(
             (
                 prev_state.astype(dtype),
                 prev_prev_state.astype(dtype),
                 forcing.astype(dtype),
-                self.grid_static_features,
+                static,
             ),
             axis=-1,
         )

@@ -109,9 +109,29 @@ class HiLAMParallel(BaseHiGraphModel):
     ):
         """Fused processing of all levels and edge sets at once
         (reference: hi_lam_parallel.py:147-209)."""
-        mesh_rep = jnp.concatenate(mesh_rep_levels, axis=-2)
+        # Broadcast unbatched (static-embedded) lists to the common
+        # layout before concatenation along the node/edge (leading) axis
+        all_reps = mesh_rep_levels + mesh_same_rep + mesh_up_rep + (
+            mesh_down_rep
+        )
+        batched = any(r.ndim == 3 for r in all_reps)
+        if batched:
+            b = next(r.shape[1] for r in all_reps if r.ndim == 3)
+
+            def bc(r):
+                if r.ndim == 2:
+                    return jnp.broadcast_to(
+                        r[:, None, :], (r.shape[0], b, r.shape[-1])
+                    )
+                return r
+
+            mesh_rep_levels = [bc(r) for r in mesh_rep_levels]
+            mesh_same_rep = [bc(r) for r in mesh_same_rep]
+            mesh_up_rep = [bc(r) for r in mesh_up_rep]
+            mesh_down_rep = [bc(r) for r in mesh_down_rep]
+        mesh_rep = jnp.concatenate(mesh_rep_levels, axis=0)
         mesh_edge_rep = jnp.concatenate(
-            mesh_same_rep + mesh_up_rep + mesh_down_rep, axis=-2
+            mesh_same_rep + mesh_up_rep + mesh_down_rep, axis=0
         )
 
         for net_params in params["processor"]:
@@ -129,10 +149,10 @@ class HiLAMParallel(BaseHiGraphModel):
         # Split back into per-level / per-section lists
         node_splits = np.cumsum(self.level_mesh_sizes[:-1]).tolist()
         mesh_rep_levels = list(
-            jnp.split(mesh_rep, node_splits, axis=-2)
+            jnp.split(mesh_rep, node_splits, axis=0)
         )
         edge_splits = np.cumsum(self.edge_split_sections[:-1]).tolist()
-        sections = jnp.split(mesh_edge_rep, edge_splits, axis=-2)
+        sections = jnp.split(mesh_edge_rep, edge_splits, axis=0)
         L = self.num_levels
         mesh_same_rep = list(sections[:L])
         mesh_up_rep = list(sections[L : L + (L - 1)])

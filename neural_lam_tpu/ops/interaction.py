@@ -254,16 +254,18 @@ def _apply_chunked(
     x: jax.Array,
     chunk_sizes: Optional[Sequence[int]],
 ) -> jax.Array:
-    """Apply one MLP, or per-chunk MLPs along the second-to-last axis."""
+    """Apply one MLP, or per-chunk MLPs along the leading (edge/node)
+    axis. Chunking by leading axis covers both the unbatched ``(E, D)``
+    and node-major batched ``(E, B, D)`` layouts."""
     if len(mlps) == 1:
         return apply_mlp(mlps[0], x)
     assert chunk_sizes is not None and len(chunk_sizes) == len(mlps)
     outs = []
     start = 0
     for mlp, size in zip(mlps, chunk_sizes):
-        outs.append(apply_mlp(mlp, x[..., start : start + size, :]))
+        outs.append(apply_mlp(mlp, x[start : start + size]))
         start += size
-    return jnp.concatenate(outs, axis=-2)
+    return jnp.concatenate(outs, axis=0)
 
 
 def apply_interaction_net(
@@ -278,9 +280,18 @@ def apply_interaction_net(
     edge_chunk_sizes: Optional[Sequence[int]] = None,
     aggr_chunk_sizes: Optional[Sequence[int]] = None,
 ):
-    """One message-passing step on unbatched ``(N, d)`` representations.
+    """One message-passing step on node-major representations.
 
-    Batch via ``jax.vmap`` with ``params``/``edge_set`` closed over.
+    Two layouts are supported, selected by ndim:
+    - unbatched ``(N, d)`` node / ``(E, d)`` edge arrays (batch via
+      ``jax.vmap``), or
+    - node-major batched ``(N, B, d)`` / ``(E, B, d)`` arrays (batch
+      folded between the row and feature axes). The batched layout is
+      the TPU-fast path: every gather/segment operation moves B-times
+      wider rows, so the row-bound ops run ~B times fewer iterations.
+      Unbatched inputs mixed into a batched call (static embeddings)
+      broadcast along the batch axis.
+
     Returns ``(new_rec_rep, new_edge_rep)`` if ``update_edges`` else
     ``new_rec_rep``.
     """
@@ -289,8 +300,26 @@ def apply_interaction_net(
     if propagation:
         aggr = "mean"  # reference: neural_lam/gnn_layers.py:221-230
 
-    x_send = gather_senders(edge_set, send_rep)  # (E_pad, d)
-    x_rec = gather_receivers(edge_set, rec_rep)  # (E_pad, d)
+    batched = any(
+        a.ndim == 3 for a in (send_rep, rec_rep, edge_rep)
+    )
+    if batched:
+        b = next(
+            a.shape[1] for a in (send_rep, rec_rep, edge_rep)
+            if a.ndim == 3
+        )
+
+        def bcast(a, rows):
+            if a.ndim == 2:
+                a = jnp.broadcast_to(a[:, None, :], (rows, b, a.shape[-1]))
+            return a
+
+        send_rep = bcast(send_rep, send_rep.shape[0])
+        rec_rep = bcast(rec_rep, rec_rep.shape[0])
+        edge_rep = bcast(edge_rep, edge_rep.shape[0])
+
+    x_send = gather_senders(edge_set, send_rep)  # (E_pad, [B,] d)
+    x_rec = gather_receivers(edge_set, rec_rep)  # (E_pad, [B,] d)
     if len(params["edge"]) == 1:
         # Split-weight first layer: avoids materialising the 3x-wide
         # concat on the hot path.

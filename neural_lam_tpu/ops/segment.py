@@ -70,22 +70,38 @@ def segment_sum(
     return out[:num_segments]
 
 
+def _fold_rows(fn):
+    """Adapt a 2-D ``(R, D) -> (S, D)`` kernel callable to also accept
+    node-major batched ``(R, B, D)`` arrays by folding ``B`` into the
+    feature axis (a free reshape in row-major layout), and to run in
+    f32 regardless of input dtype (Mosaic's bf16 path compiles ~5x
+    slower and the reductions accumulate in f32 anyway)."""
+
+    def wrapped(x):
+        dtype = x.dtype
+        x32 = x.astype(jnp.float32) if dtype != jnp.float32 else x
+        if x32.ndim == 3:
+            r, b, d = x32.shape
+            out = fn(x32.reshape(r, b * d))
+            out = out.reshape(out.shape[0], b, d)
+        else:
+            out = fn(x32)
+        return out.astype(dtype) if dtype != jnp.float32 else out
+
+    return wrapped
+
+
 def aggregate_sum(edge_set: "EdgeSet", messages: jax.Array) -> jax.Array:
-    """Per-receiver sums of unbatched ``(E_pad, D)`` messages."""
+    """Per-receiver sums of ``(E_pad, [B,] D)`` messages."""
     layout = edge_set.layout
     if layout is not None and _pallas_enabled():
         key = id(layout)
         if key not in _SEG_CACHE:
-            _SEG_CACHE[key] = make_blocked_segment_sum(
-                layout, interpret=_interpret_mode()
+            _SEG_CACHE[key] = _fold_rows(
+                make_blocked_segment_sum(
+                    layout, interpret=_interpret_mode()
+                )
             )
-        # The kernels are compiled for f32 only: Mosaic's bf16 path
-        # compiles ~5x slower and the aggregation accumulates in f32
-        # anyway. Cast at the boundary under mixed precision.
-        if messages.dtype != jnp.float32:
-            return _SEG_CACHE[key](
-                messages.astype(jnp.float32)
-            ).astype(messages.dtype)
         return _SEG_CACHE[key](messages)
     return segment_sum(
         messages,
@@ -135,12 +151,7 @@ def gather_senders(edge_set: "EdgeSet", send_rep: jax.Array) -> jax.Array:
                 )
 
             gather.defvjp(fwd, bwd)
-            _GATHER_CACHE[key] = gather
-        if send_rep.dtype != jnp.float32:
-            return (
-                _GATHER_CACHE[key](send_rep.astype(jnp.float32))
-                .astype(send_rep.dtype)
-            )
+            _GATHER_CACHE[key] = _fold_rows(gather)
         return _GATHER_CACHE[key](send_rep)
     return send_rep[edge_set.senders]
 
@@ -178,12 +189,7 @@ def gather_receivers(edge_set: "EdgeSet", rec_rep: jax.Array) -> jax.Array:
                 )
 
             gather.defvjp(fwd, bwd)
-            _GATHER_CACHE[key] = gather
-        if rec_rep.dtype != jnp.float32:
-            return (
-                _GATHER_CACHE[key](rec_rep.astype(jnp.float32))
-                .astype(rec_rep.dtype)
-            )
+            _GATHER_CACHE[key] = _fold_rows(gather)
         return _GATHER_CACHE[key](rec_rep)
     return rec_rep[edge_set.recv_gather]
 
@@ -196,7 +202,7 @@ def aggregate_mean(edge_set: "EdgeSet", messages: jax.Array) -> jax.Array:
     """
     summed = aggregate_sum(edge_set, messages)
     counts = jnp.maximum(edge_set.recv_counts, 1).astype(summed.dtype)
-    return summed / counts[:, None]
+    return summed / counts.reshape((-1,) + (1,) * (summed.ndim - 1))
 
 
 def segment_mean(
