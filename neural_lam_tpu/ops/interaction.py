@@ -184,23 +184,6 @@ def make_edge_set(
     return es, perm
 
 
-def pad_edge_features(features: np.ndarray, edge_set: EdgeSet) -> np.ndarray:
-    """Place original-order per-edge features into padded slot order.
-
-    ``features`` is indexed by original edge position; the result has one
-    row per padded slot (zeros in dead slots). Requires the ``perm``
-    convention built into the edge set at construction; for backwards
-    compatibility the caller passes original-order features together
-    with the edge set's stored slot permutation via
-    :func:`make_edge_set`'s returned ``perm`` — see
-    :func:`place_edge_features`.
-    """
-    raise NotImplementedError(
-        "pad_edge_features was replaced by place_edge_features(features, "
-        "perm, edge_set)"
-    )
-
-
 def place_edge_features(
     features: np.ndarray, perm: np.ndarray, edge_set: EdgeSet
 ) -> np.ndarray:
