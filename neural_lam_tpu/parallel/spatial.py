@@ -254,6 +254,16 @@ class ShardedGraphLAM:
         self.state_std = jnp.asarray(
             np.maximum(np.asarray(stats["state_std"], np.float32), eps)
         )
+        f_stats = datastore.get_standardization_dataarray(
+            category="forcing"
+        )
+        self._forcing_mean_raw = np.asarray(
+            f_stats.get("forcing_mean", np.zeros(0)), np.float32
+        )
+        self._forcing_std_raw = np.maximum(
+            np.asarray(f_stats.get("forcing_std", np.ones(0)), np.float32),
+            eps,
+        )
 
     # -- sharding helpers --------------------------------------------------
     def node_sharding(self) -> NamedSharding:
@@ -419,9 +429,20 @@ class ShardedGraphLAM:
         n_interior = self.n_interior
 
         def loss_local(params, tbl, init, target, forcing):
-            # standardize on device
+            # standardize on device (state + window-tiled forcing,
+            # reference: module.py:307-337)
             init = (init - self.state_mean) / self.state_std
             target_s = (target - self.state_mean) / self.state_std
+            n_f = self._forcing_mean_raw.shape[-1]
+            if forcing.shape[-1] > 0 and n_f > 0:
+                window = forcing.shape[-1] // n_f
+                f_mean = jnp.asarray(
+                    np.repeat(self._forcing_mean_raw, window)
+                )
+                f_std = jnp.asarray(
+                    np.repeat(self._forcing_std_raw, window)
+                )
+                forcing = (forcing - f_mean) / f_std
 
             def one_sample(i, t, f):
                 pred = self._local_rollout(params, tbl, i, f, t)

@@ -213,3 +213,40 @@ def test_bf16_mixed_precision_training(setup):
         leaf.dtype == jnp.float32
         for leaf in jax.tree_util.tree_leaves(tp)
     )
+
+
+def test_probabilistic_training_nll(setup):
+    """output_std head + nll loss trains (BASELINE config 5)."""
+    ds, _, config = setup
+    model = GraphLAM(
+        ds, graph_name="1level", hidden_dim=8, processor_layers=2,
+        output_std=True,
+    )
+    fc = ARForecaster(model, ds)
+    trainer = Trainer(
+        fc, config, ds,
+        TrainingArgs(batch_size=2, loss="nll", val_steps_to_log=(1,)),
+    )
+    assert trainer.per_var_std is None  # model predicts its own std
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(7))
+    train_loader, _ = _loaders(ds, ar_steps=2)
+    params, opt_state, history = trainer.fit(
+        params, opt_state, train_loader, epochs=4
+    )
+    losses = [h["train_loss"] for h in history]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+    # Forecaster emits a positive std trajectory
+    import jax.numpy as jnp
+
+    n = ds.num_grid_points
+    rng = np.random.default_rng(0)
+    pred, std = fc.forward(
+        params,
+        jnp.asarray(rng.normal(size=(2, 2, n, 3)), dtype=jnp.float32),
+        jnp.asarray(rng.normal(size=(2, 2, n, 6)), dtype=jnp.float32),
+        jnp.asarray(rng.normal(size=(2, 2, n, 3)), dtype=jnp.float32),
+    )
+    assert std is not None and std.shape == pred.shape
+    assert bool(jnp.all(std > 0))
