@@ -123,13 +123,17 @@ def convert_state_dict(
 
     import jax.numpy as jnp
 
-    # Strip Lightning prefixes (reference: module.py:974-1010)
+    # Strip Lightning prefixes and apply the legacy-ARModel rename
+    # (reference: module.py:974-1010: flat pre-refactor checkpoints and
+    # the ``g2m_gnn.grid_mlp`` -> ``encoding_grid_mlp`` move).
     cleaned = {}
     for key, tensor in state_dict.items():
         for prefix in ("forecaster.predictor.", "predictor.", "model."):
             if key.startswith(prefix):
                 key = key[len(prefix):]
                 break
+        if key.startswith("g2m_gnn.grid_mlp."):
+            key = "encoding_grid_mlp." + key[len("g2m_gnn.grid_mlp."):]
         cleaned[key] = np.asarray(
             tensor.detach().cpu().numpy()
             if hasattr(tensor, "detach")

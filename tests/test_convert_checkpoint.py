@@ -123,3 +123,27 @@ def test_missing_keys_strict(setup):
     # non-strict keeps the template value
     out = convert_state_dict(sd, params, strict=False)
     assert out is not None
+
+
+def test_legacy_armodel_key_remap(setup):
+    """Legacy flat 'g2m_gnn.grid_mlp' keys remap to encoding_grid_mlp
+    (reference: module.py:974-1010)."""
+    ds = setup
+    model = MODELS["graph_lam"](
+        ds, graph_name="multiscale", hidden_dim=4, processor_layers=2
+    )
+    params = model.init_params(jax.random.PRNGKey(4))
+    sd = export_state_dict(params)
+    legacy = {}
+    for k, v in sd.items():
+        if k.startswith("encoding_grid_mlp."):
+            k = "g2m_gnn.grid_mlp." + k[len("encoding_grid_mlp."):]
+        legacy[k] = v
+    restored = convert_state_dict(
+        legacy, model.init_params(jax.random.PRNGKey(5))
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(restored),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
