@@ -197,15 +197,38 @@ def _interaction_local(
 
     Semantics identical to ``apply_interaction_net``
     (reference: neural_lam/gnn_layers.py:15-190), with runtime (sharded)
-    edge tables instead of static EdgeSets.
+    edge tables instead of static EdgeSets. Supports both the unbatched
+    ``(N, d)`` and node-major batched ``(N, B, d)`` layouts; unbatched
+    (static-embedded) inputs broadcast along the batch axis.
     """
     x_send = x_send_global[senders]
     x_rec = rec_rep[jnp.minimum(recv_local, n_rec_local - 1)]
+    batched = max(a.ndim for a in (x_send, x_rec, edge_rep)) == 3
+    if batched:
+        b = next(
+            a.shape[1] for a in (x_send, x_rec, edge_rep) if a.ndim == 3
+        )
+
+        def bc(a):
+            if a.ndim == 2:
+                return jnp.broadcast_to(
+                    a[:, None, :], (a.shape[0], b, a.shape[-1])
+                )
+            return a
+
+        x_send, x_rec, edge_rep = bc(x_send), bc(x_rec), bc(edge_rep)
     edge_in = jnp.concatenate([edge_rep, x_send, x_rec], axis=-1)
     messages = apply_mlp(params["edge"][0], edge_in)
     aggregated = _seg_sum_local(messages, recv_local, n_rec_local)
-    if aggr == "mean":
-        aggregated = aggregated / jnp.maximum(recv_counts, 1)[:, None]
+    counts = jnp.maximum(recv_counts, 1)
+    aggregated = aggregated / counts.reshape(
+        (-1,) + (1,) * (aggregated.ndim - 1)
+    ) if aggr == "mean" else aggregated
+    if batched and rec_rep.ndim == 2:
+        rec_rep = jnp.broadcast_to(
+            rec_rep[:, None, :],
+            (rec_rep.shape[0], aggregated.shape[1], rec_rep.shape[-1]),
+        )
     rec_diff = apply_mlp(
         params["aggr"][0],
         jnp.concatenate([rec_rep, aggregated], axis=-1),
@@ -319,8 +342,18 @@ class ShardedGraphLAM:
         model = self.model
         part = self.part
 
+        grid_static = tables["grid_static"]
+        if prev_state.ndim == 3:  # node-major batched layout
+            grid_static = jnp.broadcast_to(
+                grid_static[:, None, :],
+                (
+                    grid_static.shape[0],
+                    prev_state.shape[1],
+                    grid_static.shape[-1],
+                ),
+            )
         grid_features = jnp.concatenate(
-            (prev_state, prev_prev_state, forcing, tables["grid_static"]),
+            (prev_state, prev_prev_state, forcing, grid_static),
             axis=-1,
         )
         grid_emb = apply_mlp(params["grid_embedder"], grid_features)
@@ -400,16 +433,17 @@ class ShardedGraphLAM:
     ):
         """AR rollout on local slabs (reference:
         forecasters/autoregressive.py:109-146)."""
+        bmask = tables["boundary_mask"]
+        if init_states.ndim == 4:  # node-major batched (2, N, B, d)
+            bmask = bmask[:, None, :]
+
         def step(carry, inputs):
             prev_prev, prev = carry
             forcing_t, boundary_t = inputs
             pred, _ = self._local_step(
                 params, tables, prev, prev_prev, forcing_t
             )
-            new_state = (
-                tables["boundary_mask"] * boundary_t
-                + (1.0 - tables["boundary_mask"]) * pred
-            )
+            new_state = bmask * boundary_t + (1.0 - bmask) * pred
             return (prev, new_state), new_state
 
         (_, _), prediction = jax.lax.scan(
@@ -444,14 +478,17 @@ class ShardedGraphLAM:
                 )
                 forcing = (forcing - f_mean) / f_std
 
-            def one_sample(i, t, f):
-                pred = self._local_rollout(params, tbl, i, f, t)
-                err = ((pred - t) ** 2) / (per_var_std**2)
-                masked = err * tbl["interior_mask"]
-                return jnp.sum(masked, axis=-2)  # (T, d)
-
-            sums = jax.vmap(one_sample)(init, target_s, forcing)
-            sums = jax.lax.psum(sums, "spatial")  # (B, T, d)
+            # Node-major batched rollout: (B, T, N, d) -> (T, N, B, d)
+            init_nm = jnp.moveaxis(init, 0, 2)
+            target_nm = jnp.moveaxis(target_s, 0, 2)
+            forcing_nm = jnp.moveaxis(forcing, 0, 2)
+            pred = self._local_rollout(
+                params, tbl, init_nm, forcing_nm, target_nm
+            )  # (T, N, B, d)
+            err = ((pred - target_nm) ** 2) / (per_var_std**2)
+            masked = err * tbl["interior_mask"][:, None, :]
+            sums = jnp.sum(masked, axis=1)  # (T, B, d)
+            sums = jax.lax.psum(sums, "spatial")
             loss = jnp.mean(jnp.sum(sums / n_interior, axis=-1))
             return jax.lax.pmean(loss, "data")
 
@@ -519,11 +556,14 @@ class ShardedGraphLAM:
         )
         def run(params, tbl, init, forcing, boundary):
             tbl = jax.tree_util.tree_map(lambda a: a[0], tbl)
-            return jax.vmap(
-                lambda i, f, b: self._local_rollout(
-                    params, tbl, i, f, b
-                )
-            )(init, forcing, boundary)
+            pred = self._local_rollout(
+                params,
+                tbl,
+                jnp.moveaxis(init, 0, 2),
+                jnp.moveaxis(forcing, 0, 2),
+                jnp.moveaxis(boundary, 0, 2),
+            )  # (T, N_loc, B, d)
+            return jnp.moveaxis(pred, 2, 0)
 
         pred = run(params, tables, init_states, forcing, boundary)
         return pred[..., : self.part.n_grid, :]
