@@ -22,8 +22,6 @@ mirroring the reference's ``on_after_batch_transfer``
 from __future__ import annotations
 
 import warnings
-from typing import Optional
-
 import numpy as np
 
 from .datastore.base import BaseDatastore

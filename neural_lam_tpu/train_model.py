@@ -15,8 +15,6 @@ import sys
 import time
 from pathlib import Path
 
-import numpy as np
-
 from . import utils
 from .checkpoint import CheckpointManager
 from .config import load_config_and_datastore

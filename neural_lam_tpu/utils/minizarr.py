@@ -21,7 +21,7 @@ import json
 import struct
 import zlib
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 

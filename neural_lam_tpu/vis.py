@@ -10,7 +10,7 @@ produced in every environment.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import matplotlib
 
