@@ -130,3 +130,24 @@ def test_weather_data_module(tmp_path):
     assert val_batch[1].shape[1] == 3  # ar_steps_eval
     test_batch = next(iter(dm.test_dataloader()))
     assert test_batch[0].shape == (2, 2, 25, 3)
+
+
+def test_loader_shard_disjointness(tmp_path):
+    """Per-host shards cover each epoch exactly once with no overlap."""
+    ds = DummyDatastore(
+        n_grid_x=4, n_grid_y=4, n_timesteps=20, root_path=tmp_path
+    )
+    dataset = WeatherDataset(ds, split="train", ar_steps=1)
+    shards = [
+        DataLoader(
+            dataset, batch_size=2, shuffle=True, seed=3,
+            shard_index=i, num_shards=3, drop_last=False,
+        )
+        for i in range(3)
+    ]
+    seen = []
+    for loader in shards:
+        loader.set_epoch(5)
+        idxs = loader._epoch_indices()
+        seen.extend(idxs.tolist())
+    assert sorted(seen) == list(range(len(dataset)))

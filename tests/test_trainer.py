@@ -250,3 +250,34 @@ def test_probabilistic_training_nll(setup):
     )
     assert std is not None and std.shape == pred.shape
     assert bool(jnp.all(std > 0))
+
+
+def test_data_parallel_equivalence(setup):
+    """Loss on an 8-device data-parallel mesh equals the 1-device loss
+    (the DDP-equivalence check the reference could only mock,
+    reference: tests/test_training.py:164-229)."""
+    from jax.sharding import Mesh
+
+    ds, fc, config = setup
+    args = TrainingArgs(batch_size=8, ar_steps_train=1)
+    devices = jax.devices()
+    mesh8 = Mesh(np.array(devices[:8]), axis_names=("data",))
+    mesh1 = Mesh(np.array(devices[:1]), axis_names=("data",))
+
+    n = ds.num_grid_points
+    rng = np.random.default_rng(9)
+    batch = (
+        rng.normal(size=(8, 2, n, 3)).astype(np.float32),
+        rng.normal(size=(8, 1, n, 3)).astype(np.float32),
+        rng.normal(size=(8, 1, n, 6)).astype(np.float32),
+    )
+
+    losses = {}
+    for name, mesh in (("dp8", mesh8), ("dp1", mesh1)):
+        trainer = Trainer(fc, config, ds, args, mesh=mesh)
+        params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+        step = trainer.make_train_step()
+        db, _ = trainer.device_put_batch(batch)
+        params, opt_state, loss = step(params, opt_state, *db)
+        losses[name] = float(loss)
+    np.testing.assert_allclose(losses["dp8"], losses["dp1"], rtol=1e-5)
