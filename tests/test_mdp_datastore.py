@@ -236,3 +236,59 @@ def test_weather_dataset_on_mdp(store):
     assert init.shape == (2, N_GRID, N_STATE)
     assert target.shape == (2, N_GRID, N_STATE)
     assert forcing.shape == (2, N_GRID, N_FORCING * 3)
+
+
+def _make_blosc_frame(data: bytes, typesize=4, codec_id=4, shuffle=False,
+                      memcpy=False):
+    """Construct a blosc1 frame per the decoder's documented layout.
+
+    NOTE: validates our decoder's self-consistency; real-world blosc
+    compatibility is exercised only when reading actual blosc stores.
+    """
+    import struct
+    import zstandard
+
+    payload = data
+    if shuffle:
+        n = len(data) // typesize
+        payload = (
+            np.frombuffer(data, np.uint8)
+            .reshape(n, typesize)
+            .T.tobytes()
+        )
+    flags = (0x1 if shuffle else 0) | (0x2 if memcpy else 0) | (
+        codec_id << 5
+    )
+    if memcpy:
+        header = struct.pack(
+            "<BBBBIII", 2, 1, flags, typesize, len(data),
+            len(data), len(data) + 16,
+        )
+        return header + data
+    comp = zstandard.ZstdCompressor().compress(payload)
+    blocksize = len(payload)
+    # header + 1-entry block table + int32 csize prefix + stream
+    header = struct.pack(
+        "<BBBBIII", 2, 1, flags, typesize, len(payload), blocksize,
+        16 + 4 + 4 + len(comp),
+    )
+    bstart = struct.pack("<i", 16 + 4)  # block starts after table
+    return header + bstart + struct.pack("<i", len(comp)) + comp
+
+
+@pytest.mark.parametrize("shuffle", [False, True])
+def test_blosc_zstd_chunk_decoding(shuffle):
+    from neural_lam_tpu.utils.minizarr import _blosc_decompress
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=256).astype(np.float32).tobytes()
+    frame = _make_blosc_frame(data, typesize=4, shuffle=shuffle)
+    assert _blosc_decompress(frame) == data
+
+
+def test_blosc_memcpy_chunk_decoding():
+    from neural_lam_tpu.utils.minizarr import _blosc_decompress
+
+    data = bytes(range(256)) * 4
+    frame = _make_blosc_frame(data, memcpy=True)
+    assert _blosc_decompress(frame) == data
