@@ -43,7 +43,7 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class EdgeSet:
     """Static, padded edge connectivity in blocked-CSR order.
 
@@ -71,6 +71,13 @@ class EdgeSet:
     send_layout: Optional[BlockedLayout] = None
     rslot_of_sslot: Optional[jax.Array] = None
     num_send: Optional[int] = None
+    # Per-instance cache of compiled gather/aggregate closures built by
+    # ops.segment. Living on the instance (not a module-level id()-keyed
+    # dict) ties each closure's lifetime to its edge set, so a recycled
+    # id() can never serve a stale closure built for a different graph.
+    fn_cache: dict = dataclasses.field(
+        default_factory=dict, repr=False, compare=False
+    )
 
     @property
     def num_padded(self) -> int:

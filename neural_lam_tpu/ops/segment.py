@@ -27,9 +27,8 @@ from .pallas_segment import (
 if TYPE_CHECKING:  # pragma: no cover
     from .interaction import EdgeSet
 
-# id(layout or edge_set) -> cached callable
-_SEG_CACHE: dict[int, object] = {}
-_GATHER_CACHE: dict[tuple[int, str], object] = {}
+# Compiled closures are cached on each EdgeSet instance (``fn_cache``),
+# keyed by role, so their lifetime is exactly the edge set's.
 
 
 def _pallas_enabled() -> bool:
@@ -95,14 +94,14 @@ def aggregate_sum(edge_set: "EdgeSet", messages: jax.Array) -> jax.Array:
     """Per-receiver sums of ``(E_pad, [B,] D)`` messages."""
     layout = edge_set.layout
     if layout is not None and _pallas_enabled():
-        key = id(layout)
-        if key not in _SEG_CACHE:
-            _SEG_CACHE[key] = _fold_rows(
+        key = ("seg", _interpret_mode())
+        if key not in edge_set.fn_cache:
+            edge_set.fn_cache[key] = _fold_rows(
                 make_blocked_segment_sum(
                     layout, interpret=_interpret_mode()
                 )
             )
-        return _SEG_CACHE[key](messages)
+        return edge_set.fn_cache[key](messages)
     return segment_sum(
         messages,
         edge_set.receivers,
@@ -119,8 +118,8 @@ def gather_senders(edge_set: "EdgeSet", send_rep: jax.Array) -> jax.Array:
     Pallas kernel over a sender-sorted blocked layout.
     """
     if edge_set.send_layout is not None and _pallas_enabled():
-        key = (id(edge_set), "send")
-        if key not in _GATHER_CACHE:
+        key = ("send", _interpret_mode())
+        if key not in edge_set.fn_cache:
             layout = edge_set.send_layout
             senders = edge_set.senders
             rslot = edge_set.rslot_of_sslot
@@ -151,8 +150,8 @@ def gather_senders(edge_set: "EdgeSet", send_rep: jax.Array) -> jax.Array:
                 )
 
             gather.defvjp(fwd, bwd)
-            _GATHER_CACHE[key] = _fold_rows(gather)
-        return _GATHER_CACHE[key](send_rep)
+            edge_set.fn_cache[key] = _fold_rows(gather)
+        return edge_set.fn_cache[key](send_rep)
     return send_rep[edge_set.senders]
 
 
@@ -163,8 +162,8 @@ def gather_receivers(edge_set: "EdgeSet", rec_rep: jax.Array) -> jax.Array:
     segment sum, so it reuses the forward aggregation kernel.
     """
     if edge_set.layout is not None and _pallas_enabled():
-        key = (id(edge_set), "recv")
-        if key not in _GATHER_CACHE:
+        key = ("recv", _interpret_mode())
+        if key not in edge_set.fn_cache:
             layout = edge_set.layout
             interpret = _interpret_mode()
 
@@ -189,8 +188,8 @@ def gather_receivers(edge_set: "EdgeSet", rec_rep: jax.Array) -> jax.Array:
                 )
 
             gather.defvjp(fwd, bwd)
-            _GATHER_CACHE[key] = _fold_rows(gather)
-        return _GATHER_CACHE[key](rec_rep)
+            edge_set.fn_cache[key] = _fold_rows(gather)
+        return edge_set.fn_cache[key](rec_rep)
     return rec_rep[edge_set.recv_gather]
 
 

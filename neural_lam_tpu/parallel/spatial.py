@@ -257,6 +257,21 @@ class ShardedGraphLAM:
         loss_interior_count: Optional[int] = None,
     ) -> None:
         assert "spatial" in mesh.axis_names, "mesh needs a 'spatial' axis"
+        # The sharded step currently implements InteractionNet residual
+        # wiring with sum aggregation for g2m/m2g and the weighted-MSE
+        # objective only; reject configurations whose math would silently
+        # diverge from the replicated model.
+        if model.g2m_propagation or model.m2g_propagation:
+            raise NotImplementedError(
+                "spatial sharding supports InteractionNet g2m/m2g only "
+                "(PropagationNet residual wiring is not implemented in "
+                "the sharded step)"
+            )
+        if model.output_std:
+            raise NotImplementedError(
+                "spatial sharding trains the weighted-MSE objective; "
+                "output_std/NLL models are not supported sharded"
+            )
         self.model = model
         self.mesh = mesh
         self.n_shards = mesh.shape["spatial"]

@@ -48,7 +48,6 @@ class TrainingArgs:
     loss: str = "wmse"
     val_interval: int = 1
     val_steps_to_log: tuple[int, ...] = (1, 2, 3, 5, 10)
-    grad_checkpointing: bool = True
     # "32" (reference default) or "bf16": cast params + batch to
     # bfloat16 inside the step (f32 master params/optimizer state);
     # build the model with compute_dtype=bf16 to match.

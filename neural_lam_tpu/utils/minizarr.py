@@ -128,25 +128,35 @@ def _blosc_decompress(data: bytes) -> bytes:
             block = _decompress_blosc_block(
                 data, start, bsize, codec, typesize, byte_shuffle
             )
+            if byte_shuffle and typesize > 1:
+                # The shuffle filter operates block-by-block in c-blosc
+                # (shuffle.c): each block's typesize byte planes are
+                # interleaved independently, with any tail bytes not
+                # filling a whole element copied through unshuffled.
+                block = _byte_unshuffle(block, typesize)
             out_parts.append(block)
             remaining -= bsize
         out = b"".join(out_parts)
-
-    if byte_shuffle and typesize > 1 and not memcpyed:
-        from ..native import get_fastcodec
-
-        mod = get_fastcodec()
-        if mod is not None and len(out) % typesize == 0:
-            out = mod.byte_unshuffle(out, typesize)
-        else:
-            arr = np.frombuffer(out, dtype=np.uint8)
-            n_elem = len(out) // typesize
-            out = (
-                arr[: n_elem * typesize]
-                .reshape(typesize, n_elem)
-                .T.tobytes()
-            )
     return out
+
+
+def _byte_unshuffle(block: bytes, typesize: int) -> bytes:
+    """Invert c-blosc's per-block byte shuffle.
+
+    The shuffled region covers ``(len // typesize) * typesize`` bytes
+    laid out plane-major (all first bytes, then all second bytes, ...);
+    leftover tail bytes are stored verbatim after the planes.
+    """
+    n_elem = len(block) // typesize
+    body = n_elem * typesize
+    tail = block[body:]
+    from ..native import get_fastcodec
+
+    mod = get_fastcodec()
+    if mod is not None:
+        return mod.byte_unshuffle(block[:body], typesize) + tail
+    arr = np.frombuffer(block, dtype=np.uint8, count=body)
+    return arr.reshape(typesize, n_elem).T.tobytes() + tail
 
 
 def _decompress_blosc_block(

@@ -238,9 +238,23 @@ def test_weather_dataset_on_mdp(store):
     assert forcing.shape == (2, N_GRID, N_FORCING * 3)
 
 
+def _shuffle_bytes(block: bytes, typesize: int) -> bytes:
+    """c-blosc per-block byte shuffle: planes of first/second/... bytes,
+    tail bytes not filling a whole element copied through verbatim."""
+    n = len(block) // typesize
+    body = n * typesize
+    return (
+        np.frombuffer(block[:body], np.uint8).reshape(n, typesize).T.tobytes()
+        + block[body:]
+    )
+
+
 def _make_blosc_frame(data: bytes, typesize=4, codec_id=4, shuffle=False,
-                      memcpy=False):
+                      memcpy=False, blocksize=None):
     """Construct a blosc1 frame per the decoder's documented layout.
+
+    ``blocksize`` < len(data) produces a multi-block frame; the shuffle
+    filter is applied per block, exactly as c-blosc does.
 
     NOTE: validates our decoder's self-consistency; real-world blosc
     compatibility is exercised only when reading actual blosc stores.
@@ -248,14 +262,6 @@ def _make_blosc_frame(data: bytes, typesize=4, codec_id=4, shuffle=False,
     import struct
     import zstandard
 
-    payload = data
-    if shuffle:
-        n = len(data) // typesize
-        payload = (
-            np.frombuffer(data, np.uint8)
-            .reshape(n, typesize)
-            .T.tobytes()
-        )
     flags = (0x1 if shuffle else 0) | (0x2 if memcpy else 0) | (
         codec_id << 5
     )
@@ -265,15 +271,26 @@ def _make_blosc_frame(data: bytes, typesize=4, codec_id=4, shuffle=False,
             len(data), len(data) + 16,
         )
         return header + data
-    comp = zstandard.ZstdCompressor().compress(payload)
-    blocksize = len(payload)
-    # header + 1-entry block table + int32 csize prefix + stream
+    if blocksize is None:
+        blocksize = len(data)
+    nblocks = -(-len(data) // blocksize)
+    streams = []
+    for b in range(nblocks):
+        block = data[b * blocksize : (b + 1) * blocksize]
+        if shuffle:
+            block = _shuffle_bytes(block, typesize)
+        comp = zstandard.ZstdCompressor().compress(block)
+        streams.append(struct.pack("<i", len(comp)) + comp)
+    table_end = 16 + 4 * nblocks
+    bstarts, pos = [], table_end
+    for s in streams:
+        bstarts.append(pos)
+        pos += len(s)
     header = struct.pack(
-        "<BBBBIII", 2, 1, flags, typesize, len(payload), blocksize,
-        16 + 4 + 4 + len(comp),
+        "<BBBBIII", 2, 1, flags, typesize, len(data), blocksize, pos,
     )
-    bstart = struct.pack("<i", 16 + 4)  # block starts after table
-    return header + bstart + struct.pack("<i", len(comp)) + comp
+    table = struct.pack(f"<{nblocks}i", *bstarts)
+    return header + table + b"".join(streams)
 
 
 @pytest.mark.parametrize("shuffle", [False, True])
@@ -283,6 +300,22 @@ def test_blosc_zstd_chunk_decoding(shuffle):
     rng = np.random.default_rng(7)
     data = rng.normal(size=256).astype(np.float32).tobytes()
     frame = _make_blosc_frame(data, typesize=4, shuffle=shuffle)
+    assert _blosc_decompress(frame) == data
+
+
+@pytest.mark.parametrize("tail", [0, 3])
+def test_blosc_multiblock_shuffled_decoding(tail):
+    """Shuffled frames with nbytes > blocksize must unshuffle per block
+    (regression: a single frame-wide unshuffle scrambles every multi-
+    block chunk while keeping the length correct)."""
+    from neural_lam_tpu.utils.minizarr import _blosc_decompress
+
+    rng = np.random.default_rng(11)
+    data = rng.normal(size=300).astype(np.float32).tobytes()
+    if tail:
+        data += bytes(range(tail))  # last element split across blocks
+    frame = _make_blosc_frame(data, typesize=4, shuffle=True, blocksize=512)
+    assert len(data) > 512  # really multi-block
     assert _blosc_decompress(frame) == data
 
 
