@@ -21,6 +21,7 @@ gather -> MLP -> segment-sum chain.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional, Sequence
 
 import jax
@@ -28,8 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mlp import MLPParams, apply_mlp, apply_mlp_split_first, init_mlp
+from .pallas_fused import fusable, make_fused_interaction
 from .pallas_segment import BlockedLayout, build_blocked_layout
 from .segment import (
+    _interpret_mode,
+    _pallas_enabled,
     aggregate_mean,
     aggregate_sum,
     gather_receivers,
@@ -258,6 +262,27 @@ def _apply_chunked(
     return jnp.concatenate(outs, axis=0)
 
 
+def _use_fused(params, edge_set, send_rep, rec_rep, edge_rep) -> bool:
+    """Route through the fused Pallas edge kernel when the configuration
+    matches what it implements (blocked layout, single 2-layer edge MLP,
+    uniform feature width). ``NEURAL_LAM_TPU_FUSED=off`` forces the
+    separate-kernel path (used by equivalence tests)."""
+    if os.environ.get("NEURAL_LAM_TPU_FUSED", "auto") == "off":
+        return False
+    if edge_set.layout is None or not _pallas_enabled():
+        return False
+    if len(params["edge"]) != 1 or len(params["aggr"]) != 1:
+        return False
+    if not fusable(params["edge"][0]):
+        return False
+    h = params["edge"][0]["layers"][1]["w"].shape[1]
+    return (
+        send_rep.shape[-1] == h
+        and rec_rep.shape[-1] == h
+        and edge_rep.shape[-1] == h
+    )
+
+
 def apply_interaction_net(
     params: InteractionNetParams,
     edge_set: EdgeSet,
@@ -309,6 +334,40 @@ def apply_interaction_net(
         edge_rep = bcast(edge_rep, edge_rep.shape[0])
 
     x_send = gather_senders(edge_set, send_rep)  # (E_pad, [B,] d)
+
+    if _use_fused(params, edge_set, send_rep, rec_rep, edge_rep):
+        # Single-kernel edge phase: receiver gather + edge MLP +
+        # aggregation (+ edge residual) with no per-edge HBM
+        # intermediates. See ops/pallas_fused.py.
+        key = ("fused", update_edges, propagation, _interpret_mode())
+        if key not in edge_set.fn_cache:
+            edge_set.fn_cache[key] = make_fused_interaction(
+                edge_set.layout,
+                update_edges=update_edges,
+                propagation=propagation,
+                interpret=_interpret_mode(),
+            )
+        aggregated, new_edge = edge_set.fn_cache[key](
+            params["edge"][0], edge_rep, x_send, rec_rep
+        )
+        if aggr == "mean":
+            counts = jnp.maximum(edge_set.recv_counts, 1).astype(
+                aggregated.dtype
+            )
+            aggregated = aggregated / counts.reshape(
+                (-1,) + (1,) * (aggregated.ndim - 1)
+            )
+        rec_diff = _apply_chunked(
+            params["aggr"],
+            jnp.concatenate([rec_rep, aggregated], axis=-1),
+            aggr_chunk_sizes,
+        )
+        residual_base = aggregated if propagation else rec_rep
+        new_rec = residual_base + rec_diff
+        if update_edges:
+            return new_rec, new_edge
+        return new_rec
+
     x_rec = gather_receivers(edge_set, rec_rep)  # (E_pad, [B,] d)
     if len(params["edge"]) == 1:
         # Split-weight first layer: avoids materialising the 3x-wide

@@ -1,0 +1,708 @@
+"""Fused interaction-net Pallas TPU kernel.
+
+One kernel application = one full GNN edge phase: receiver-feature
+gather -> 2-layer edge MLP (with LayerNorm) -> sum aggregation (and the
+optional edge-residual update), computed per receiver-sorted edge chunk
+with the receiver block resident in VMEM. This replaces the chain
+``gather_receivers`` -> ``apply_mlp_split_first`` -> ``aggregate_sum``
+of three separate kernels/ops, whose per-edge intermediates
+(``x_rec``, ``h1``, ``messages``) each round-tripped through HBM — the
+dominant cost at hidden_dim 64, where the op is bandwidth-bound
+(docs/performance.md "Roofline position"). The reference delegates this
+edge phase to PyG's native scatter engine
+(reference: neural_lam/gnn_layers.py:111-190); here it is a single
+Mosaic kernel designed around the MXU:
+
+- edges live in the receiver-sorted blocked-CSR order of
+  :class:`~neural_lam_tpu.ops.pallas_segment.BlockedLayout`; the
+  receiver gather and the aggregation are per-chunk one-hot matmuls
+  against the resident receiver/output block (the formulation Mosaic
+  supports, unlike dynamic VMEM row gathers),
+- the batch is folded into lanes (node-major ``(N, B, D)`` ->
+  ``(N, B*D)``) and per-edge matmuls use block-diagonal
+  ``kron(I_groups, W)`` weights, so every matmul runs at full lane
+  width regardless of the (small) feature dim,
+- LayerNorm statistics are computed with a block-diagonal averaging
+  matmul (``kron(I_groups, 11^T/D)``) — per-64-lane-group reductions
+  are MXU-friendly where cross-lane segmented reductions are not,
+- wide lane counts are processed in stripes (outer grid dim), bounding
+  VMEM at large batch and keeping the weight blocks <= 256 lanes.
+
+The backward kernel recomputes the forward per chunk (remat: the
+recompute is MXU-bound and cheaper than round-tripping activations)
+and emits per-edge input grads, the block-accumulated receiver grad,
+and grid-accumulated weight/bias/LN grads.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_segment import BlockedLayout
+
+_LN_EPS = 1e-5  # matches ops.mlp._LN_EPS / torch LayerNorm
+
+
+def _stripe_groups(total_groups: int, feat_dim: int) -> int:
+    """Groups per stripe: the largest divisor of ``total_groups`` whose
+    stripe width stays <= 256 lanes (one stripe if feat_dim >= 256)."""
+    cap = max(1, 256 // feat_dim)
+    g = min(total_groups, cap)
+    while total_groups % g:
+        g -= 1
+    return g
+
+
+def _block_diag(w: jax.Array, groups: int) -> jax.Array:
+    """``kron(I_groups, w)``: one weight matmul for all lane groups."""
+    if groups == 1:
+        return w
+    return jnp.kron(jnp.eye(groups, dtype=w.dtype), w)
+
+
+def _group_mean_matrix(groups: int, feat_dim: int) -> jax.Array:
+    """Block-diagonal ``11^T / D``: right-multiplying broadcasts each
+    64-lane group's mean back across the group."""
+    ones = jnp.full((feat_dim, feat_dim), 1.0 / feat_dim, jnp.float32)
+    return _block_diag(ones, groups)
+
+
+def _tile_vec(v: jax.Array, groups: int) -> jax.Array:
+    return jnp.tile(v.astype(jnp.float32), groups)[None, :]
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+def _fused_fwd_kernel(
+    chunk_block_ref,
+    ids_ref,
+    edge_ref,
+    send_ref,
+    rec_ref,
+    w1e_ref,
+    w1s_ref,
+    w1r_ref,
+    b1_ref,
+    w2_ref,
+    b2_ref,
+    gamma_ref,
+    beta_ref,
+    mmat_ref,
+    *out_refs,
+    block_rows,
+    chunk_edges,
+    layer_norm,
+    update_edges,
+    propagation,
+):
+    aggr_ref = out_refs[0]
+    c = pl.program_id(1)
+    prev = chunk_block_ref[jnp.maximum(c - 1, 0)]
+    is_first = jnp.logical_or(c == 0, chunk_block_ref[c] != prev)
+
+    @pl.when(is_first)
+    def _():
+        aggr_ref[:] = jnp.zeros_like(aggr_ref)
+
+    ids = ids_ref[:]  # (1, C) int32, -1 = dead slot
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (block_rows, chunk_edges), dimension=0
+    )
+    one_hot_t = (ids == rows).astype(jnp.float32)  # (N_b, C)
+
+    # Project the resident receiver block, then one-hot-gather projected
+    # rows (projection and selection commute; projecting first keeps the
+    # matmul at block size, not chunk size).
+    rec_proj = jnp.dot(
+        rec_ref[:], w1r_ref[:], preferred_element_type=jnp.float32
+    )
+    gathered = jax.lax.dot_general(
+        one_hot_t,
+        rec_proj,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (C, S)
+
+    pre = (
+        jnp.dot(edge_ref[:], w1e_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(send_ref[:], w1s_ref[:], preferred_element_type=jnp.float32)
+        + gathered
+        + b1_ref[:]
+    )
+    h1 = jax.nn.silu(pre)
+    z = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    if layer_norm:
+        mu = jnp.dot(z, mmat_ref[:], preferred_element_type=jnp.float32)
+        cz = z - mu
+        var = jnp.dot(
+            cz * cz, mmat_ref[:], preferred_element_type=jnp.float32
+        )
+        msg = cz * jax.lax.rsqrt(var + _LN_EPS) * gamma_ref[:] + beta_ref[:]
+    else:
+        msg = z
+    if propagation:
+        # reference: neural_lam/gnn_layers.py:242-250 (sender residual)
+        msg = msg + send_ref[:]
+    if update_edges:
+        out_refs[1][:] = edge_ref[:] + msg
+    aggr_ref[:] += jnp.dot(
+        one_hot_t, msg, preferred_element_type=jnp.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# backward kernel (recompute + grads)
+# ---------------------------------------------------------------------------
+def _fused_bwd_kernel(
+    chunk_block_ref,
+    ids_ref,
+    edge_ref,
+    send_ref,
+    rec_ref,
+    d_aggr_ref,
+    w1e_ref,
+    w1s_ref,
+    w1r_ref,
+    b1_ref,
+    w2_ref,
+    b2_ref,
+    gamma_ref,
+    mmat_ref,
+    *rest_refs,
+    block_rows,
+    chunk_edges,
+    layer_norm,
+    update_edges,
+    propagation,
+):
+    idx = 0
+    d_new_edge_ref = None
+    if update_edges:
+        d_new_edge_ref = rest_refs[idx]
+        idx += 1
+    (
+        d_edge_ref,
+        d_send_ref,
+        d_recproj_ref,
+        dw1e_ref,
+        dw1s_ref,
+        dw2_ref,
+        db1_ref,
+        db2_ref,
+        dgamma_ref,
+        dbeta_ref,
+    ) = rest_refs[idx : idx + 10]
+
+    s = pl.program_id(0)
+    c = pl.program_id(1)
+    prev = chunk_block_ref[jnp.maximum(c - 1, 0)]
+    is_first = jnp.logical_or(c == 0, chunk_block_ref[c] != prev)
+    very_first = jnp.logical_and(s == 0, c == 0)
+
+    @pl.when(is_first)
+    def _():
+        d_recproj_ref[:] = jnp.zeros_like(d_recproj_ref)
+
+    @pl.when(very_first)
+    def _():
+        dw1e_ref[:] = jnp.zeros_like(dw1e_ref)
+        dw1s_ref[:] = jnp.zeros_like(dw1s_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dgamma_ref[:] = jnp.zeros_like(dgamma_ref)
+        dbeta_ref[:] = jnp.zeros_like(dbeta_ref)
+
+    ids = ids_ref[:]
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (block_rows, chunk_edges), dimension=0
+    )
+    one_hot_t = (ids == rows).astype(jnp.float32)
+
+    # --- recompute forward ------------------------------------------------
+    rec_proj = jnp.dot(
+        rec_ref[:], w1r_ref[:], preferred_element_type=jnp.float32
+    )
+    gathered = jax.lax.dot_general(
+        one_hot_t,
+        rec_proj,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    pre = (
+        jnp.dot(edge_ref[:], w1e_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(send_ref[:], w1s_ref[:], preferred_element_type=jnp.float32)
+        + gathered
+        + b1_ref[:]
+    )
+    h1 = jax.nn.silu(pre)
+    z = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+
+    # --- message gradient -------------------------------------------------
+    d_msg = jax.lax.dot_general(
+        one_hot_t,
+        d_aggr_ref[:],
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if update_edges:
+        d_msg = d_msg + d_new_edge_ref[:]
+
+    if layer_norm:
+        mu = jnp.dot(z, mmat_ref[:], preferred_element_type=jnp.float32)
+        cz = z - mu
+        var = jnp.dot(
+            cz * cz, mmat_ref[:], preferred_element_type=jnp.float32
+        )
+        rinv = jax.lax.rsqrt(var + _LN_EPS)
+        xhat = cz * rinv
+        d_xhat = d_msg * gamma_ref[:]
+        m1 = jnp.dot(d_xhat, mmat_ref[:], preferred_element_type=jnp.float32)
+        m2 = jnp.dot(
+            d_xhat * xhat, mmat_ref[:], preferred_element_type=jnp.float32
+        )
+        dz = rinv * (d_xhat - m1 - xhat * m2)
+        dgamma_ref[:] += jnp.sum(d_msg * xhat, axis=0, keepdims=True)
+        dbeta_ref[:] += jnp.sum(d_msg, axis=0, keepdims=True)
+    else:
+        dz = d_msg
+
+    d_h1 = jax.lax.dot_general(
+        dz,
+        w2_ref[:],
+        (((1,), (1,)), ((), ())),  # dz @ W2^T
+        preferred_element_type=jnp.float32,
+    )
+    dw2_ref[:] += jax.lax.dot_general(
+        h1, dz, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db2_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+
+    sig = jax.nn.sigmoid(pre)
+    d_pre = d_h1 * (sig * (1.0 + pre * (1.0 - sig)))
+
+    d_send = jax.lax.dot_general(
+        d_pre, w1s_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if propagation:
+        d_send = d_send + d_msg
+    d_send_ref[:] = d_send
+
+    d_edge = jax.lax.dot_general(
+        d_pre, w1e_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if update_edges:
+        d_edge = d_edge + d_new_edge_ref[:]
+    d_edge_ref[:] = d_edge
+
+    dw1e_ref[:] += jax.lax.dot_general(
+        edge_ref[:], d_pre, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw1s_ref[:] += jax.lax.dot_general(
+        send_ref[:], d_pre, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1_ref[:] += jnp.sum(d_pre, axis=0, keepdims=True)
+    d_recproj_ref[:] += jnp.dot(
+        one_hot_t, d_pre, preferred_element_type=jnp.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+def _prep_weights(mlp_params: dict, groups: int, feat_dim: int):
+    """Block-diagonal weight stripes + tiled bias/LN rows (all f32)."""
+    layers = mlp_params["layers"]
+    w1 = layers[0]["w"].astype(jnp.float32)
+    w1e, w1s, w1r = jnp.split(w1, 3, axis=0)
+    ln = mlp_params["ln"]
+    hidden = w1.shape[1]
+    if ln is not None:
+        gamma, beta = ln["scale"], ln["bias"]
+    else:
+        gamma = jnp.ones((hidden,), jnp.float32)
+        beta = jnp.zeros((hidden,), jnp.float32)
+    return dict(
+        w1e=_block_diag(w1e, groups),
+        w1s=_block_diag(w1s, groups),
+        w1r=_block_diag(w1r, groups),
+        b1=_tile_vec(layers[0]["b"], groups),
+        w2=_block_diag(layers[1]["w"].astype(jnp.float32), groups),
+        b2=_tile_vec(layers[1]["b"], groups),
+        gamma=_tile_vec(gamma, groups),
+        beta=_tile_vec(beta, groups),
+        mmat=_group_mean_matrix(groups, feat_dim),
+    )
+
+
+def _pad_rows(x: jax.Array, rows: int) -> jax.Array:
+    pad = rows - x.shape[0]
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+        )
+    return x
+
+
+def _fused_fwd_impl(
+    layout: BlockedLayout,
+    edge2d: jax.Array,
+    send2d: jax.Array,
+    rec2d: jax.Array,
+    wb: dict,
+    stripe: int,
+    *,
+    layer_norm: bool,
+    update_edges: bool,
+    propagation: bool,
+    interpret: bool,
+):
+    lanes = edge2d.shape[1]
+    n_stripes = lanes // stripe
+    n_chunks = int(layout.chunk_block.shape[0])
+    out_rows = layout.num_blocks * layout.block_rows
+    rec_pad = _pad_rows(rec2d, out_rows)
+    ce, br = layout.chunk_edges, layout.block_rows
+
+    def cix(s, c, cb):
+        return (c, s)
+
+    def bix(s, c, cb):
+        return (cb[c], s)
+
+    const = lambda s, c, cb: (0, 0)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, ce), lambda s, c, cb: (0, c),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((ce, stripe), cix, memory_space=pltpu.VMEM),  # edge
+        pl.BlockSpec((ce, stripe), cix, memory_space=pltpu.VMEM),  # send
+        pl.BlockSpec((br, stripe), bix, memory_space=pltpu.VMEM),  # rec
+        pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, stripe), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, stripe), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, stripe), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, stripe), const, memory_space=pltpu.VMEM),
+        pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM),
+    ]
+    out_specs = [pl.BlockSpec((br, stripe), bix, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((out_rows, lanes), jnp.float32)]
+    if update_edges:
+        out_specs.append(
+            pl.BlockSpec((ce, stripe), cix, memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((layout.num_blocked, lanes), jnp.float32)
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_stripes, n_chunks),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+    )
+    kernel = functools.partial(
+        _fused_fwd_kernel,
+        block_rows=br,
+        chunk_edges=ce,
+        layer_norm=layer_norm,
+        update_edges=update_edges,
+        propagation=propagation,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(
+        layout.chunk_block,
+        layout.local_ids,
+        edge2d,
+        send2d,
+        rec_pad,
+        wb["w1e"],
+        wb["w1s"],
+        wb["w1r"],
+        wb["b1"],
+        wb["w2"],
+        wb["b2"],
+        wb["gamma"],
+        wb["beta"],
+        wb["mmat"],
+    )
+    aggregated = outs[0][: layout.num_rec]
+    new_edge = outs[1] if update_edges else None
+    return aggregated, new_edge
+
+
+def _fused_bwd_impl(
+    layout: BlockedLayout,
+    edge2d: jax.Array,
+    send2d: jax.Array,
+    rec2d: jax.Array,
+    wb: dict,
+    d_aggr: jax.Array,
+    d_new_edge,
+    stripe: int,
+    *,
+    layer_norm: bool,
+    update_edges: bool,
+    propagation: bool,
+    interpret: bool,
+):
+    lanes = edge2d.shape[1]
+    n_stripes = lanes // stripe
+    n_chunks = int(layout.chunk_block.shape[0])
+    out_rows = layout.num_blocks * layout.block_rows
+    rec_pad = _pad_rows(rec2d, out_rows)
+    d_aggr_pad = _pad_rows(d_aggr.astype(jnp.float32), out_rows)
+    ce, br = layout.chunk_edges, layout.block_rows
+
+    def cix(s, c, cb):
+        return (c, s)
+
+    def bix(s, c, cb):
+        return (cb[c], s)
+
+    const = lambda s, c, cb: (0, 0)  # noqa: E731
+    cspec = pl.BlockSpec((ce, stripe), cix, memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((br, stripe), bix, memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, stripe), const, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, ce), lambda s, c, cb: (0, c),
+                     memory_space=pltpu.VMEM),
+        cspec,  # edge
+        cspec,  # send
+        bspec,  # rec
+        bspec,  # d_aggr
+        wspec,  # w1e
+        wspec,  # w1s
+        wspec,  # w1r
+        vspec,  # b1
+        wspec,  # w2
+        vspec,  # b2
+        vspec,  # gamma
+        wspec,  # mmat
+    ]
+    operands = [
+        layout.chunk_block,
+        layout.local_ids,
+        edge2d,
+        send2d,
+        rec_pad,
+        d_aggr_pad,
+        wb["w1e"],
+        wb["w1s"],
+        wb["w1r"],
+        wb["b1"],
+        wb["w2"],
+        wb["b2"],
+        wb["gamma"],
+        wb["mmat"],
+    ]
+    if update_edges:
+        in_specs.append(cspec)
+        operands.append(d_new_edge.astype(jnp.float32))
+
+    e_rows = layout.num_blocked
+    out_specs = (
+        cspec,  # d_edge
+        cspec,  # d_send
+        bspec,  # d_recproj
+        wspec,  # dw1e
+        wspec,  # dw1s
+        wspec,  # dw2
+        vspec,  # db1
+        vspec,  # db2
+        vspec,  # dgamma
+        vspec,  # dbeta
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((e_rows, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((e_rows, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((out_rows, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((stripe, stripe), jnp.float32),
+        jax.ShapeDtypeStruct((stripe, stripe), jnp.float32),
+        jax.ShapeDtypeStruct((stripe, stripe), jnp.float32),
+        jax.ShapeDtypeStruct((1, stripe), jnp.float32),
+        jax.ShapeDtypeStruct((1, stripe), jnp.float32),
+        jax.ShapeDtypeStruct((1, stripe), jnp.float32),
+        jax.ShapeDtypeStruct((1, stripe), jnp.float32),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_stripes, n_chunks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    kernel = functools.partial(
+        _fused_bwd_kernel,
+        block_rows=br,
+        chunk_edges=ce,
+        layer_norm=layer_norm,
+        update_edges=update_edges,
+        propagation=propagation,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+
+
+def _sum_diag_blocks(acc: jax.Array, d_in: int, d_out: int) -> jax.Array:
+    """Sum the diagonal ``(d_in, d_out)`` blocks of a block-structured
+    ``(g*d_in, g*d_out)`` accumulation (the true weight grad under the
+    ``kron(I_g, W)`` parameterisation)."""
+    g = acc.shape[0] // d_in
+    return jnp.einsum("gigo->io", acc.reshape(g, d_in, g, d_out))
+
+
+def _fold_groups(vec_acc: jax.Array, dim: int) -> jax.Array:
+    """(1, g*dim) accumulated row -> (dim,) by summing groups."""
+    return vec_acc.reshape(-1, dim).sum(axis=0)
+
+
+def fusable(mlp_params: dict) -> bool:
+    """True if the edge MLP has the 2-linear-layer shape the fused
+    kernel implements (the ``hidden_layers=1`` default)."""
+    layers = mlp_params["layers"]
+    if len(layers) != 2:
+        return False
+    d3, h = layers[0]["w"].shape
+    if d3 != 3 * h:  # edge/send/rec parts must all be hidden-width
+        return False
+    if layers[1]["w"].shape != (h, h):
+        return False
+    return True
+
+
+def make_fused_interaction(
+    layout: BlockedLayout,
+    *,
+    update_edges: bool,
+    propagation: bool,
+    interpret: bool,
+):
+    """Build the differentiable fused edge phase for one edge set.
+
+    Returns ``fused(mlp_params, edge_rep, x_send, rec_rep) ->
+    (aggregated_sum, new_edge | None)`` on node-major arrays
+    (``(E, [B,] D)`` / ``(N_rec, [B,] D)``). Aggregation is always the
+    *sum*; mean (propagation) is divided outside so its gradient is
+    handled by autodiff.
+    """
+
+    def run(mlp_params, edge_rep, x_send, rec_rep):
+        batched = edge_rep.ndim == 3
+        in_dtype = edge_rep.dtype
+        feat = edge_rep.shape[-1]
+        if batched:
+            b = edge_rep.shape[1]
+            fold = lambda x: x.reshape(x.shape[0], b * feat)  # noqa: E731
+        else:
+            fold = lambda x: x  # noqa: E731
+        groups = (edge_rep.shape[1] if batched else 1)
+        stripe_g = _stripe_groups(groups, feat)
+        stripe = stripe_g * feat
+
+        e2 = fold(edge_rep).astype(jnp.float32)
+        s2 = fold(x_send).astype(jnp.float32)
+        r2 = fold(rec_rep).astype(jnp.float32)
+        ln = mlp_params["ln"] is not None
+
+        @jax.custom_vjp
+        def fused(params, e2d, s2d, r2d):
+            wb = _prep_weights(params, stripe_g, feat)
+            return _fused_fwd_impl(
+                layout, e2d, s2d, r2d, wb, stripe,
+                layer_norm=ln,
+                update_edges=update_edges,
+                propagation=propagation,
+                interpret=interpret,
+            )
+
+        def fwd(params, e2d, s2d, r2d):
+            return fused(params, e2d, s2d, r2d), (params, e2d, s2d, r2d)
+
+        def bwd(res, grads):
+            params, e2d, s2d, r2d = res
+            d_aggr, d_new_edge = grads
+            wb = _prep_weights(params, stripe_g, feat)
+            outs = _fused_bwd_impl(
+                layout, e2d, s2d, r2d, wb, d_aggr, d_new_edge, stripe,
+                layer_norm=ln,
+                update_edges=update_edges,
+                propagation=propagation,
+                interpret=interpret,
+            )
+            (d_edge, d_send, d_recproj, dw1e_a, dw1s_a, dw2_a,
+             db1_a, db2_a, dg_a, dbeta_a) = outs
+            hidden = feat
+            d_recproj = d_recproj[: r2d.shape[0]]
+            # rec grad + rec-side weight grad finish outside the kernel
+            # (N-sized ops; XLA fuses them).
+            w1r = params["layers"][0]["w"][2 * hidden :].astype(jnp.float32)
+            drp = d_recproj.reshape(r2d.shape[0], -1, hidden)
+            d_rec = jnp.einsum("ngh,dh->ngd", drp, w1r).reshape(r2d.shape)
+            rg = r2d.reshape(r2d.shape[0], -1, hidden)
+            dw1r = jnp.einsum("ngd,ngh->dh", rg, drp)
+
+            dw1e = _sum_diag_blocks(dw1e_a, hidden, hidden)
+            dw1s = _sum_diag_blocks(dw1s_a, hidden, hidden)
+            dw1 = jnp.concatenate([dw1e, dw1s, dw1r], axis=0)
+            d_params = {
+                "layers": [
+                    {"w": dw1, "b": _fold_groups(db1_a, hidden)},
+                    {
+                        "w": _sum_diag_blocks(dw2_a, hidden, hidden),
+                        "b": _fold_groups(db2_a, hidden),
+                    },
+                ],
+                "ln": (
+                    {
+                        "scale": _fold_groups(dg_a, hidden),
+                        "bias": _fold_groups(dbeta_a, hidden),
+                    }
+                    if ln
+                    else None
+                ),
+            }
+            # custom_vjp cotangents must match primal dtypes (params may
+            # arrive bf16 under mixed precision).
+            d_params = jax.tree_util.tree_map(
+                lambda g, p: g.astype(p.dtype), d_params, params
+            )
+            return d_params, d_edge, d_send, d_rec
+
+        fused.defvjp(fwd, bwd)
+
+        aggregated, new_edge = fused(mlp_params, e2, s2, r2)
+        unfold = (
+            (lambda x: x.reshape(x.shape[0], groups, feat))
+            if batched
+            else (lambda x: x)
+        )
+        aggregated = unfold(aggregated).astype(in_dtype)
+        if new_edge is not None:
+            new_edge = unfold(new_edge).astype(in_dtype)
+        return aggregated, new_edge
+
+    return run

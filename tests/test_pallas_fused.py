@@ -1,0 +1,147 @@
+"""Fused interaction kernel vs the separate-kernel path (interpret mode).
+
+The fused Pallas kernel (ops/pallas_fused.py) must reproduce the
+separate gather -> edge-MLP -> aggregate pipeline — values AND
+gradients, for every wiring variant (interaction/propagation,
+update_edges, sum/mean, batched/unbatched) — since the model routes
+through whichever is enabled.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_lam_tpu.ops.interaction import (
+    apply_interaction_net,
+    init_interaction_net,
+    make_edge_set,
+)
+
+jax.config.update("jax_enable_x64", False)
+
+
+def _random_edge_set(rng, n_send=37, n_rec=23, n_edges=180):
+    senders = rng.integers(0, n_send, n_edges)
+    receivers = rng.integers(0, n_rec, n_edges)
+    # ensure num_rec is pinned even if some receivers are absent
+    receivers[0] = n_rec - 1
+    es, perm = make_edge_set(
+        senders, receivers, num_rec=n_rec, num_send=n_send
+    )
+    return es, perm
+
+
+def _apply(params, es, send, rec, edge, monkeypatch, fused, **kw):
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED", "auto" if fused else "off")
+    return apply_interaction_net(params, es, send, rec, edge, **kw)
+
+
+@pytest.mark.parametrize("update_edges", [False, True])
+@pytest.mark.parametrize("propagation", [False, True])
+@pytest.mark.parametrize("batched", [False, True])
+def test_fused_matches_separate_path(
+    monkeypatch, update_edges, propagation, batched
+):
+    rng = np.random.default_rng(3)
+    d = 8
+    es, perm = _random_edge_set(rng)
+    params = init_interaction_net(jax.random.PRNGKey(0), d)
+
+    shape = (lambda n: (n, 3, d)) if batched else (lambda n: (n, d))
+    send = jnp.asarray(rng.normal(size=shape(37)), jnp.float32)
+    rec = jnp.asarray(rng.normal(size=shape(23)), jnp.float32)
+    edge = jnp.asarray(
+        rng.normal(size=shape(es.num_padded)), jnp.float32
+    )
+
+    kw = dict(update_edges=update_edges, propagation=propagation)
+    ref = _apply(params, es, send, rec, edge, monkeypatch, False, **kw)
+    out = _apply(params, es, send, rec, edge, monkeypatch, True, **kw)
+    if update_edges:
+        np.testing.assert_allclose(out[0], ref[0], rtol=2e-5, atol=2e-5)
+        # padded (dead) edge slots may hold arbitrary values on either
+        # path; compare valid slots only
+        valid = np.asarray(perm) >= 0
+        np.testing.assert_allclose(
+            np.asarray(out[1])[valid],
+            np.asarray(ref[1])[valid],
+            rtol=2e-5,
+            atol=2e-5,
+        )
+    else:
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("propagation", [False, True])
+def test_fused_gradients_match(monkeypatch, propagation):
+    rng = np.random.default_rng(7)
+    d = 8
+    es, _ = _random_edge_set(rng, n_send=19, n_rec=11, n_edges=70)
+    params = init_interaction_net(jax.random.PRNGKey(1), d)
+
+    send = jnp.asarray(rng.normal(size=(19, 2, d)), jnp.float32)
+    rec = jnp.asarray(rng.normal(size=(11, 2, d)), jnp.float32)
+    edge = jnp.asarray(rng.normal(size=(es.num_padded, 2, d)), jnp.float32)
+
+    def loss(params, send, rec, edge, fused):
+        monkeypatch.setenv(
+            "NEURAL_LAM_TPU_FUSED", "auto" if fused else "off"
+        )
+        new_rec, new_edge = apply_interaction_net(
+            params, es, send, rec, edge,
+            update_edges=True, propagation=propagation,
+        )
+        # involve both outputs; mask dead edge slots like a real model
+        # does implicitly (their messages never reach any loss)
+        valid = jnp.asarray(
+            (np.asarray(es.receivers) < es.num_rec), jnp.float32
+        )[:, None, None]
+        return jnp.sum(new_rec**2) + jnp.sum((new_edge * valid) ** 2)
+
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    g_ref = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        params, send, rec, edge, False
+    )
+    g_fused = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        params, send, rec, edge, True
+    )
+    flat_ref, _ = jax.tree_util.tree_flatten(g_ref)
+    flat_fused, _ = jax.tree_util.tree_flatten(g_fused)
+    for a, b in zip(flat_fused, flat_ref):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
+
+
+def test_fused_mean_aggregation(monkeypatch):
+    """PropagationNet forces mean; sum/mean also differ for plain
+    InteractionNet with aggr='mean'."""
+    rng = np.random.default_rng(11)
+    d = 8
+    es, _ = _random_edge_set(rng, n_send=13, n_rec=9, n_edges=40)
+    params = init_interaction_net(jax.random.PRNGKey(2), d)
+    send = jnp.asarray(rng.normal(size=(13, d)), jnp.float32)
+    rec = jnp.asarray(rng.normal(size=(9, d)), jnp.float32)
+    edge = jnp.asarray(rng.normal(size=(es.num_padded, d)), jnp.float32)
+    kw = dict(update_edges=False, aggr="mean")
+    ref = _apply(params, es, send, rec, edge, monkeypatch, False, **kw)
+    out = _apply(params, es, send, rec, edge, monkeypatch, True, **kw)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_respects_mixed_batched_unbatched(monkeypatch):
+    """Static (unbatched) edge embeddings mixed with batched node reps
+    broadcast identically on both paths."""
+    rng = np.random.default_rng(13)
+    d = 8
+    es, _ = _random_edge_set(rng, n_send=13, n_rec=9, n_edges=40)
+    params = init_interaction_net(jax.random.PRNGKey(3), d)
+    send = jnp.asarray(rng.normal(size=(13, 4, d)), jnp.float32)
+    rec = jnp.asarray(rng.normal(size=(9, 4, d)), jnp.float32)
+    edge = jnp.asarray(rng.normal(size=(es.num_padded, d)), jnp.float32)
+    kw = dict(update_edges=False)
+    ref = _apply(params, es, send, rec, edge, monkeypatch, False, **kw)
+    out = _apply(params, es, send, rec, edge, monkeypatch, True, **kw)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
