@@ -331,7 +331,9 @@ def apply_interaction_net(
 
         send_rep = bcast(send_rep, send_rep.shape[0])
         rec_rep = bcast(rec_rep, rec_rep.shape[0])
-        edge_rep = bcast(edge_rep, edge_rep.shape[0])
+        # edge_rep is NOT broadcast here: the fused kernel consumes a
+        # shared (unbatched) edge embedding directly via a column-tiled
+        # weight, avoiding an (E, B, d) materialisation in HBM.
 
     x_send = gather_senders(edge_set, send_rep)  # (E_pad, [B,] d)
 
@@ -368,6 +370,8 @@ def apply_interaction_net(
             return new_rec, new_edge
         return new_rec
 
+    if batched:
+        edge_rep = bcast(edge_rep, edge_rep.shape[0])
     x_rec = gather_receivers(edge_set, rec_rep)  # (E_pad, [B,] d)
     if len(params["edge"]) == 1:
         # Split-weight first layer: avoids materialising the 3x-wide

@@ -95,13 +95,21 @@ def _fused_fwd_kernel(
     gamma_ref,
     beta_ref,
     mmat_ref,
-    *out_refs,
+    *rest,
     block_rows,
     chunk_edges,
     layer_norm,
     update_edges,
     propagation,
+    edge_unbatched,
 ):
+    # When the edge rep is a shared (unbatched) embedding, ``edge_ref``
+    # is a (C, D) block and ``w1e_ref`` the column-tiled (D, S) weight;
+    # its matmul broadcasts the edge contribution across lane groups
+    # without the caller materialising an (E, B, D) broadcast in HBM.
+    rest = list(rest)
+    tile_ref = rest.pop(0) if (edge_unbatched and update_edges) else None
+    out_refs = rest
     aggr_ref = out_refs[0]
     c = pl.program_id(1)
     prev = chunk_block_ref[jnp.maximum(c - 1, 0)]
@@ -151,7 +159,15 @@ def _fused_fwd_kernel(
         # reference: neural_lam/gnn_layers.py:242-250 (sender residual)
         msg = msg + send_ref[:]
     if update_edges:
-        out_refs[1][:] = edge_ref[:] + msg
+        if edge_unbatched:
+            # broadcast (C, D) -> (C, S) via the tiled-identity matmul
+            edge_b = jnp.dot(
+                edge_ref[:], tile_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            edge_b = edge_ref[:]
+        out_refs[1][:] = edge_b + msg
     aggr_ref[:] += jnp.dot(
         one_hot_t, msg, preferred_element_type=jnp.float32
     )
@@ -181,12 +197,15 @@ def _fused_bwd_kernel(
     layer_norm,
     update_edges,
     propagation,
+    edge_unbatched,
 ):
-    idx = 0
-    d_new_edge_ref = None
-    if update_edges:
-        d_new_edge_ref = rest_refs[idx]
-        idx += 1
+    rest_refs = list(rest_refs)
+    d_new_edge_ref = rest_refs.pop(0) if update_edges else None
+    tile_ref = (
+        rest_refs.pop(0)
+        if (edge_unbatched and update_edges)
+        else None
+    )
     (
         d_edge_ref,
         d_send_ref,
@@ -198,7 +217,7 @@ def _fused_bwd_kernel(
         db2_ref,
         dgamma_ref,
         dbeta_ref,
-    ) = rest_refs[idx : idx + 10]
+    ) = rest_refs[:10]
 
     s = pl.program_id(0)
     c = pl.program_id(1)
@@ -297,12 +316,21 @@ def _fused_bwd_kernel(
         d_send = d_send + d_msg
     d_send_ref[:] = d_send
 
+    # For an unbatched edge rep, w1e is the (D, S) column-tiled weight,
+    # so d_pre @ w1e^T directly yields the group-summed (C, D) grad.
     d_edge = jax.lax.dot_general(
         d_pre, w1e_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     if update_edges:
-        d_edge = d_edge + d_new_edge_ref[:]
+        if edge_unbatched:
+            # group-sum the batched residual grad: (C, S) @ (D, S)^T
+            d_edge = d_edge + jax.lax.dot_general(
+                d_new_edge_ref[:], tile_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            d_edge = d_edge + d_new_edge_ref[:]
     d_edge_ref[:] = d_edge
 
     dw1e_ref[:] += jax.lax.dot_general(
@@ -322,8 +350,15 @@ def _fused_bwd_kernel(
 # ---------------------------------------------------------------------------
 # host-side wrappers
 # ---------------------------------------------------------------------------
-def _prep_weights(mlp_params: dict, groups: int, feat_dim: int):
-    """Block-diagonal weight stripes + tiled bias/LN rows (all f32)."""
+def _prep_weights(
+    mlp_params: dict, groups: int, feat_dim: int, edge_unbatched: bool
+):
+    """Block-diagonal weight stripes + tiled bias/LN rows (all f32).
+
+    For an unbatched edge rep, ``w1e`` is column-tiled ``(D, S)`` (one
+    matmul broadcasts the shared edge contribution across lane groups)
+    and ``tile`` is the matching tiled identity for the residual path.
+    """
     layers = mlp_params["layers"]
     w1 = layers[0]["w"].astype(jnp.float32)
     w1e, w1s, w1r = jnp.split(w1, 3, axis=0)
@@ -334,8 +369,14 @@ def _prep_weights(mlp_params: dict, groups: int, feat_dim: int):
     else:
         gamma = jnp.ones((hidden,), jnp.float32)
         beta = jnp.zeros((hidden,), jnp.float32)
+    if edge_unbatched:
+        w1e_k = jnp.tile(w1e, (1, groups))
+        tile = jnp.tile(jnp.eye(hidden, dtype=jnp.float32), (1, groups))
+    else:
+        w1e_k = _block_diag(w1e, groups)
+        tile = None
     return dict(
-        w1e=_block_diag(w1e, groups),
+        w1e=w1e_k,
         w1s=_block_diag(w1s, groups),
         w1r=_block_diag(w1r, groups),
         b1=_tile_vec(layers[0]["b"], groups),
@@ -344,6 +385,7 @@ def _prep_weights(mlp_params: dict, groups: int, feat_dim: int):
         gamma=_tile_vec(gamma, groups),
         beta=_tile_vec(beta, groups),
         mmat=_group_mean_matrix(groups, feat_dim),
+        tile=tile,
     )
 
 
@@ -367,9 +409,11 @@ def _fused_fwd_impl(
     layer_norm: bool,
     update_edges: bool,
     propagation: bool,
+    edge_unbatched: bool,
     interpret: bool,
 ):
-    lanes = edge2d.shape[1]
+    lanes = send2d.shape[1]
+    feat = edge2d.shape[1] if edge_unbatched else None
     n_stripes = lanes // stripe
     n_chunks = int(layout.chunk_block.shape[0])
     out_rows = layout.num_blocks * layout.block_rows
@@ -383,13 +427,24 @@ def _fused_fwd_impl(
         return (cb[c], s)
 
     const = lambda s, c, cb: (0, 0)  # noqa: E731
+    edge_spec = (
+        pl.BlockSpec((ce, feat), lambda s, c, cb: (c, 0),
+                     memory_space=pltpu.VMEM)
+        if edge_unbatched
+        else pl.BlockSpec((ce, stripe), cix, memory_space=pltpu.VMEM)
+    )
+    w1e_spec = (
+        pl.BlockSpec((feat, stripe), const, memory_space=pltpu.VMEM)
+        if edge_unbatched
+        else pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM)
+    )
     in_specs = [
         pl.BlockSpec((1, ce), lambda s, c, cb: (0, c),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((ce, stripe), cix, memory_space=pltpu.VMEM),  # edge
+        edge_spec,
         pl.BlockSpec((ce, stripe), cix, memory_space=pltpu.VMEM),  # send
         pl.BlockSpec((br, stripe), bix, memory_space=pltpu.VMEM),  # rec
-        pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM),
+        w1e_spec,
         pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, stripe), const, memory_space=pltpu.VMEM),
@@ -399,6 +454,27 @@ def _fused_fwd_impl(
         pl.BlockSpec((1, stripe), const, memory_space=pltpu.VMEM),
         pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM),
     ]
+    operands = [
+        layout.chunk_block,
+        layout.local_ids,
+        edge2d,
+        send2d,
+        rec_pad,
+        wb["w1e"],
+        wb["w1s"],
+        wb["w1r"],
+        wb["b1"],
+        wb["w2"],
+        wb["b2"],
+        wb["gamma"],
+        wb["beta"],
+        wb["mmat"],
+    ]
+    if edge_unbatched and update_edges:
+        in_specs.append(
+            pl.BlockSpec((feat, stripe), const, memory_space=pltpu.VMEM)
+        )
+        operands.append(wb["tile"])
     out_specs = [pl.BlockSpec((br, stripe), bix, memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((out_rows, lanes), jnp.float32)]
     if update_edges:
@@ -422,28 +498,14 @@ def _fused_fwd_impl(
         layer_norm=layer_norm,
         update_edges=update_edges,
         propagation=propagation,
+        edge_unbatched=edge_unbatched,
     )
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
         interpret=interpret,
-    )(
-        layout.chunk_block,
-        layout.local_ids,
-        edge2d,
-        send2d,
-        rec_pad,
-        wb["w1e"],
-        wb["w1s"],
-        wb["w1r"],
-        wb["b1"],
-        wb["w2"],
-        wb["b2"],
-        wb["gamma"],
-        wb["beta"],
-        wb["mmat"],
-    )
+    )(*operands)
     aggregated = outs[0][: layout.num_rec]
     new_edge = outs[1] if update_edges else None
     return aggregated, new_edge
@@ -462,9 +524,11 @@ def _fused_bwd_impl(
     layer_norm: bool,
     update_edges: bool,
     propagation: bool,
+    edge_unbatched: bool,
     interpret: bool,
 ):
-    lanes = edge2d.shape[1]
+    lanes = send2d.shape[1]
+    feat = edge2d.shape[1] if edge_unbatched else None
     n_stripes = lanes // stripe
     n_chunks = int(layout.chunk_block.shape[0])
     out_rows = layout.num_blocks * layout.block_rows
@@ -483,15 +547,39 @@ def _fused_bwd_impl(
     bspec = pl.BlockSpec((br, stripe), bix, memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM)
     vspec = pl.BlockSpec((1, stripe), const, memory_space=pltpu.VMEM)
+    if edge_unbatched:
+        edge_spec = pl.BlockSpec(
+            (ce, feat), lambda s, c, cb: (c, 0), memory_space=pltpu.VMEM
+        )
+        w1e_spec = pl.BlockSpec(
+            (feat, stripe), const, memory_space=pltpu.VMEM
+        )
+        # per-stripe planes; summed over stripes by the caller
+        d_edge_spec = pl.BlockSpec(
+            (ce, feat), cix, memory_space=pltpu.VMEM
+        )
+        d_edge_shape = jax.ShapeDtypeStruct(
+            (layout.num_blocked, n_stripes * feat), jnp.float32
+        )
+        dw1e_spec = w1e_spec
+        dw1e_shape = jax.ShapeDtypeStruct((feat, stripe), jnp.float32)
+    else:
+        edge_spec, w1e_spec = cspec, wspec
+        d_edge_spec = cspec
+        d_edge_shape = jax.ShapeDtypeStruct(
+            (layout.num_blocked, lanes), jnp.float32
+        )
+        dw1e_spec = wspec
+        dw1e_shape = jax.ShapeDtypeStruct((stripe, stripe), jnp.float32)
 
     in_specs = [
         pl.BlockSpec((1, ce), lambda s, c, cb: (0, c),
                      memory_space=pltpu.VMEM),
-        cspec,  # edge
+        edge_spec,
         cspec,  # send
         bspec,  # rec
         bspec,  # d_aggr
-        wspec,  # w1e
+        w1e_spec,
         wspec,  # w1s
         wspec,  # w1r
         vspec,  # b1
@@ -519,13 +607,19 @@ def _fused_bwd_impl(
     if update_edges:
         in_specs.append(cspec)
         operands.append(d_new_edge.astype(jnp.float32))
+        if edge_unbatched:
+            in_specs.append(
+                pl.BlockSpec((feat, stripe), const,
+                             memory_space=pltpu.VMEM)
+            )
+            operands.append(wb["tile"])
 
     e_rows = layout.num_blocked
     out_specs = (
-        cspec,  # d_edge
+        d_edge_spec,
         cspec,  # d_send
         bspec,  # d_recproj
-        wspec,  # dw1e
+        dw1e_spec,
         wspec,  # dw1s
         wspec,  # dw2
         vspec,  # db1
@@ -534,10 +628,10 @@ def _fused_bwd_impl(
         vspec,  # dbeta
     )
     out_shape = (
-        jax.ShapeDtypeStruct((e_rows, lanes), jnp.float32),
+        d_edge_shape,
         jax.ShapeDtypeStruct((e_rows, lanes), jnp.float32),
         jax.ShapeDtypeStruct((out_rows, lanes), jnp.float32),
-        jax.ShapeDtypeStruct((stripe, stripe), jnp.float32),
+        dw1e_shape,
         jax.ShapeDtypeStruct((stripe, stripe), jnp.float32),
         jax.ShapeDtypeStruct((stripe, stripe), jnp.float32),
         jax.ShapeDtypeStruct((1, stripe), jnp.float32),
@@ -558,6 +652,7 @@ def _fused_bwd_impl(
         layer_norm=layer_norm,
         update_edges=update_edges,
         propagation=propagation,
+        edge_unbatched=edge_unbatched,
     )
     return pl.pallas_call(
         kernel,
@@ -611,31 +706,38 @@ def make_fused_interaction(
     """
 
     def run(mlp_params, edge_rep, x_send, rec_rep):
-        batched = edge_rep.ndim == 3
-        in_dtype = edge_rep.dtype
-        feat = edge_rep.shape[-1]
+        batched = x_send.ndim == 3
+        edge_unbatched = batched and edge_rep.ndim == 2
+        in_dtype = x_send.dtype
+        feat = x_send.shape[-1]
         if batched:
-            b = edge_rep.shape[1]
+            b = x_send.shape[1]
             fold = lambda x: x.reshape(x.shape[0], b * feat)  # noqa: E731
         else:
             fold = lambda x: x  # noqa: E731
-        groups = (edge_rep.shape[1] if batched else 1)
+        groups = (x_send.shape[1] if batched else 1)
         stripe_g = _stripe_groups(groups, feat)
         stripe = stripe_g * feat
+        n_stripes = (groups * feat) // stripe
 
-        e2 = fold(edge_rep).astype(jnp.float32)
+        e2 = (
+            edge_rep.astype(jnp.float32)
+            if edge_unbatched
+            else fold(edge_rep).astype(jnp.float32)
+        )
         s2 = fold(x_send).astype(jnp.float32)
         r2 = fold(rec_rep).astype(jnp.float32)
         ln = mlp_params["ln"] is not None
 
         @jax.custom_vjp
         def fused(params, e2d, s2d, r2d):
-            wb = _prep_weights(params, stripe_g, feat)
+            wb = _prep_weights(params, stripe_g, feat, edge_unbatched)
             return _fused_fwd_impl(
                 layout, e2d, s2d, r2d, wb, stripe,
                 layer_norm=ln,
                 update_edges=update_edges,
                 propagation=propagation,
+                edge_unbatched=edge_unbatched,
                 interpret=interpret,
             )
 
@@ -645,12 +747,13 @@ def make_fused_interaction(
         def bwd(res, grads):
             params, e2d, s2d, r2d = res
             d_aggr, d_new_edge = grads
-            wb = _prep_weights(params, stripe_g, feat)
+            wb = _prep_weights(params, stripe_g, feat, edge_unbatched)
             outs = _fused_bwd_impl(
                 layout, e2d, s2d, r2d, wb, d_aggr, d_new_edge, stripe,
                 layer_norm=ln,
                 update_edges=update_edges,
                 propagation=propagation,
+                edge_unbatched=edge_unbatched,
                 interpret=interpret,
             )
             (d_edge, d_send, d_recproj, dw1e_a, dw1s_a, dw2_a,
@@ -665,7 +768,18 @@ def make_fused_interaction(
             rg = r2d.reshape(r2d.shape[0], -1, hidden)
             dw1r = jnp.einsum("ngd,ngh->dh", rg, drp)
 
-            dw1e = _sum_diag_blocks(dw1e_a, hidden, hidden)
+            if edge_unbatched:
+                # (E, n_stripes*D) per-stripe planes -> (E, D)
+                if n_stripes > 1:
+                    d_edge = d_edge.reshape(
+                        d_edge.shape[0], n_stripes, hidden
+                    ).sum(axis=1)
+                # (D, stripe) accumulator -> (D, H) by group fold
+                dw1e = dw1e_a.reshape(hidden, stripe_g, hidden).sum(
+                    axis=1
+                )
+            else:
+                dw1e = _sum_diag_blocks(dw1e_a, hidden, hidden)
             dw1s = _sum_diag_blocks(dw1s_a, hidden, hidden)
             dw1 = jnp.concatenate([dw1e, dw1s, dw1r], axis=0)
             d_params = {

@@ -133,16 +133,12 @@ def gather_senders(edge_set: "EdgeSet", send_rep: jax.Array) -> jax.Array:
                 return gather(x), None
 
             def bwd(_, grad_msgs):
-                grad_pad = jnp.concatenate(
-                    [
-                        grad_msgs,
-                        jnp.zeros(
-                            (1, grad_msgs.shape[-1]), grad_msgs.dtype
-                        ),
-                    ],
-                    axis=0,
-                )
-                grad_sorted = grad_pad[rslot]
+                # Dead sender-layout slots (rslot == num_padded) may read
+                # any row: the segment-sum kernel's one-hot drops them
+                # (local_ids == -1), so clamping beats materialising a
+                # padded copy of the full (E, B*D) grad array.
+                safe = jnp.minimum(rslot, grad_msgs.shape[0] - 1)
+                grad_sorted = grad_msgs[safe]
                 return (
                     blocked_segment_sum_nondiff(
                         grad_sorted, layout, interpret

@@ -131,17 +131,64 @@ def test_fused_mean_aggregation(monkeypatch):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
-def test_fused_respects_mixed_batched_unbatched(monkeypatch):
-    """Static (unbatched) edge embeddings mixed with batched node reps
-    broadcast identically on both paths."""
+@pytest.mark.parametrize("update_edges", [False, True])
+def test_fused_respects_mixed_batched_unbatched(monkeypatch, update_edges):
+    """Static (unbatched) edge embeddings mixed with batched node reps:
+    the fused kernel consumes them via column-tiled weights; the
+    fallback broadcasts. Values must agree."""
     rng = np.random.default_rng(13)
     d = 8
-    es, _ = _random_edge_set(rng, n_send=13, n_rec=9, n_edges=40)
+    es, perm = _random_edge_set(rng, n_send=13, n_rec=9, n_edges=40)
     params = init_interaction_net(jax.random.PRNGKey(3), d)
     send = jnp.asarray(rng.normal(size=(13, 4, d)), jnp.float32)
     rec = jnp.asarray(rng.normal(size=(9, 4, d)), jnp.float32)
     edge = jnp.asarray(rng.normal(size=(es.num_padded, d)), jnp.float32)
-    kw = dict(update_edges=False)
+    kw = dict(update_edges=update_edges)
     ref = _apply(params, es, send, rec, edge, monkeypatch, False, **kw)
     out = _apply(params, es, send, rec, edge, monkeypatch, True, **kw)
-    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+    if update_edges:
+        np.testing.assert_allclose(out[0], ref[0], rtol=2e-5, atol=2e-5)
+        valid = np.asarray(perm) >= 0
+        np.testing.assert_allclose(
+            np.asarray(out[1])[valid], np.asarray(ref[1])[valid],
+            rtol=2e-5, atol=2e-5,
+        )
+    else:
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_unbatched_edge_gradients(monkeypatch):
+    """Gradients through a shared (unbatched) edge embedding match the
+    broadcast fallback, including the group-summed edge grad."""
+    rng = np.random.default_rng(17)
+    d = 8
+    es, _ = _random_edge_set(rng, n_send=13, n_rec=9, n_edges=40)
+    params = init_interaction_net(jax.random.PRNGKey(4), d)
+    send = jnp.asarray(rng.normal(size=(13, 2, d)), jnp.float32)
+    rec = jnp.asarray(rng.normal(size=(9, 2, d)), jnp.float32)
+    edge = jnp.asarray(rng.normal(size=(es.num_padded, d)), jnp.float32)
+
+    def loss(params, send, rec, edge, fused):
+        monkeypatch.setenv(
+            "NEURAL_LAM_TPU_FUSED", "auto" if fused else "off"
+        )
+        new_rec, new_edge = apply_interaction_net(
+            params, es, send, rec, edge, update_edges=True
+        )
+        valid = jnp.asarray(
+            (np.asarray(es.receivers) < es.num_rec), jnp.float32
+        )[:, None, None]
+        return jnp.sum(new_rec**2) + jnp.sum((new_edge * valid) ** 2)
+
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    g_ref = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        params, send, rec, edge, False
+    )
+    g_fused = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        params, send, rec, edge, True
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_fused),
+        jax.tree_util.tree_leaves(g_ref),
+    ):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
