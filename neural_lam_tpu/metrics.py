@@ -34,9 +34,26 @@ def mask_and_reduce_metric(
     sum_vars: bool,
 ) -> jax.Array:
     """Select masked grid nodes, then mean over grid / sum over vars
-    (reference: metrics.py:38-85)."""
+    (reference: metrics.py:38-85).
+
+    With ``average_grid`` the masked mean is computed by select-sum
+    (``where`` keeps excluded NaNs out) instead of materialising a
+    gathered copy of the interior nodes — the gather showed up as a
+    per-step device op at MEPS size. Without ``average_grid`` the
+    caller gets per-node values, so the gather is required to match the
+    reference's masked shape.
+    """
     if mask is not None:
         mask = np.asarray(mask, dtype=bool)
+        if average_grid:
+            n_sel = int(mask.sum())
+            sel = jnp.where(
+                jnp.asarray(mask)[:, None], metric_entry_vals, 0.0
+            )
+            metric_entry_vals = jnp.sum(sel, axis=-2) / max(n_sel, 1)
+            if sum_vars:
+                metric_entry_vals = jnp.sum(metric_entry_vals, axis=-1)
+            return metric_entry_vals
         (node_idx,) = np.nonzero(mask)
         metric_entry_vals = metric_entry_vals[..., node_idx, :]
     if average_grid:
