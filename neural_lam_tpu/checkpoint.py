@@ -18,7 +18,6 @@ The dual-checkpoint policy mirrors the reference's two callbacks
 from __future__ import annotations
 
 import json
-import shutil
 from pathlib import Path
 from typing import Any, Optional
 
@@ -56,21 +55,29 @@ class CheckpointManager:
         step: int,
         hparams: Optional[dict] = None,
     ) -> None:
-        """Write one named checkpoint (overwrites)."""
+        """Write one named checkpoint (overwrites).
+
+        Multi-host: every process calls into orbax, which coordinates
+        internally (primary-host writes + its own barriers); only the
+        hparams sidecar is rank-0-gated, followed by a barrier so no
+        process can restore a half-written checkpoint.
+        """
         path = self._path(name)
-        if path.exists():
-            shutil.rmtree(path)
         state = {
             "params": jax.device_get(params),
             "opt_state": jax.device_get(opt_state),
             "step": np.int64(step),
         }
-        self._ckptr.save(path.resolve(), state)
-        if hparams is not None:
+        self._ckptr.save(path.resolve(), state, force=True)
+        if hparams is not None and jax.process_index() == 0:
             (path / "hparams.json").write_text(
                 json.dumps(hparams, indent=2, default=str),
                 encoding="utf-8",
             )
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_save_{name}")
 
     def save_latest(self, params, opt_state, step, hparams=None) -> None:
         self.save("latest", params, opt_state, step, hparams)

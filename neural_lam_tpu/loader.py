@@ -57,6 +57,15 @@ class DataLoader:
             idxs = rng.permutation(n)
         else:
             idxs = np.arange(n)
+        if self.num_shards > 1:
+            # Equal-length shards: pad the epoch by wrapping from the
+            # start so every host runs the SAME number of steps (the
+            # lockstep requirement of multi-host SPMD; the duplicate-
+            # sample eval caveat matches the reference's
+            # DistributedSampler note, reference: README.md:528-530).
+            pad = (-n) % self.num_shards
+            if pad:
+                idxs = np.concatenate([idxs, idxs[:pad]])
         return idxs[self.shard_index :: self.num_shards]
 
     def __len__(self) -> int:

@@ -63,10 +63,63 @@ def mask_and_reduce_metric(
     return metric_entry_vals
 
 
+def _wmse_entry(pred, target, pred_std):
+    return (pred - target) ** 2 / (pred_std**2)
+
+
+def _mse_entry(pred, target, pred_std):
+    return (pred - target) ** 2
+
+
+def _wmae_entry(pred, target, pred_std):
+    return jnp.abs(pred - target) / pred_std
+
+
+def _mae_entry(pred, target, pred_std):
+    return jnp.abs(pred - target)
+
+
+def _nll_entry(pred, target, pred_std):
+    var = pred_std**2
+    return 0.5 * (jnp.log(2 * math.pi * var) + (target - pred) ** 2 / var)
+
+
+def _crps_entry(pred, target, pred_std):
+    target_standard = (target - pred) / pred_std
+    return -pred_std * (
+        math.pi ** (-0.5)
+        - 2 * _std_normal_pdf(target_standard)
+        - target_standard * (2 * _std_normal_cdf(target_standard) - 1)
+    )
+
+
+# Per-element error terms before any mask/reduction: the sharded loss
+# (parallel/spatial.py) reduces these with its own psum'd masked mean.
+ENTRY_FNS = {
+    "wmse": _wmse_entry,
+    "mse": _mse_entry,
+    "wmae": _wmae_entry,
+    "mae": _mae_entry,
+    "nll": _nll_entry,
+    "crps_gauss": _crps_entry,
+}
+
+
+def get_metric_entry(metric_name: str):
+    """Per-element (unreduced) form of a registered metric."""
+    name = metric_name.lower()
+    if name not in ENTRY_FNS:
+        raise ValueError(
+            f"Unknown metric {metric_name!r} (available: "
+            f"{sorted(ENTRY_FNS)})"
+        )
+    return ENTRY_FNS[name]
+
+
 def wmse(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):
     """Squared error weighted by ``1 / pred_std**2``
     (reference: metrics.py:88-138)."""
-    entry = (pred - target) ** 2 / (pred_std**2)
+    entry = _wmse_entry(pred, target, pred_std)
     return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
 
 
@@ -80,7 +133,7 @@ def mse(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):
 def wmae(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):
     """Absolute error weighted by ``1 / pred_std``
     (reference: metrics.py:186-236)."""
-    entry = jnp.abs(pred - target) / pred_std
+    entry = _wmae_entry(pred, target, pred_std)
     return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
 
 
@@ -93,10 +146,7 @@ def mae(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):
 
 def nll(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):
     """Gaussian negative log likelihood (reference: metrics.py:284-330)."""
-    var = pred_std**2
-    entry = 0.5 * (
-        jnp.log(2 * math.pi * var) + (target - pred) ** 2 / var
-    )
+    entry = _nll_entry(pred, target, pred_std)
     return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
 
 
@@ -113,12 +163,7 @@ def crps_gauss(
 ):
     """Closed-form Gaussian CRPS, negated for minimisation
     (reference: metrics.py:333-387)."""
-    target_standard = (target - pred) / pred_std
-    entry = -pred_std * (
-        math.pi ** (-0.5)
-        - 2 * _std_normal_pdf(target_standard)
-        - target_standard * (2 * _std_normal_cdf(target_standard) - 1)
-    )
+    entry = _crps_entry(pred, target, pred_std)
     return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
 
 

@@ -175,6 +175,33 @@ class BaseGraphModel(StepPredictor):
         return params
 
     # -- forward ----------------------------------------------------------
+    def gnn_apply(
+        self,
+        net_params: dict,
+        pe,
+        send_rep: jax.Array,
+        rec_rep: jax.Array,
+        edge_rep: jax.Array,
+        **kwargs: Any,
+    ):
+        """Apply one GNN over the padded-edge bundle ``pe``.
+
+        The single indirection every model routes message passing
+        through: the replicated path applies the (Pallas-fused)
+        interaction net on ``pe.edges``; the spatially sharded executor
+        (parallel/spatial.py) swaps this method on its local model view
+        for a halo-exchange + local-segment version, which is what lets
+        every model family run sharded without per-model sharded code.
+        """
+        return apply_interaction_net(
+            net_params,
+            pe.edges,
+            send_rep=send_rep,
+            rec_rep=rec_rep,
+            edge_rep=edge_rep,
+            **kwargs,
+        )
+
     @abc.abstractmethod
     def embed_mesh_nodes(self, params: dict) -> jax.Array:
         """Embed static mesh node features (bottom level for hierarchies)."""
@@ -221,9 +248,9 @@ class BaseGraphModel(StepPredictor):
         m2g_emb = apply_mlp(params["m2g_embedder"], self.graph.m2g.features)
         mesh_emb = self.embed_mesh_nodes(params)
 
-        mesh_rep = apply_interaction_net(
+        mesh_rep = self.gnn_apply(
             params["g2m_gnn"],
-            self.graph.g2m.edges,
+            self.graph.g2m,
             send_rep=grid_emb,
             rec_rep=mesh_emb,
             edge_rep=g2m_emb,
@@ -236,9 +263,9 @@ class BaseGraphModel(StepPredictor):
 
         mesh_rep = self.process_step(params, mesh_rep)
 
-        grid_rep = apply_interaction_net(
+        grid_rep = self.gnn_apply(
             params["m2g_gnn"],
-            self.graph.m2g.edges,
+            self.graph.m2g,
             send_rep=mesh_rep,
             rec_rep=grid_rep,
             edge_rep=m2g_emb,

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import jax
 
-from ..ops.interaction import apply_interaction_net
 from ..ops.mlp import apply_mlp, init_mlp
 from .graph_base import BaseGraphModel
 
@@ -49,9 +48,9 @@ class GraphLAM(BaseGraphModel):
             params["m2m_embedder"], self.graph.m2m[0].features
         )
         for net_params in params["processor"]:
-            mesh_rep, edge_rep = apply_interaction_net(
+            mesh_rep, edge_rep = self.gnn_apply(
                 net_params,
-                self.graph.m2m[0].edges,
+                self.graph.m2m[0],
                 send_rep=mesh_rep,
                 rec_rep=mesh_rep,
                 edge_rep=edge_rep,

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import jax
 
-from ..ops.interaction import apply_interaction_net
 from .hierarchical import BaseHiGraphModel
 
 
@@ -54,18 +53,18 @@ class HiLAM(BaseHiGraphModel):
         """Down sweep (reference: hi_lam.py:165-234)."""
         g = self.graph
         # Same-level processing on the top level first
-        mesh_rep_levels[-1], mesh_same_rep[-1] = apply_interaction_net(
+        mesh_rep_levels[-1], mesh_same_rep[-1] = self.gnn_apply(
             same_gnns[-1],
-            g.m2m[-1].edges,
+            g.m2m[-1],
             send_rep=mesh_rep_levels[-1],
             rec_rep=mesh_rep_levels[-1],
             edge_rep=mesh_same_rep[-1],
             update_edges=True,
         )
         for level_l in range(self.num_levels - 2, -1, -1):
-            new_node_rep, mesh_down_rep[level_l] = apply_interaction_net(
+            new_node_rep, mesh_down_rep[level_l] = self.gnn_apply(
                 down_gnns[level_l],
-                g.down[level_l].edges,
+                g.down[level_l],
                 send_rep=mesh_rep_levels[level_l + 1],
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_down_rep[level_l],
@@ -73,9 +72,9 @@ class HiLAM(BaseHiGraphModel):
                 propagation=self.down_propagation,
             )
             mesh_rep_levels[level_l], mesh_same_rep[level_l] = (
-                apply_interaction_net(
+                self.gnn_apply(
                     same_gnns[level_l],
-                    g.m2m[level_l].edges,
+                    g.m2m[level_l],
                     send_rep=new_node_rep,
                     rec_rep=new_node_rep,
                     edge_rep=mesh_same_rep[level_l],
@@ -89,18 +88,18 @@ class HiLAM(BaseHiGraphModel):
     ):
         """Up sweep (reference: hi_lam.py:236-300)."""
         g = self.graph
-        mesh_rep_levels[0], mesh_same_rep[0] = apply_interaction_net(
+        mesh_rep_levels[0], mesh_same_rep[0] = self.gnn_apply(
             same_gnns[0],
-            g.m2m[0].edges,
+            g.m2m[0],
             send_rep=mesh_rep_levels[0],
             rec_rep=mesh_rep_levels[0],
             edge_rep=mesh_same_rep[0],
             update_edges=True,
         )
         for level_l in range(1, self.num_levels):
-            new_node_rep, mesh_up_rep[level_l - 1] = apply_interaction_net(
+            new_node_rep, mesh_up_rep[level_l - 1] = self.gnn_apply(
                 up_gnns[level_l - 1],
-                g.up[level_l - 1].edges,
+                g.up[level_l - 1],
                 send_rep=mesh_rep_levels[level_l - 1],
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_up_rep[level_l - 1],
@@ -108,9 +107,9 @@ class HiLAM(BaseHiGraphModel):
                 propagation=self.up_propagation,
             )
             mesh_rep_levels[level_l], mesh_same_rep[level_l] = (
-                apply_interaction_net(
+                self.gnn_apply(
                     same_gnns[level_l],
-                    g.m2m[level_l].edges,
+                    g.m2m[level_l],
                     send_rep=new_node_rep,
                     rec_rep=new_node_rep,
                     edge_rep=mesh_same_rep[level_l],

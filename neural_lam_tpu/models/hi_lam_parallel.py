@@ -12,12 +12,24 @@ tile-aligned and static.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.interaction import EdgeSet, apply_interaction_net
+from ..ops.interaction import EdgeSet
 from .hierarchical import BaseHiGraphModel
+
+
+@dataclasses.dataclass(frozen=True)
+class _CombinedEdges:
+    """Padded-edge-bundle shim for the combined multi-level edge set
+    (it has no single feature array; ``gnn_apply`` only needs
+    ``.edges``)."""
+
+    edges: EdgeSet
+    features: None = None
 
 
 def _combine_edge_sets(
@@ -85,8 +97,10 @@ class HiLAMParallel(BaseHiGraphModel):
             ]
         )
         self.total_mesh_nodes = int(sum(self.level_mesh_sizes))
-        self._total_edges = _combine_edge_sets(
-            self._sections, offsets, self.total_mesh_nodes
+        self._total_pe = _CombinedEdges(
+            _combine_edge_sets(
+                self._sections, offsets, self.total_mesh_nodes
+            )
         )
         self.edge_split_sections = [
             pe.edges.num_padded for pe in self._sections
@@ -135,9 +149,9 @@ class HiLAMParallel(BaseHiGraphModel):
         )
 
         for net_params in params["processor"]:
-            mesh_rep, mesh_edge_rep = apply_interaction_net(
+            mesh_rep, mesh_edge_rep = self.gnn_apply(
                 net_params,
-                self._total_edges,
+                self._total_pe,
                 send_rep=mesh_rep,
                 rec_rep=mesh_rep,
                 edge_rep=mesh_edge_rep,

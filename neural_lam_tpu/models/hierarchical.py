@@ -16,7 +16,7 @@ from typing import Optional
 import jax
 
 from ..datastore.base import BaseDatastore
-from ..ops.interaction import apply_interaction_net, init_interaction_net
+from ..ops.interaction import init_interaction_net
 from ..ops.mlp import apply_mlp, init_mlp
 from .graph_base import BaseGraphModel, is_propagation
 
@@ -146,9 +146,9 @@ class BaseHiGraphModel(BaseGraphModel):
 
         # MESH INIT: upward sweep over levels 1..L-1
         for level_l, gnn_params in enumerate(params["mesh_init_gnns"], 1):
-            new_node_rep, new_edge_rep = apply_interaction_net(
+            new_node_rep, new_edge_rep = self.gnn_apply(
                 gnn_params,
-                g.up[level_l - 1].edges,
+                g.up[level_l - 1],
                 send_rep=mesh_rep_levels[level_l - 1],
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_up_rep[level_l - 1],
@@ -165,9 +165,9 @@ class BaseHiGraphModel(BaseGraphModel):
 
         # MESH READ OUT: downward sweep over levels L-2..0
         for level_l in range(self.num_levels - 2, -1, -1):
-            mesh_rep_levels[level_l] = apply_interaction_net(
+            mesh_rep_levels[level_l] = self.gnn_apply(
                 params["mesh_read_gnns"][level_l],
-                g.down[level_l].edges,
+                g.down[level_l],
                 send_rep=mesh_rep_levels[level_l + 1],
                 rec_rep=mesh_rep_levels[level_l],
                 edge_rep=mesh_down_rep[level_l],

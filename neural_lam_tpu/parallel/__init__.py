@@ -9,7 +9,6 @@ context parallelism (SURVEY.md 2.2, 5.7).
 """
 
 from .spatial import (  # noqa: F401
-    SpatialPartition,
-    ShardedGraphLAM,
-    build_spatial_partition,
+    EdgeMeta,
+    ShardedModel,
 )

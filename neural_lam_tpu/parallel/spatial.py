@@ -1,28 +1,40 @@
-"""Spatial graph partitioning: sharded nodes, per-shard edges, halos.
+"""Spatial graph partitioning: sharded nodes, halo exchange, any model.
 
 The novel scale-out component (absent in the reference, which replicates
 the whole grid+mesh graph on every device,
 reference: models/step_predictors/graph/base.py:114-119; plan per
-SURVEY.md 2.2): grid and mesh nodes are split into ``P`` contiguous
-x-major slabs, every edge is owned by the shard of its RECEIVER, and the
-per-shard edge tables (local receiver ids, global sender ids, features)
-are stacked along a leading shard axis and fed to a ``shard_map`` over
-the ``spatial`` mesh axis. Inside the shard the step is plain
-single-device code; sender features cross shard boundaries through one
-``all_gather`` per message-passing round (halo exchange v1 — a full
-gather; neighbor-only ``ppermute`` halos are a later refinement), and
-the masked loss reduces with ``psum``.
+SURVEY.md 2.2). Grid nodes and every mesh level are split into ``P``
+contiguous slabs; each edge is owned by the shard of its RECEIVER, and
+per-shard edge tables (extended-space sender ids, local receiver ids,
+features) are stacked on a leading shard axis and fed to ``shard_map``
+over the ``spatial`` mesh axis.
 
-All shards get identical static shapes (edge tables padded to the
-per-set maximum, node slabs padded to a common length), so the SPMD
-program is uniform.
+Unlike the v1 design (a hand-written GraphLAM-only interpreter), the
+executor here runs the MODELS' OWN forward code: inside the shard it
+builds a shallow "local view" of the model — graph buffers swapped for
+local tables, static features swapped for local slabs, and
+``BaseGraphModel.gnn_apply`` swapped for a halo-exchange + local
+segment-sum version — and then calls ``model.step`` / the forecaster
+rollout unchanged. GraphLAM, HiLAM and HiLAMParallel all shard through
+this one path, including PropagationNet wiring, per-edge-type GNN
+selection, chunked (SplitMLPs) processing and the ``output_std`` head.
+
+Halo exchange is neighbor-only where it can be: for each edge set the
+builder computes, per (receiver-shard, source-shard-offset), exactly
+the sender rows crossing the cut, and exchanges them with one
+``ppermute`` per distinct offset; the collective payload therefore
+scales with the cut size, not the node count. Small sender sets (coarse
+mesh levels) fall back to one ``all_gather`` — cheaper than several
+tiny permutes. The per-edge-set choice is recorded on the table and
+asserted in tests.
 """
 
 from __future__ import annotations
 
+import copy
 import dataclasses
 from functools import partial
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -30,148 +42,242 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.graph_lam import GraphLAM
-from ..ops.mlp import apply_mlp
+from ..metrics import get_metric_entry
+from ..models.graph_base import BaseGraphModel
+from ..ops.interaction import _apply_chunked
+from ..ops.mlp import apply_mlp, apply_mlp_split_first
 
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# build-time structures
+# ---------------------------------------------------------------------------
 @dataclasses.dataclass(frozen=True)
-class ShardedEdges:
-    """Per-shard edge tables, stacked on a leading shard axis.
+class EdgeMeta:
+    """Static (trace-time) description of one sharded edge set."""
 
-    ``senders`` hold GLOBAL node ids into the (padded) sender node
-    array; ``recv_local`` hold ids local to the shard's receiver slab,
-    with the dead value ``n_rec_local`` marking padding edges.
-    """
-
-    senders: np.ndarray  # (P, E_max) int32
-    recv_local: np.ndarray  # (P, E_max) int32
-    features: np.ndarray  # (P, E_max, d_f) float32
-    recv_counts: np.ndarray  # (P, n_rec_local) int32
+    name: str
+    n_shards: int
     n_rec_local: int
+    n_send_local: int
+    strategy: str  # "halo" | "all_gather"
+    offsets: tuple[int, ...]  # source-shard offsets, halo strategy only
+    halo_sizes: tuple[int, ...]  # padded row count per offset
+    e_max: int
+
+    @property
+    def ext_size(self) -> int:
+        """Rows of the extended (local + halo) sender array."""
+        if self.strategy == "all_gather":
+            return self.n_send_local * self.n_shards
+        return self.n_send_local + sum(self.halo_sizes)
 
 
-def _shard_edges(
+def _build_edge_table(
+    name: str,
     senders: np.ndarray,
     receivers: np.ndarray,
-    features: np.ndarray,
+    features: Optional[np.ndarray],
+    n_send_global: int,
+    n_send_local: int,
     n_rec_local: int,
     n_shards: int,
-) -> ShardedEdges:
-    """Assign edges to the shard owning their receiver; localise ids."""
+    all_gather_max_nodes: int,
+    max_halo_offsets: int,
+) -> tuple[EdgeMeta, dict]:
+    """Shard edges by receiver; build halo row tables and extended ids."""
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
+    P_ = n_shards
     shard_of_edge = receivers // n_rec_local
-    per_shard = [np.nonzero(shard_of_edge == s)[0] for s in range(n_shards)]
+    shard_of_sender = senders // n_send_local
+    per_shard = [np.nonzero(shard_of_edge == s)[0] for s in range(P_)]
     e_max = _round_up(max(max(len(p) for p in per_shard), 1), 8)
 
-    snd = np.zeros((n_shards, e_max), dtype=np.int32)
-    rcv = np.full((n_shards, e_max), n_rec_local, dtype=np.int32)
-    fts = np.zeros(
-        (n_shards, e_max) + features.shape[1:], dtype=np.float32
+    # Remote-sender needs per (receiver shard, source offset)
+    needs: dict[tuple[int, int], np.ndarray] = {}
+    offsets_set: set[int] = set()
+    for s in range(P_):
+        sel = per_shard[s]
+        src = shard_of_sender[sel]
+        remote = sel[src != s]
+        if len(remote) == 0:
+            continue
+        for t in np.unique(shard_of_sender[remote]):
+            d = int(t - s)
+            rows = np.unique(
+                senders[remote[shard_of_sender[remote] == t]]
+                - t * n_send_local
+            )
+            needs[(s, d)] = rows
+            offsets_set.add(d)
+
+    use_all_gather = (
+        n_send_global <= all_gather_max_nodes
+        or len(offsets_set) > max_halo_offsets
     )
-    counts = np.zeros((n_shards, n_rec_local), dtype=np.int32)
-    for s, sel in enumerate(per_shard):
-        k = len(sel)
-        snd[s, :k] = senders[sel]
-        local = receivers[sel] - s * n_rec_local
-        rcv[s, :k] = local
-        fts[s, :k] = features[sel]
-        counts[s] = np.bincount(local, minlength=n_rec_local)
-    return ShardedEdges(
-        senders=snd,
-        recv_local=rcv,
-        features=fts,
-        recv_counts=counts,
+    offsets = tuple(sorted(offsets_set)) if not use_all_gather else ()
+    halo_sizes = tuple(
+        _round_up(
+            max(
+                (len(needs.get((s, d), ())) for s in range(P_)),
+                default=1,
+            )
+            or 1,
+            8,
+        )
+        for d in offsets
+    )
+
+    meta = EdgeMeta(
+        name=name,
+        n_shards=P_,
         n_rec_local=n_rec_local,
+        n_send_local=n_send_local,
+        strategy="all_gather" if use_all_gather else "halo",
+        offsets=offsets,
+        halo_sizes=halo_sizes,
+        e_max=e_max,
     )
 
+    # Extended-space id of each remote sender, per receiver shard
+    base = {
+        d: n_send_local + sum(halo_sizes[:i])
+        for i, d in enumerate(offsets)
+    }
+    snd = np.zeros((P_, e_max), dtype=np.int32)
+    rcv = np.full((P_, e_max), n_rec_local, dtype=np.int32)
+    fts = None
+    if features is not None:
+        fts = np.zeros(
+            (P_, e_max) + features.shape[1:], dtype=np.float32
+        )
+    counts = np.zeros((P_, n_rec_local), dtype=np.int32)
+    for s in range(P_):
+        sel = per_shard[s]
+        k = len(sel)
+        u = senders[sel]
+        t = shard_of_sender[sel]
+        local_ids = (u - t * n_send_local).astype(np.int64)
+        if use_all_gather:
+            ext = u  # global padded id == t * n_send_local + local
+        else:
+            ext = np.where(t == s, local_ids, -1)
+            for d in offsets:
+                rows = needs.get((s, d))
+                if rows is None:
+                    continue
+                in_d = t == s + d
+                pos = np.searchsorted(rows, local_ids[in_d])
+                ext_d = base[d] + pos
+                ext[in_d] = ext_d
+            assert (ext >= 0).all(), f"unmapped sender in {name}"
+        snd[s, :k] = ext
+        local_r = (receivers[sel] - s * n_rec_local).astype(np.int64)
+        rcv[s, :k] = local_r
+        if fts is not None:
+            fts[s, :k] = features[sel]
+        counts[s] = np.bincount(local_r, minlength=n_rec_local)
 
-@dataclasses.dataclass(frozen=True)
-class SpatialPartition:
-    """Everything needed to run GraphLAM spatially sharded."""
-
-    n_shards: int
-    # padded global sizes and per-shard slab sizes
-    n_grid: int
-    n_grid_pad: int
-    n_grid_local: int
-    n_mesh: int
-    n_mesh_pad: int
-    n_mesh_local: int
-    g2m: ShardedEdges
-    m2m: ShardedEdges
-    m2g: ShardedEdges
-    grid_static: np.ndarray  # (n_grid_pad, d_static)
-    mesh_static: np.ndarray  # (n_mesh_pad, 2)
-    boundary_mask: np.ndarray  # (n_grid_pad, 1); padding nodes -> 1
-    interior_mask: np.ndarray  # (n_grid_pad, 1); padding nodes -> 0
-
-    def pad_grid_array(self, arr: np.ndarray) -> np.ndarray:
-        """Zero-pad a ``(..., n_grid, d)`` array to ``n_grid_pad``."""
-        pad = self.n_grid_pad - arr.shape[-2]
-        if pad == 0:
-            return arr
-        widths = [(0, 0)] * (arr.ndim - 2) + [(0, pad), (0, 0)]
-        return np.pad(arr, widths)
+    tbl = {
+        "senders": snd,
+        "recv_local": rcv,
+        "counts": counts,
+    }
+    if fts is not None:
+        tbl["features"] = fts
+    for d, h in zip(offsets, halo_sizes):
+        rows_tbl = np.zeros((P_, h), dtype=np.int32)
+        for t in range(P_):
+            rows = needs.get(((t - d) % P_, d))
+            if rows is not None:
+                rows_tbl[t, : len(rows)] = rows
+        tbl[f"rows_{d}"] = rows_tbl
+    return meta, tbl
 
 
-def build_spatial_partition(
-    model: GraphLAM, datastore, n_shards: int
-) -> SpatialPartition:
-    """Partition a GraphLAM's graph over ``n_shards`` spatial slabs."""
-    g = model.graph
-    n_grid = g.num_grid_nodes
-    n_mesh = int(g.mesh_static_features[0].shape[0])
-    n_grid_local = _round_up(-(-n_grid // n_shards), 8)
-    n_mesh_local = _round_up(-(-n_mesh // n_shards), 8)
-    n_grid_pad = n_grid_local * n_shards
-    n_mesh_pad = n_mesh_local * n_shards
+def _valid_edges(pe):
+    """Strip interspersed padding from a PaddedEdges bundle."""
+    r = np.asarray(pe.edges.receivers)
+    s = np.asarray(pe.edges.senders)
+    f = np.asarray(pe.features)
+    keep = r < pe.edges.num_rec
+    return s[keep].astype(np.int64), r[keep].astype(np.int64), f[keep]
 
-    def valid_edges(pe):
-        r = np.asarray(pe.edges.receivers)
-        s = np.asarray(pe.edges.senders)
-        f = np.asarray(pe.features)
-        keep = r < pe.edges.num_rec
-        return s[keep], r[keep], f[keep]
 
-    g2m = _shard_edges(*valid_edges(g.g2m), n_mesh_local, n_shards)
-    m2m = _shard_edges(*valid_edges(g.m2m[0]), n_mesh_local, n_shards)
-    m2g = _shard_edges(*valid_edges(g.m2g), n_grid_local, n_shards)
+# ---------------------------------------------------------------------------
+# device-side local views
+# ---------------------------------------------------------------------------
+class LocalPE:
+    """Shard-local stand-in for a PaddedEdges bundle."""
 
-    grid_static = np.zeros(
-        (n_grid_pad, model.grid_static_features.shape[1]), np.float32
-    )
-    grid_static[:n_grid] = np.asarray(model.grid_static_features)
-    mesh_static = np.zeros((n_mesh_pad, 2), np.float32)
-    mesh_static[:n_mesh] = np.asarray(g.mesh_static_features[0])
+    def __init__(self, meta: EdgeMeta, tbl: dict):
+        self.meta = meta
+        self.tbl = tbl
+        self.features = tbl.get("features")
 
-    boundary = np.ones((n_grid_pad, 1), np.float32)
-    boundary[:n_grid, 0] = np.asarray(
-        datastore.boundary_mask.data
-    ).reshape(-1)
-    interior = np.zeros((n_grid_pad, 1), np.float32)
-    interior[:n_grid, 0] = 1.0 - boundary[:n_grid, 0]
 
-    return SpatialPartition(
-        n_shards=n_shards,
-        n_grid=n_grid,
-        n_grid_pad=n_grid_pad,
-        n_grid_local=n_grid_local,
-        n_mesh=n_mesh,
-        n_mesh_pad=n_mesh_pad,
-        n_mesh_local=n_mesh_local,
-        g2m=g2m,
-        m2m=m2m,
-        m2g=m2g,
-        grid_static=grid_static,
-        mesh_static=mesh_static,
-        boundary_mask=boundary,
-        interior_mask=interior,
-    )
+class LocalCombinedPE:
+    """Shard-local stand-in for HiLAMParallel's combined edge set."""
+
+    def __init__(self, sections, level_sizes_local, sender_levels,
+                 recv_levels):
+        self.sections = sections  # list[LocalPE]
+        self.level_sizes_local = level_sizes_local
+        self.sender_levels = sender_levels
+        self.recv_levels = recv_levels
+
+
+class _LocalGraphView:
+    """GraphBuffers-shaped object backed by shard-local tables."""
+
+    def __init__(self, hierarchical, g2m, m2g, m2m, up, down,
+                 mesh_static_features):
+        self.hierarchical = hierarchical
+        self.g2m = g2m
+        self.m2g = m2g
+        self.m2m = m2m
+        self.up = up
+        self.down = down
+        self.mesh_static_features = mesh_static_features
+
+
+def _exchange(x, pe: LocalPE, axis: str):
+    """Deliver the extended (local + halo) sender array for one edge
+    set: neighbor-only ``ppermute`` rounds, or one ``all_gather`` for
+    small sender sets."""
+    meta = pe.meta
+    if meta.strategy == "all_gather":
+        return jax.lax.all_gather(x, axis, tiled=True)
+    parts = [x]
+    P_ = meta.n_shards
+    for d in meta.offsets:
+        payload = x[pe.tbl[f"rows_{d}"]]
+        # receiver s consumes rows owned by shard s + d, so every
+        # source t routes its payload to t - d
+        perm = [(t, (t - d) % P_) for t in range(P_)]
+        parts.append(jax.lax.ppermute(payload, axis, perm))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _bcast_batch(arrs):
+    """Broadcast unbatched (N, d) arrays to the common (N, B, d) layout
+    (mirrors apply_interaction_net)."""
+    batched = any(a.ndim == 3 for a in arrs)
+    if not batched:
+        return arrs
+    b = next(a.shape[1] for a in arrs if a.ndim == 3)
+    return [
+        (
+            jnp.broadcast_to(a[:, None, :], (a.shape[0], b, a.shape[-1]))
+            if a.ndim == 2
+            else a
+        )
+        for a in arrs
+    ]
 
 
 def _seg_sum_local(messages, recv_local, n_rec_local):
@@ -181,109 +287,226 @@ def _seg_sum_local(messages, recv_local, n_rec_local):
     return out[:n_rec_local]
 
 
-def _interaction_local(
-    params,
-    senders,
-    recv_local,
-    recv_counts,
-    n_rec_local: int,
-    x_send_global,
+def _sharded_interaction(
+    pe: LocalPE,
+    net_params: dict,
+    send_rep,
     rec_rep,
     edge_rep,
+    axis: str,
     aggr: str = "sum",
     update_edges: bool = True,
+    propagation: bool = False,
+    edge_chunk_sizes=None,
+    aggr_chunk_sizes=None,
 ):
-    """Interaction net with global senders and local receivers.
-
-    Semantics identical to ``apply_interaction_net``
-    (reference: neural_lam/gnn_layers.py:15-190), with runtime (sharded)
-    edge tables instead of static EdgeSets. Supports both the unbatched
-    ``(N, d)`` and node-major batched ``(N, B, d)`` layouts; unbatched
-    (static-embedded) inputs broadcast along the batch axis.
-    """
-    x_send = x_send_global[senders]
-    x_rec = rec_rep[jnp.minimum(recv_local, n_rec_local - 1)]
-    batched = max(a.ndim for a in (x_send, x_rec, edge_rep)) == 3
-    if batched:
-        b = next(
-            a.shape[1] for a in (x_send, x_rec, edge_rep) if a.ndim == 3
+    """One message-passing step on shard-local slabs; semantics identical
+    to ``apply_interaction_net`` (reference: neural_lam/gnn_layers.py:
+    15-250), with a halo exchange delivering cross-shard senders."""
+    if propagation:
+        aggr = "mean"
+    meta = pe.meta
+    x_ext = _exchange(send_rep, pe, axis)
+    x_send = x_ext[pe.tbl["senders"]]
+    x_rec = rec_rep[jnp.minimum(pe.tbl["recv_local"], meta.n_rec_local - 1)]
+    x_send, x_rec, edge_rep_b = _bcast_batch([x_send, x_rec, edge_rep])
+    if len(net_params["edge"]) == 1:
+        messages = apply_mlp_split_first(
+            net_params["edge"][0], (edge_rep_b, x_send, x_rec)
         )
-
-        def bc(a):
-            if a.ndim == 2:
-                return jnp.broadcast_to(
-                    a[:, None, :], (a.shape[0], b, a.shape[-1])
-                )
-            return a
-
-        x_send, x_rec, edge_rep = bc(x_send), bc(x_rec), bc(edge_rep)
-    edge_in = jnp.concatenate([edge_rep, x_send, x_rec], axis=-1)
-    messages = apply_mlp(params["edge"][0], edge_in)
-    aggregated = _seg_sum_local(messages, recv_local, n_rec_local)
-    counts = jnp.maximum(recv_counts, 1)
-    aggregated = aggregated / counts.reshape(
-        (-1,) + (1,) * (aggregated.ndim - 1)
-    ) if aggr == "mean" else aggregated
-    if batched and rec_rep.ndim == 2:
-        rec_rep = jnp.broadcast_to(
-            rec_rep[:, None, :],
-            (rec_rep.shape[0], aggregated.shape[1], rec_rep.shape[-1]),
+    else:
+        messages = _apply_chunked(
+            net_params["edge"],
+            jnp.concatenate([edge_rep_b, x_send, x_rec], axis=-1),
+            edge_chunk_sizes,
         )
-    rec_diff = apply_mlp(
-        params["aggr"][0],
-        jnp.concatenate([rec_rep, aggregated], axis=-1),
+    if propagation:
+        messages = x_send + messages
+
+    aggregated = _seg_sum_local(
+        messages, pe.tbl["recv_local"], meta.n_rec_local
     )
-    new_rec = rec_rep + rec_diff
+    if aggr == "mean":
+        counts = jnp.maximum(pe.tbl["counts"], 1).astype(aggregated.dtype)
+        aggregated = aggregated / counts.reshape(
+            (-1,) + (1,) * (aggregated.ndim - 1)
+        )
+    rec_rep_b, _ = _bcast_batch([rec_rep, aggregated])
+    rec_diff = _apply_chunked(
+        net_params["aggr"],
+        jnp.concatenate([rec_rep_b, aggregated], axis=-1),
+        aggr_chunk_sizes,
+    )
+    residual_base = aggregated if propagation else rec_rep_b
+    new_rec = residual_base + rec_diff
     if update_edges:
-        return new_rec, edge_rep + messages
+        return new_rec, edge_rep_b + messages
     return new_rec
 
 
-class ShardedGraphLAM:
-    """Spatially sharded GraphLAM training/forward over a device mesh.
+def _sharded_combined(
+    pe: LocalCombinedPE,
+    net_params: dict,
+    mesh_rep,
+    edge_rep,
+    axis: str,
+    aggr: str,
+    update_edges: bool,
+    edge_chunk_sizes,
+):
+    """HiLAMParallel's fused multi-level step on local slabs: one
+    chunked edge MLP per section, aggregation summed into the local
+    flattened node space, chunked per-level node MLPs
+    (reference: hi_lam_parallel.py:147-209 + gnn_layers.py:275-325)."""
+    assert aggr == "sum", "combined mesh processing uses sum aggregation"
+    level_sizes = pe.level_sizes_local
+    level_offsets = np.concatenate([[0], np.cumsum(level_sizes)])
+    sec_offsets = np.concatenate([[0], np.cumsum(edge_chunk_sizes)])
 
-    Parameters are replicated; node arrays are sharded over the
-    ``spatial`` mesh axis (and the batch over ``data``). The per-step
-    math matches :class:`~neural_lam_tpu.models.graph_lam.GraphLAM`
-    exactly — validated by the equivalence tests — so single-chip and
-    sharded runs are interchangeable.
+    def level_slice(arr, lev):
+        return arr[level_offsets[lev] : level_offsets[lev + 1]]
+
+    agg_levels = [None] * len(level_sizes)
+    new_edge_secs = []
+    for k, sec in enumerate(pe.sections):
+        e_rep = edge_rep[sec_offsets[k] : sec_offsets[k + 1]]
+        send = level_slice(mesh_rep, pe.sender_levels[k])
+        rec = level_slice(mesh_rep, pe.recv_levels[k])
+        x_ext = _exchange(send, sec, axis)
+        x_send = x_ext[sec.tbl["senders"]]
+        x_rec = rec[
+            jnp.minimum(sec.tbl["recv_local"], sec.meta.n_rec_local - 1)
+        ]
+        x_send, x_rec, e_rep = _bcast_batch([x_send, x_rec, e_rep])
+        messages = apply_mlp_split_first(
+            net_params["edge"][k], (e_rep, x_send, x_rec)
+        )
+        agg = _seg_sum_local(
+            messages, sec.tbl["recv_local"], sec.meta.n_rec_local
+        )
+        lev = pe.recv_levels[k]
+        agg_levels[lev] = (
+            agg if agg_levels[lev] is None else agg_levels[lev] + agg
+        )
+        if update_edges:
+            new_edge_secs.append(e_rep + messages)
+    aggregated = jnp.concatenate(agg_levels, axis=0)
+    rec_diff = _apply_chunked(
+        net_params["aggr"],
+        jnp.concatenate([mesh_rep, aggregated], axis=-1),
+        list(level_sizes),
+    )
+    new_rep = mesh_rep + rec_diff
+    if update_edges:
+        return new_rep, jnp.concatenate(new_edge_secs, axis=0)
+    return new_rep
+
+
+# ---------------------------------------------------------------------------
+# the executor
+# ---------------------------------------------------------------------------
+class ShardedModel:
+    """Spatially sharded execution of any :class:`BaseGraphModel`.
+
+    Parameters stay replicated; node arrays shard over the ``spatial``
+    mesh axis and the batch over ``data``. Inside ``shard_map`` the
+    executor builds a local view of the model and runs the model's own
+    ``step``/rollout code, so single-chip and sharded runs share one
+    implementation of the math (sharded == replicated is asserted by
+    tests for every model family).
     """
 
     def __init__(
         self,
-        model: GraphLAM,
+        model: BaseGraphModel,
         datastore,
         mesh: Mesh,
-        loss_interior_count: Optional[int] = None,
+        all_gather_max_nodes: int = 2048,
+        max_halo_offsets: int = 3,
     ) -> None:
         assert "spatial" in mesh.axis_names, "mesh needs a 'spatial' axis"
-        # The sharded step currently implements InteractionNet residual
-        # wiring with sum aggregation for g2m/m2g and the weighted-MSE
-        # objective only; reject configurations whose math would silently
-        # diverge from the replicated model.
-        if model.g2m_propagation or model.m2g_propagation:
-            raise NotImplementedError(
-                "spatial sharding supports InteractionNet g2m/m2g only "
-                "(PropagationNet residual wiring is not implemented in "
-                "the sharded step)"
-            )
-        if model.output_std:
-            raise NotImplementedError(
-                "spatial sharding trains the weighted-MSE objective; "
-                "output_std/NLL models are not supported sharded"
-            )
         self.model = model
         self.mesh = mesh
-        self.n_shards = mesh.shape["spatial"]
-        self.part = build_spatial_partition(
-            model, datastore, self.n_shards
-        )
-        self.n_interior = (
-            int(self.part.interior_mask.sum())
-            if loss_interior_count is None
-            else loss_interior_count
-        )
+        self.axis = "spatial"
+        P_ = self.n_shards = mesh.shape["spatial"]
+        g = model.graph
 
+        n_grid = g.num_grid_nodes
+        level_sizes = list(g.level_mesh_sizes)
+        self.n_grid = n_grid
+        # Exact ceil slabs (no tile rounding): all node sets are x-major
+        # ordered, so equal-fraction slabs keep the sets spatially
+        # aligned across shards and the halo offsets small; padding an
+        # individual slab would drift the sets apart and blow up halos.
+        self.n_grid_local = -(-n_grid // P_)
+        self.n_grid_pad = self.n_grid_local * P_
+        self.level_local = [-(-n // P_) for n in level_sizes]
+        self.level_pad = [n * P_ for n in self.level_local]
+
+        def build(name, pe, n_send_global, n_send_local, n_rec_local):
+            s, r, f = _valid_edges(pe)
+            return _build_edge_table(
+                name, s, r, f, n_send_global, n_send_local, n_rec_local,
+                P_, all_gather_max_nodes, max_halo_offsets,
+            )
+
+        self.metas: dict[str, EdgeMeta] = {}
+        tables: dict[str, dict] = {}
+
+        def add(name, meta_tbl):
+            meta, tbl = meta_tbl
+            self.metas[name] = meta
+            tables[name] = tbl
+
+        add("g2m", build("g2m", g.g2m, n_grid, self.n_grid_local,
+                         self.level_local[0]))
+        add("m2g", build("m2g", g.m2g, level_sizes[0],
+                         self.level_local[0], self.n_grid_local))
+        for lev, pe in enumerate(g.m2m):
+            add(f"m2m{lev}", build(
+                f"m2m{lev}", pe, level_sizes[lev], self.level_local[lev],
+                self.level_local[lev],
+            ))
+        for lev, pe in enumerate(g.up):
+            add(f"up{lev}", build(
+                f"up{lev}", pe, level_sizes[lev], self.level_local[lev],
+                self.level_local[lev + 1],
+            ))
+        for lev, pe in enumerate(g.down):
+            add(f"down{lev}", build(
+                f"down{lev}", pe, level_sizes[lev + 1],
+                self.level_local[lev + 1], self.level_local[lev],
+            ))
+
+        # node tables: (P, n_local, d) slabs
+        def slab(arr, n_local, n_global):
+            arr = np.asarray(arr, np.float32)
+            out = np.zeros(
+                (n_local * P_,) + arr.shape[1:], np.float32
+            )
+            out[:n_global] = arr
+            return out.reshape((P_, n_local) + arr.shape[1:])
+
+        tables["grid_static"] = slab(
+            model.grid_static_features, self.n_grid_local, n_grid
+        )
+        for lev, m in enumerate(g.mesh_static_features):
+            tables[f"mesh_static{lev}"] = slab(
+                m, self.level_local[lev], level_sizes[lev]
+            )
+        boundary = np.ones((self.n_grid_pad, 1), np.float32)
+        boundary[:n_grid, 0] = np.asarray(
+            datastore.boundary_mask.data
+        ).reshape(-1)
+        interior = np.zeros((self.n_grid_pad, 1), np.float32)
+        interior[:n_grid, 0] = 1.0 - boundary[:n_grid, 0]
+        tables["boundary_mask"] = boundary.reshape(P_, self.n_grid_local, 1)
+        tables["interior_mask"] = interior.reshape(P_, self.n_grid_local, 1)
+        self.n_interior = int(interior.sum())
+        self._host_tables = tables
+        self._tables_cache = None
+
+        # standardization stats (reference: module.py:289-337)
         stats = datastore.get_standardization_dataarray(category="state")
         eps = np.finfo(np.float32).eps
         self.state_mean = jnp.asarray(
@@ -305,216 +528,178 @@ class ShardedGraphLAM:
 
     # -- sharding helpers --------------------------------------------------
     def node_sharding(self) -> NamedSharding:
-        """Sharding for (B, T?, N_pad, d) arrays: batch over data,
-        nodes over spatial."""
+        """(B, T?, N_pad, d) arrays: batch over data, nodes over
+        spatial."""
         return NamedSharding(self.mesh, P("data", None, "spatial", None))
 
-    def _shard_tables(self):
-        """Device-put the stacked per-shard tables with shard-axis
-        partitioning (each device holds only its own tables)."""
-        shard0 = NamedSharding(self.mesh, P("spatial"))
+    def pad_grid(self, arr: np.ndarray) -> np.ndarray:
+        """Zero-pad the grid-node axis (-2) to ``n_grid_pad``."""
+        pad = self.n_grid_pad - arr.shape[-2]
+        if pad == 0:
+            return arr
+        widths = [(0, 0)] * (arr.ndim - 2) + [(0, pad), (0, 0)]
+        return np.pad(np.asarray(arr), widths)
 
-        def put(arr):
-            return jax.device_put(jnp.asarray(arr), shard0)
+    def tables(self):
+        """Device-put the stacked tables, shard-axis partitioned."""
+        if self._tables_cache is None:
+            shard0 = NamedSharding(self.mesh, P("spatial"))
+            self._tables_cache = jax.tree_util.tree_map(
+                lambda a: jax.device_put(jnp.asarray(a), shard0),
+                self._host_tables,
+            )
+        return self._tables_cache
 
-        p = self.part
-        tables = {
-            "g2m": (p.g2m.senders, p.g2m.recv_local, p.g2m.features,
-                    p.g2m.recv_counts),
-            "m2m": (p.m2m.senders, p.m2m.recv_local, p.m2m.features,
-                    p.m2m.recv_counts),
-            "m2g": (p.m2g.senders, p.m2g.recv_local, p.m2g.features,
-                    p.m2g.recv_counts),
-        }
-        out = {k: tuple(put(a) for a in v) for k, v in tables.items()}
-        # Node tables are reshaped to a leading shard axis so every
-        # table leaf uniformly arrives as (1, ...) inside the shard.
-        P_ = self.n_shards
-        out["grid_static"] = put(
-            p.grid_static.reshape(P_, p.n_grid_local, -1)
+    def table_specs(self):
+        return jax.tree_util.tree_map(
+            lambda _: P("spatial"), self._host_tables
         )
-        out["mesh_static"] = put(
-            p.mesh_static.reshape(P_, p.n_mesh_local, -1)
-        )
-        out["boundary_mask"] = put(
-            p.boundary_mask.reshape(P_, p.n_grid_local, 1)
-        )
-        out["interior_mask"] = put(
-            p.interior_mask.reshape(P_, p.n_grid_local, 1)
-        )
-        return out
 
-    # -- the sharded step --------------------------------------------------
-    def _local_step(
-        self, params, tables, prev_state, prev_prev_state, forcing
+    # -- local model view --------------------------------------------------
+    def _local_model(self, tbl: dict) -> BaseGraphModel:
+        """Shallow model copy whose graph/buffers/gnn_apply act on the
+        shard-local slab (called inside shard_map on localized
+        tables)."""
+        axis = self.axis
+
+        def local_pe(name):
+            return LocalPE(self.metas[name], tbl[name])
+
+        g = self.model.graph
+        view = _LocalGraphView(
+            hierarchical=g.hierarchical,
+            g2m=local_pe("g2m"),
+            m2g=local_pe("m2g"),
+            m2m=tuple(local_pe(f"m2m{i}") for i in range(len(g.m2m))),
+            up=tuple(local_pe(f"up{i}") for i in range(len(g.up))),
+            down=tuple(local_pe(f"down{i}") for i in range(len(g.down))),
+            mesh_static_features=tuple(
+                tbl[f"mesh_static{i}"]
+                for i in range(len(g.mesh_static_features))
+            ),
+        )
+
+        local = copy.copy(self.model)
+        local.graph = view
+        local.grid_static_features = tbl["grid_static"]
+
+        def gnn_apply(net_params, pe, send_rep, rec_rep, edge_rep,
+                      aggr="sum", update_edges=True, propagation=False,
+                      edge_chunk_sizes=None, aggr_chunk_sizes=None):
+            if isinstance(pe, LocalCombinedPE):
+                return _sharded_combined(
+                    pe, net_params, send_rep, edge_rep, axis,
+                    aggr, update_edges, edge_chunk_sizes,
+                )
+            return _sharded_interaction(
+                pe, net_params, send_rep, rec_rep, edge_rep, axis,
+                aggr=aggr, update_edges=update_edges,
+                propagation=propagation,
+                edge_chunk_sizes=edge_chunk_sizes,
+                aggr_chunk_sizes=aggr_chunk_sizes,
+            )
+
+        local.gnn_apply = gnn_apply
+
+        if hasattr(local, "_total_pe"):  # HiLAMParallel
+            L = len(g.m2m)
+            sec_names = (
+                [f"m2m{i}" for i in range(L)]
+                + [f"up{i}" for i in range(L - 1)]
+                + [f"down{i}" for i in range(L - 1)]
+            )
+            sender_levels = (
+                list(range(L))
+                + list(range(L - 1))
+                + [l + 1 for l in range(L - 1)]
+            )
+            recv_levels = (
+                list(range(L))
+                + [l + 1 for l in range(L - 1)]
+                + list(range(L - 1))
+            )
+            local._total_pe = LocalCombinedPE(
+                [local_pe(n) for n in sec_names],
+                list(self.level_local),
+                sender_levels,
+                recv_levels,
+            )
+            local.edge_split_sections = [
+                self.metas[n].e_max for n in sec_names
+            ]
+        if hasattr(local, "level_mesh_sizes"):
+            local.level_mesh_sizes = list(self.level_local)
+        return local
+
+    def _local_forecaster(self, forecaster, tbl: dict):
+        local = copy.copy(forecaster)
+        local.predictor = self._local_model(tbl)
+        local.boundary_mask = tbl["boundary_mask"]
+        local.interior_mask = 1.0 - tbl["boundary_mask"]
+        return local
+
+    # -- standardization ---------------------------------------------------
+    def _standardize(self, init, target, forcing):
+        init = (init - self.state_mean) / self.state_std
+        target = (target - self.state_mean) / self.state_std
+        n_f = self._forcing_mean_raw.shape[-1]
+        if forcing.shape[-1] > 0 and n_f > 0:
+            window = forcing.shape[-1] // n_f
+            f_mean = jnp.asarray(np.repeat(self._forcing_mean_raw, window))
+            f_std = jnp.asarray(np.repeat(self._forcing_std_raw, window))
+            forcing = (forcing - f_mean) / f_std
+        return init, target, forcing
+
+    def _masked_metric(self, entry_fn, pred, target, pred_std, tbl):
+        """Interior-masked grid mean + var sum per (sample, step), with
+        a psum over spatial shards: the sharded equivalent of
+        ``loss_fn(..., mask=interior, average_grid, sum_vars)``
+        (reference: models/module.py:379-386)."""
+        entry = entry_fn(pred, target, pred_std)  # (B, T, N_loc, d)
+        masked = entry * tbl["interior_mask"][:, 0][None, None, :, None]
+        sums = jnp.sum(masked, axis=-2)  # (B, T, d)
+        sums = jax.lax.psum(sums, self.axis)
+        return jnp.sum(sums / self.n_interior, axis=-1)  # (B, T)
+
+    def _pred_std_or(self, pred_std, per_var_std):
+        return pred_std if pred_std is not None else per_var_std
+
+    # -- steps -------------------------------------------------------------
+    def make_train_step(
+        self,
+        forecaster,
+        optimizer,
+        per_var_std: Optional[jax.Array],
+        loss_name: str = "wmse",
     ):
-        """One predictor step on LOCAL (N_loc, d) node slabs.
-
-        Mirrors ``BaseGraphModel.step``
-        (reference: models/step_predictors/graph/base.py:228-344) with
-        an ``all_gather`` halo before each message-passing round.
-        """
-        model = self.model
-        part = self.part
-
-        grid_static = tables["grid_static"]
-        if prev_state.ndim == 3:  # node-major batched layout
-            grid_static = jnp.broadcast_to(
-                grid_static[:, None, :],
-                (
-                    grid_static.shape[0],
-                    prev_state.shape[1],
-                    grid_static.shape[-1],
-                ),
-            )
-        grid_features = jnp.concatenate(
-            (prev_state, prev_prev_state, forcing, grid_static),
-            axis=-1,
-        )
-        grid_emb = apply_mlp(params["grid_embedder"], grid_features)
-        g2m_emb = apply_mlp(params["g2m_embedder"], tables["g2m"][2])
-        m2g_emb = apply_mlp(params["m2g_embedder"], tables["m2g"][2])
-        mesh_emb = apply_mlp(
-            params["mesh_embedder"], tables["mesh_static"]
-        )
-
-        # Halo exchange: full gather of grid embeddings over ICI
-        grid_emb_global = jax.lax.all_gather(
-            grid_emb, "spatial", tiled=True
-        )
-        mesh_rep = _interaction_local(
-            params["g2m_gnn"],
-            tables["g2m"][0],
-            tables["g2m"][1],
-            tables["g2m"][3],
-            part.n_mesh_local,
-            grid_emb_global,
-            mesh_emb,
-            g2m_emb,
-            update_edges=False,
-        )
-        grid_rep = grid_emb + apply_mlp(
-            params["encoding_grid_mlp"], grid_emb
-        )
-
-        m2m_edge_rep = apply_mlp(params["m2m_embedder"], tables["m2m"][2])
-        for net_params in params["processor"]:
-            mesh_rep_global = jax.lax.all_gather(
-                mesh_rep, "spatial", tiled=True
-            )
-            mesh_rep, m2m_edge_rep = _interaction_local(
-                net_params,
-                tables["m2m"][0],
-                tables["m2m"][1],
-                tables["m2m"][3],
-                part.n_mesh_local,
-                mesh_rep_global,
-                mesh_rep,
-                m2m_edge_rep,
-                aggr=model.mesh_aggr,
-                update_edges=True,
-            )
-
-        mesh_rep_global = jax.lax.all_gather(
-            mesh_rep, "spatial", tiled=True
-        )
-        grid_rep = _interaction_local(
-            params["m2g_gnn"],
-            tables["m2g"][0],
-            tables["m2g"][1],
-            tables["m2g"][3],
-            part.n_grid_local,
-            mesh_rep_global,
-            grid_rep,
-            m2g_emb,
-            update_edges=False,
-        )
-        net_output = apply_mlp(params["output_map"], grid_rep)
-
-        if model.output_std:
-            pred_delta_mean, pred_std_raw = jnp.split(
-                net_output, 2, axis=-1
-            )
-            pred_std = jax.nn.softplus(pred_std_raw)
-        else:
-            pred_delta_mean = net_output
-            pred_std = None
-        rescaled = pred_delta_mean * model.diff_std + model.diff_mean
-        new_state = model.get_clamped_new_state(rescaled, prev_state)
-        return new_state, pred_std
-
-    def _local_rollout(
-        self, params, tables, init_states, forcing, boundary
-    ):
-        """AR rollout on local slabs (reference:
-        forecasters/autoregressive.py:109-146)."""
-        bmask = tables["boundary_mask"]
-        if init_states.ndim == 4:  # node-major batched (2, N, B, d)
-            bmask = bmask[:, None, :]
-
-        def step(carry, inputs):
-            prev_prev, prev = carry
-            forcing_t, boundary_t = inputs
-            pred, _ = self._local_step(
-                params, tables, prev, prev_prev, forcing_t
-            )
-            new_state = bmask * boundary_t + (1.0 - bmask) * pred
-            return (prev, new_state), new_state
-
-        (_, _), prediction = jax.lax.scan(
-            step, (init_states[0], init_states[1]), (forcing, boundary)
-        )
-        return prediction
-
-    def make_train_step(self, optimizer, per_var_std: jax.Array):
-        """Jitted sharded train step ``(params, opt, batch) -> ...``.
-
-        The wmse loss is computed as interior-masked sums psummed over
-        the spatial axis (matching the reference masked mean,
-        reference: models/module.py:379-386), then pmean'd over data.
-        """
-        part = self.part
-        tables = self._shard_tables()
-        n_interior = self.n_interior
+        """Jitted sharded train step ``(params, opt_state, init, target,
+        forcing) -> (params, opt_state, loss)``; batch arrays arrive
+        grid-padded and sharded via :meth:`node_sharding`."""
+        tables = self.tables()
+        entry_fn = get_metric_entry(loss_name)
 
         def loss_local(params, tbl, init, target, forcing):
-            # standardize on device (state + window-tiled forcing,
-            # reference: module.py:307-337)
-            init = (init - self.state_mean) / self.state_std
-            target_s = (target - self.state_mean) / self.state_std
-            n_f = self._forcing_mean_raw.shape[-1]
-            if forcing.shape[-1] > 0 and n_f > 0:
-                window = forcing.shape[-1] // n_f
-                f_mean = jnp.asarray(
-                    np.repeat(self._forcing_mean_raw, window)
+            init, target_s, forcing = self._standardize(
+                init, target, forcing
+            )
+            local_fc = self._local_forecaster(forecaster, tbl)
+            prediction, pred_std = local_fc.forward(
+                params, init, forcing, target_s
+            )
+            std = self._pred_std_or(pred_std, per_var_std)
+            loss = jnp.mean(
+                self._masked_metric(
+                    entry_fn, prediction, target_s, std, tbl
                 )
-                f_std = jnp.asarray(
-                    np.repeat(self._forcing_std_raw, window)
-                )
-                forcing = (forcing - f_mean) / f_std
-
-            # Node-major batched rollout: (B, T, N, d) -> (T, N, B, d)
-            init_nm = jnp.moveaxis(init, 0, 2)
-            target_nm = jnp.moveaxis(target_s, 0, 2)
-            forcing_nm = jnp.moveaxis(forcing, 0, 2)
-            pred = self._local_rollout(
-                params, tbl, init_nm, forcing_nm, target_nm
-            )  # (T, N, B, d)
-            err = ((pred - target_nm) ** 2) / (per_var_std**2)
-            masked = err * tbl["interior_mask"][:, None, :]
-            sums = jnp.sum(masked, axis=1)  # (T, B, d)
-            sums = jax.lax.psum(sums, "spatial")
-            loss = jnp.mean(jnp.sum(sums / n_interior, axis=-1))
+            )
             return jax.lax.pmean(loss, "data")
 
         @partial(
             jax.shard_map,
             mesh=self.mesh,
             in_specs=(
-                P(),  # params (replicated)
-                jax.tree_util.tree_map(
-                    lambda _: P("spatial"), tables
-                ),
+                P(),
+                self.table_specs(),
                 P("data", None, "spatial", None),
                 P("data", None, "spatial", None),
                 P("data", None, "spatial", None),
@@ -523,15 +708,12 @@ class ShardedGraphLAM:
             check_vma=False,
         )
         def loss_and_grad(params, tbl, init, target, forcing):
-            # Tables arrive with a leading per-device shard axis of 1
             tbl = jax.tree_util.tree_map(lambda a: a[0], tbl)
             loss, grads = jax.value_and_grad(loss_local)(
                 params, tbl, init, target, forcing
             )
-            # Params are replicated, so each device holds only the
-            # partial gradient through its own shard of the compute;
-            # the full gradient is the sum over BOTH axes (the 1/D of
-            # the data-axis pmean is already inside loss_local).
+            # replicated params: full grad = sum over both axes (the
+            # 1/D of the data pmean is already inside loss_local)
             grads = jax.tree_util.tree_map(
                 lambda g: jax.lax.psum(g, ("spatial", "data")), grads
             )
@@ -541,44 +723,102 @@ class ShardedGraphLAM:
             loss, grads = loss_and_grad(
                 params, tables, init, target, forcing
             )
-            updates, opt_state = optimizer.update(
-                grads, opt_state, params
-            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        return jax.jit(train_step, donate_argnums=(0, 1)), tables
+        return jax.jit(train_step, donate_argnums=(0, 1))
 
-    def forward(self, params, init_states, forcing, boundary):
-        """Sharded batched rollout returning the (global, unpadded)
-        prediction; for parity tests and sharded evaluation."""
-        tables = self._shard_tables()
+    def make_eval_step(
+        self,
+        forecaster,
+        per_var_std: Optional[jax.Array],
+        loss_name: str,
+        val_steps_to_log: Sequence[int],
+        pred_steps: int,
+    ):
+        """Jitted sharded eval step returning per-sample metrics
+        (so padded eval-tail rows can be dropped by the caller),
+        mirroring the replicated ``Trainer.make_eval_step``."""
+        tables = self.tables()
+        entry_fn = get_metric_entry(loss_name)
+        steps_to_log = [s for s in val_steps_to_log if s <= pred_steps]
+
+        def eval_local(params, tbl, init, target, forcing):
+            init, target_s, forcing = self._standardize(
+                init, target, forcing
+            )
+            local_fc = self._local_forecaster(forecaster, tbl)
+            prediction, pred_std = local_fc.forward(
+                params, init, forcing, target_s
+            )
+            std = self._pred_std_or(pred_std, per_var_std)
+            time_step_loss = self._masked_metric(
+                entry_fn, prediction, target_s, std, tbl
+            )  # (B, T)
+            out = {"loss": jnp.mean(time_step_loss, axis=-1)}
+            for s in steps_to_log:
+                out[f"loss_unroll{s}"] = time_step_loss[:, s - 1]
+            return out
 
         @partial(
             jax.shard_map,
             mesh=self.mesh,
             in_specs=(
                 P(),
-                jax.tree_util.tree_map(
-                    lambda _: P("spatial"), tables
-                ),
+                self.table_specs(),
                 P("data", None, "spatial", None),
                 P("data", None, "spatial", None),
                 P("data", None, "spatial", None),
             ),
-            out_specs=P("data", None, "spatial", None),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+        def eval_step(params, tbl, init, target, forcing):
+            tbl = jax.tree_util.tree_map(lambda a: a[0], tbl)
+            return eval_local(params, tbl, init, target, forcing)
+
+        return jax.jit(
+            lambda params, init, target, forcing: eval_step(
+                params, tables, init, target, forcing
+            )
+        )
+
+    def forward(self, params, forecaster, init_states, forcing, boundary):
+        """Sharded batched rollout returning the global, unpadded
+        ``(prediction, pred_std | None)`` — parity tests and artifact
+        evaluation."""
+        tables = self.tables()
+        predicts_std = forecaster.predicts_std
+        out_spec = (
+            (P("data", None, "spatial", None),) * 2
+            if predicts_std
+            else (P("data", None, "spatial", None), P())
+        )
+
+        @partial(
+            jax.shard_map,
+            mesh=self.mesh,
+            in_specs=(
+                P(),
+                self.table_specs(),
+                P("data", None, "spatial", None),
+                P("data", None, "spatial", None),
+                P("data", None, "spatial", None),
+            ),
+            out_specs=out_spec,
             check_vma=False,
         )
         def run(params, tbl, init, forcing, boundary):
             tbl = jax.tree_util.tree_map(lambda a: a[0], tbl)
-            pred = self._local_rollout(
-                params,
-                tbl,
-                jnp.moveaxis(init, 0, 2),
-                jnp.moveaxis(forcing, 0, 2),
-                jnp.moveaxis(boundary, 0, 2),
-            )  # (T, N_loc, B, d)
-            return jnp.moveaxis(pred, 2, 0)
+            local_fc = self._local_forecaster(forecaster, tbl)
+            pred, stds = local_fc.forward(params, init, forcing, boundary)
+            if stds is None:
+                stds = jnp.zeros((), jnp.float32)
+            return pred, stds
 
-        pred = run(params, tables, init_states, forcing, boundary)
-        return pred[..., : self.part.n_grid, :]
+        pred, stds = run(params, tables, init_states, forcing, boundary)
+        pred = pred[..., : self.n_grid, :]
+        if predicts_std:
+            return pred, stds[..., : self.n_grid, :]
+        return pred, None

@@ -51,6 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Initialise jax.distributed for a multi-host slice",
     )
     runtime.add_argument(
+        "--spatial_shards",
+        type=int,
+        default=1,
+        help="Shard grid+mesh nodes over this many devices (the "
+        "'spatial' mesh axis; remaining devices form the data axis). "
+        "1 = replicate the graph like the reference",
+    )
+    runtime.add_argument(
         "--precision",
         type=str,
         default="32",
@@ -219,9 +227,25 @@ def main(argv=None) -> None:
         profile_dir=args.profile_dir,
         precision=args.precision,
     )
-    trainer = Trainer(forecaster, config, datastore, targs)
-
     import jax
+
+    mesh = None
+    if args.spatial_shards > 1:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        if len(devices) % args.spatial_shards:
+            raise SystemExit(
+                f"--spatial_shards {args.spatial_shards} does not divide "
+                f"the device count {len(devices)}"
+            )
+        data_shards = len(devices) // args.spatial_shards
+        mesh = Mesh(
+            _np.array(devices).reshape(data_shards, args.spatial_shards),
+            axis_names=("data", "spatial"),
+        )
+    trainer = Trainer(forecaster, config, datastore, targs, mesh=mesh)
 
     params, opt_state = trainer.init_state(jax.random.PRNGKey(args.seed))
 

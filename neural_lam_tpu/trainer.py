@@ -75,16 +75,41 @@ class Trainer:
         self.datastore = datastore
 
         if mesh is None:
-            # Largest device count that divides the batch size, so batch
-            # sharding is always valid (a 1-device mesh if nothing fits).
+            # Largest device count that divides the GLOBAL batch size
+            # (batch_size is per-host, matching the reference's
+            # per-process DataLoader batch under DDP), so batch sharding
+            # is always valid (a 1-device mesh if nothing fits).
             devices = jax.devices()
             n = len(devices)
-            while n > 1 and args.batch_size % n != 0:
+            global_batch = args.batch_size * jax.process_count()
+            while n > 1 and global_batch % n != 0:
                 n -= 1
+            if jax.process_count() > 1:
+                assert n == len(devices), (
+                    "multi-host runs need the per-host batch size to be "
+                    "a multiple of the per-host device count"
+                )
             mesh = Mesh(np.array(devices[:n]), axis_names=("data",))
         self.mesh = mesh
-        self.num_data_shards = int(np.prod(mesh.devices.shape))
-        self._batch_sharding = NamedSharding(mesh, P("data"))
+        self.spatial = None
+        if "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1:
+            # Spatial graph partitioning: swap the step builders for the
+            # sharded executor (parallel/spatial.py); loops/eval reuse.
+            from .parallel.spatial import ShardedModel
+
+            if args.precision == "bf16":
+                raise NotImplementedError(
+                    "spatial sharding currently trains fp32; drop "
+                    "--precision bf16 or --spatial_shards"
+                )
+            self.spatial = ShardedModel(
+                forecaster.predictor, datastore, mesh
+            )
+            self.num_data_shards = int(mesh.shape["data"])
+            self._batch_sharding = self.spatial.node_sharding()
+        else:
+            self.num_data_shards = int(np.prod(mesh.devices.shape))
+            self._batch_sharding = NamedSharding(mesh, P("data"))
         self._replicated = NamedSharding(mesh, P())
 
         # Interior mask as a static numpy bool array
@@ -163,7 +188,11 @@ class Trainer:
         callers can drop padded rows from metrics.
         """
         real = int(np.asarray(batch[0]).shape[0])
-        n_shards = self.num_data_shards
+        n_proc = jax.process_count()
+        # Local padding target: under multi-host SPMD every process
+        # contributes an equal slice of the global batch, so the local
+        # batch must pad to (global data shards / processes).
+        n_shards = max(self.num_data_shards // n_proc, 1)
         pad = (-real) % n_shards
         out = []
         for a in batch[:3]:
@@ -172,7 +201,20 @@ class Trainer:
                 a = np.concatenate(
                     [a, np.repeat(a[-1:], pad, axis=0)], axis=0
                 )
-            out.append(jax.device_put(a, self._batch_sharding))
+            if self.spatial is not None:
+                a = self.spatial.pad_grid(a)
+            if n_proc > 1:
+                # Assemble the global array from per-process local data
+                # (each host's loader shard is its slice of the global
+                # batch; jax.device_put of a global array would be wrong
+                # across hosts).
+                out.append(
+                    jax.make_array_from_process_local_data(
+                        self._batch_sharding, a
+                    )
+                )
+            else:
+                out.append(jax.device_put(a, self._batch_sharding))
         return tuple(out), real
 
     def device_prefetch(self, loader, depth: int = 2):
@@ -235,6 +277,13 @@ class Trainer:
     def make_train_step(self) -> Callable:
         """Build the jitted, donated ``(params, opt_state, batch) ->
         (params, opt_state, loss)`` step."""
+        if self.spatial is not None:
+            return self.spatial.make_train_step(
+                self.forecaster,
+                self.optimizer,
+                self.per_var_std,
+                loss_name=self.args.loss,
+            )
 
         def train_step(params, opt_state, init, target, forcing):
             loss, grads = jax.value_and_grad(self._loss)(
@@ -251,6 +300,14 @@ class Trainer:
     def make_eval_step(self, pred_steps: int) -> Callable:
         """Jitted eval: returns total loss plus per-unroll-step losses
         (reference: module.py:465-477)."""
+        if self.spatial is not None:
+            return self.spatial.make_eval_step(
+                self.forecaster,
+                self.per_var_std,
+                self.args.loss,
+                self.args.val_steps_to_log,
+                pred_steps,
+            )
         steps_to_log = [
             s for s in self.args.val_steps_to_log if s <= pred_steps
         ]
@@ -375,11 +432,40 @@ class Trainer:
                         pred_steps
                     )
             out = self._eval_step[pred_steps](params, *device_batch)
-            for k, v in out.items():
-                sums[k] = sums.get(k, 0.0) + float(
-                    jnp.sum(v[:real])
+            if jax.process_count() > 1:
+                # Per-sample outputs are data-sharded across hosts;
+                # gather them and the per-host real counts, and mask
+                # each host's padded tail rows, so every process
+                # computes identical means
+                # (reference metric sync: module.py:399-418).
+                from jax.experimental import multihost_utils
+
+                reals = np.asarray(
+                    multihost_utils.process_allgather(np.int64(real))
+                ).reshape(-1)
+                out = {
+                    k: np.asarray(
+                        multihost_utils.process_allgather(v, tiled=True)
+                    )
+                    for k, v in out.items()
+                }
+                any_v = next(iter(out.values()))
+                per_host = any_v.shape[0] // len(reals)
+                keep = np.concatenate(
+                    [
+                        np.arange(per_host) < r
+                        for r in reals
+                    ]
                 )
-            count += real
+                for k, v in out.items():
+                    sums[k] = sums.get(k, 0.0) + float(v[keep].sum())
+                count += int(reals.sum())
+            else:
+                for k, v in out.items():
+                    sums[k] = sums.get(k, 0.0) + float(
+                        jnp.sum(v[:real])
+                    )
+                count += real
         return {
             f"{prefix}_{k}": v / max(count, 1) for k, v in sums.items()
         }

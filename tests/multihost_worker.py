@@ -1,0 +1,126 @@
+"""Worker for the 2-process multi-host test (run via subprocess).
+
+Each process owns 2 virtual CPU devices of a 4-device cluster; the
+script drives the full multi-host path: distributed init, per-host
+loader shards assembled into global batches with
+``make_array_from_process_local_data``, three SPMD train steps,
+process-coordinated checkpoint save + restore round-trip, and a
+sharded-eval metric gather. Prints one JSON line with the results.
+"""
+
+import json
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> None:
+    proc_id = int(sys.argv[1])
+    num_procs = int(sys.argv[2])
+    coord = sys.argv[3]
+    workdir = sys.argv[4]
+
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=num_procs,
+        process_id=proc_id,
+    )
+    assert jax.process_count() == num_procs
+    assert len(jax.devices()) == 2 * num_procs
+
+    import numpy as np
+
+    from neural_lam_tpu.checkpoint import CheckpointManager
+    from neural_lam_tpu.config import (
+        DatastoreSelection,
+        NeuralLAMConfig,
+    )
+    from neural_lam_tpu.datastore.dummy import DummyDatastore
+    from neural_lam_tpu.graphs import create_graph_from_datastore
+    from neural_lam_tpu.loader import DataLoader
+    from neural_lam_tpu.dataset import WeatherDataset
+    from neural_lam_tpu.models import ARForecaster, GraphLAM
+    from neural_lam_tpu.trainer import Trainer, TrainingArgs
+
+    # Per-process root with a fixed seed -> identical data, no file races
+    root = os.path.join(workdir, f"proc{proc_id}")
+    ds = DummyDatastore(
+        n_grid_x=10, n_grid_y=10, n_timesteps=16, seed=7, root_path=root
+    )
+    create_graph_from_datastore(
+        ds, ds.root_path / "graph" / "multiscale", hierarchical=False
+    )
+    model = GraphLAM(
+        ds, graph_name="multiscale", hidden_dim=8, processor_layers=2
+    )
+    forecaster = ARForecaster(model, ds)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path="")
+    )
+    args = TrainingArgs(batch_size=2, epochs=1, val_steps_to_log=(1,))
+    trainer = Trainer(forecaster, config, ds, args)
+    assert trainer.num_data_shards == 2 * num_procs
+
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+    step = trainer.make_train_step()
+
+    loader = DataLoader(
+        WeatherDataset(ds, split="train", ar_steps=1),
+        batch_size=2,  # local batch per host
+        shuffle=True,
+        seed=0,
+        shard_index=proc_id,
+        num_shards=num_procs,
+    )
+    losses = []
+    it = iter(loader)
+    for _ in range(3):
+        batch = next(it)
+        device_batch, real = trainer.device_put_batch(batch)
+        assert device_batch[0].shape[0] == 2 * num_procs  # global batch
+        params, opt_state, loss = step(params, opt_state, *device_batch)
+        losses.append(float(loss))
+
+    # checkpoint round-trip with process coordination
+    ckpt = CheckpointManager(os.path.join(workdir, "shared_run"))
+    ckpt.save("latest", params, opt_state, step=3)
+    p2, o2 = trainer.init_state(jax.random.PRNGKey(1))
+    p3, o3, step_no = ckpt.restore("latest", p2, o2)
+    leaves_a = jax.tree_util.tree_leaves(jax.device_get(params))
+    leaves_b = jax.tree_util.tree_leaves(p3)
+    max_diff = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(leaves_a, leaves_b)
+    )
+
+    # multi-host eval (metric gather across hosts, odd sample count
+    # exercising the padded-tail masking)
+    val_loader = DataLoader(
+        WeatherDataset(ds, split="val", ar_steps=2),
+        batch_size=2,
+        shuffle=False,
+        shard_index=proc_id,
+        num_shards=num_procs,
+    )
+    metrics = trainer.evaluate(params, val_loader, "val")
+
+    print(
+        json.dumps(
+            {
+                "proc": proc_id,
+                "losses": losses,
+                "restored_step": step_no,
+                "ckpt_max_diff": max_diff,
+                "val_loss": metrics["val_loss"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -125,3 +125,37 @@ def test_eval_with_gif_and_watch(config_path, tmp_path):
     assert "test_rmse_state_var_0_step3" in metrics
     gifs = list(eval_dir.glob("*.gif"))
     assert gifs, "expected example-prediction GIFs"
+
+
+def test_train_cli_spatial_shards(config_path, tmp_path):
+    """--spatial_shards trains through the sharded executor end-to-end
+    (graph partitioned over 4 of the 8 virtual devices, batch over 2)."""
+    graph_dir = config_path.parent / "graph" / "1level"
+    if not (graph_dir / "graph.npz").exists():
+        create_graph.main(
+            ["--config_path", str(config_path), "--name", "1level",
+             "--levels", "1"]
+        )
+    runs_root = tmp_path / "runs"
+    train_model.main([
+        "--config_path", str(config_path),
+        "--graph", "1level",
+        "--hidden_dim", "8",
+        "--processor_layers", "2",
+        "--batch_size", "2",
+        "--epochs", "2",
+        "--spatial_shards", "4",
+        "--runs_root", str(runs_root),
+        "--logger_run_name", "spatialrun",
+        "--val_steps_to_log", "1",
+    ])
+    run_dir = runs_root / "spatialrun"
+    history = [
+        json.loads(line)
+        for line in (run_dir / "history.jsonl").read_text().splitlines()
+    ]
+    assert len(history) == 2
+    assert all("train_loss" in h and "val_loss" in h for h in history)
+    import numpy as np
+
+    assert np.isfinite([h["train_loss"] for h in history]).all()

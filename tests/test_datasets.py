@@ -67,8 +67,12 @@ def test_dataloader_sharding_partitions_samples():
             for t in batch[3][:, 0]:
                 all_times.add(int(t))
                 n_total += 1
-    assert n_total == len(dataset)
-    assert len(all_times) == len(dataset)  # disjoint coverage
+    # Shards are padded (wrapping) to equal length so every host runs
+    # the same number of steps; coverage is complete, duplicates are
+    # exactly the lockstep pad.
+    pad = (-len(dataset)) % 2
+    assert n_total == len(dataset) + pad
+    assert len(all_times) == len(dataset)
 
 
 def test_standardize_flag():
@@ -133,7 +137,8 @@ def test_weather_data_module(tmp_path):
 
 
 def test_loader_shard_disjointness(tmp_path):
-    """Per-host shards cover each epoch exactly once with no overlap."""
+    """Per-host shards cover the epoch completely, run in lockstep
+    (identical per-shard lengths), and only the wrap-pad duplicates."""
     ds = DummyDatastore(
         n_grid_x=4, n_grid_y=4, n_timesteps=20, root_path=tmp_path
     )
@@ -145,9 +150,12 @@ def test_loader_shard_disjointness(tmp_path):
         )
         for i in range(3)
     ]
-    seen = []
+    per_shard = []
     for loader in shards:
         loader.set_epoch(5)
-        idxs = loader._epoch_indices()
-        seen.extend(idxs.tolist())
-    assert sorted(seen) == list(range(len(dataset)))
+        per_shard.append(loader._epoch_indices().tolist())
+    assert len({len(p) for p in per_shard}) == 1  # lockstep lengths
+    seen = [i for p in per_shard for i in p]
+    assert set(seen) == set(range(len(dataset)))  # full coverage
+    pad = (-len(dataset)) % 3
+    assert len(seen) == len(dataset) + pad  # only the wrap-pad repeats

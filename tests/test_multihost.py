@@ -1,0 +1,67 @@
+"""Real 2-process multi-host training (jax.distributed local cluster).
+
+Replaces the reference's mocked-collective approach
+(reference: tests/test_training.py:164-229) with an actual 2-process
+4-device cluster: global batch assembly from per-process loader shards,
+SPMD train steps, rank-0-coordinated checkpointing, and cross-host
+eval-metric gathering all run for real.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_training(tmp_path):
+    port = _free_port()
+    coord = f"localhost:{port}"
+    worker = Path(__file__).parent / "multihost_worker.py"
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("XLA_", "JAX_"))
+    }
+    env["PYTHONPATH"] = str(Path(__file__).parent.parent)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", coord,
+             str(tmp_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    # Both processes ran the same SPMD program: identical losses
+    np.testing.assert_allclose(
+        outs[0]["losses"], outs[1]["losses"], rtol=1e-6
+    )
+    assert all(np.isfinite(outs[0]["losses"]))
+    # checkpoint round-trip restored the exact replicated params
+    for o in outs:
+        assert o["restored_step"] == 3
+        assert o["ckpt_max_diff"] == 0.0
+    # eval metric gather agreed across hosts
+    np.testing.assert_allclose(
+        outs[0]["val_loss"], outs[1]["val_loss"], rtol=1e-6
+    )
