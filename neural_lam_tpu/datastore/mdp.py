@@ -56,11 +56,24 @@ class MDPDatastore(BaseRegularGridDatastore):
             ".yaml", ".zarr"
         )
         if not fp_ds.exists():
-            raise FileNotFoundError(
-                f"No zarr dataset at {fp_ds}. Run mllam-data-prep on the "
-                "config first (dataset creation is not built into this "
-                "datastore)."
-            )
+            # Dataset creation through mllam-data-prep when installed,
+            # mirroring the reference's on-demand create path
+            # (reference: neural_lam/datastore/mdp.py:77-92); without
+            # the package the zarr must be pre-built.
+            try:
+                import mllam_data_prep as mdp
+            except ImportError:
+                raise FileNotFoundError(
+                    f"No zarr dataset at {fp_ds} and mllam-data-prep is "
+                    "not installed. Either install mllam_data_prep so "
+                    "the dataset can be created from the config, or run "
+                    "`python -m mllam_data_prep <config>` elsewhere and "
+                    "place the resulting .zarr next to the config."
+                ) from None
+            print(f"creating zarr dataset at {fp_ds} via mllam-data-prep")
+            mdp_config = mdp.Config.from_yaml_file(self._config_path)
+            ds = mdp.create_dataset(config=mdp_config)
+            ds.to_zarr(fp_ds)
         self._store = ZarrGroup(fp_ds)
         self._n_boundary_points = n_boundary_points
 

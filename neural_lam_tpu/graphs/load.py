@@ -74,16 +74,20 @@ def load_graph(
     ]
 
     # Normalise mesh coordinates by the grid's max span
-    # (reference: utils.py:404-416).
-    if mesh_node_features_scaling == 0:
-        warnings.warn(
-            "Mesh node feature scaling is zero; falling back to 1.0",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-        mesh_node_features_scaling = 1.0
-    for m in mesh_static_features:
-        m[:, :2] /= mesh_node_features_scaling
+    # (reference: utils.py:404-416). Graphs converted from the
+    # reference's legacy format store already-normalized coordinates
+    # (convert_graph.py marks them), so their scaling is skipped —
+    # same rule as the reference loader (utils.py:395-403).
+    if not meta.get("mesh_features_prenormalized", False):
+        if mesh_node_features_scaling == 0:
+            warnings.warn(
+                "Mesh node feature scaling is zero; falling back to 1.0",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            mesh_node_features_scaling = 1.0
+        for m in mesh_static_features:
+            m[:, :2] /= mesh_node_features_scaling
 
     # Normalise all edge features by the longest m2m edge
     # (reference: utils.py:455-463).

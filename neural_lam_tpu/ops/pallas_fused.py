@@ -331,7 +331,10 @@ def _fused_bwd_kernel(
             )
         else:
             d_edge = d_edge + d_new_edge_ref[:]
-    d_edge_ref[:] = d_edge
+    if edge_unbatched:
+        d_edge_ref[0] = d_edge  # (1, C, D) per-stripe plane
+    else:
+        d_edge_ref[:] = d_edge
 
     dw1e_ref[:] += jax.lax.dot_general(
         edge_ref[:], d_pre, (((0,), (0,)), ((), ())),
@@ -554,12 +557,17 @@ def _fused_bwd_impl(
         w1e_spec = pl.BlockSpec(
             (feat, stripe), const, memory_space=pltpu.VMEM
         )
-        # per-stripe planes; summed over stripes by the caller
+        # Per-stripe planes, summed over stripes by the caller. A
+        # leading stripe axis (instead of stripe-wide lanes) keeps the
+        # trailing block dims equal to the array dims — Mosaic rejects
+        # a (ce, feat) block carved out of (E, n_stripes*feat) lanes.
         d_edge_spec = pl.BlockSpec(
-            (ce, feat), cix, memory_space=pltpu.VMEM
+            (1, ce, feat),
+            lambda s, c, cb: (s, c, 0),
+            memory_space=pltpu.VMEM,
         )
         d_edge_shape = jax.ShapeDtypeStruct(
-            (layout.num_blocked, n_stripes * feat), jnp.float32
+            (n_stripes, layout.num_blocked, feat), jnp.float32
         )
         dw1e_spec = w1e_spec
         dw1e_shape = jax.ShapeDtypeStruct((feat, stripe), jnp.float32)
@@ -769,11 +777,8 @@ def make_fused_interaction(
             dw1r = jnp.einsum("ngd,ngh->dh", rg, drp)
 
             if edge_unbatched:
-                # (E, n_stripes*D) per-stripe planes -> (E, D)
-                if n_stripes > 1:
-                    d_edge = d_edge.reshape(
-                        d_edge.shape[0], n_stripes, hidden
-                    ).sum(axis=1)
+                # (n_stripes, E, D) per-stripe planes -> (E, D)
+                d_edge = d_edge.sum(axis=0)
                 # (D, stripe) accumulator -> (D, H) by group fold
                 dw1e = dw1e_a.reshape(hidden, stripe_g, hidden).sum(
                     axis=1

@@ -650,16 +650,20 @@ class ShardedModel:
             forcing = (forcing - f_mean) / f_std
         return init, target, forcing
 
-    def _masked_metric(self, entry_fn, pred, target, pred_std, tbl):
-        """Interior-masked grid mean + var sum per (sample, step), with
-        a psum over spatial shards: the sharded equivalent of
-        ``loss_fn(..., mask=interior, average_grid, sum_vars)``
-        (reference: models/module.py:379-386)."""
+    def _masked_metric(
+        self, entry_fn, pred, target, pred_std, tbl, sum_vars=True
+    ):
+        """Interior-masked grid mean (+ optional var sum) per
+        (sample, step), with a psum over spatial shards: the sharded
+        equivalent of ``loss_fn(..., mask=interior, average_grid,
+        sum_vars)`` (reference: models/module.py:379-386)."""
         entry = entry_fn(pred, target, pred_std)  # (B, T, N_loc, d)
         masked = entry * tbl["interior_mask"][:, 0][None, None, :, None]
         sums = jnp.sum(masked, axis=-2)  # (B, T, d)
-        sums = jax.lax.psum(sums, self.axis)
-        return jnp.sum(sums / self.n_interior, axis=-1)  # (B, T)
+        sums = jax.lax.psum(sums, self.axis) / self.n_interior
+        if sum_vars:
+            return jnp.sum(sums, axis=-1)  # (B, T)
+        return sums
 
     def _pred_std_or(self, pred_std, per_var_std):
         return pred_std if pred_std is not None else per_var_std
@@ -736,6 +740,7 @@ class ShardedModel:
         loss_name: str,
         val_steps_to_log: Sequence[int],
         pred_steps: int,
+        with_mse_table: bool = False,
     ):
         """Jitted sharded eval step returning per-sample metrics
         (so padded eval-tail rows can be dropped by the caller),
@@ -759,6 +764,15 @@ class ShardedModel:
             out = {"loss": jnp.mean(time_step_loss, axis=-1)}
             for s in steps_to_log:
                 out[f"loss_unroll{s}"] = time_step_loss[:, s - 1]
+            if with_mse_table:
+                out["mse_table"] = self._masked_metric(
+                    get_metric_entry("mse"),
+                    prediction,
+                    target_s,
+                    jnp.float32(1.0),
+                    tbl,
+                    sum_vars=False,
+                )  # (B, T, d)
             return out
 
         @partial(

@@ -226,6 +226,8 @@ def main(argv=None) -> None:
         val_steps_to_log=tuple(args.val_steps_to_log),
         profile_dir=args.profile_dir,
         precision=args.precision,
+        metrics_watch=tuple(args.metrics_watch),
+        var_leads_metrics_watch=json.loads(args.var_leads_metrics_watch),
     )
     import jax
 

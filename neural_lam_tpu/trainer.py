@@ -48,10 +48,20 @@ class TrainingArgs:
     loss: str = "wmse"
     val_interval: int = 1
     val_steps_to_log: tuple[int, ...] = (1, 2, 3, 5, 10)
+    # Per-validation-epoch metric promotion: watched (metric, variable,
+    # lead-time) scalars appear in every validation record
+    # (reference: models/module.py:806-817). Keys look like
+    # ``val_rmse_<var>_step<k>``.
+    metrics_watch: tuple[str, ...] = ()
+    var_leads_metrics_watch: Optional[dict] = None
     # "32" (reference default) or "bf16": cast params + batch to
     # bfloat16 inside the step (f32 master params/optimizer state);
     # build the model with compute_dtype=bf16 to match.
     precision: str = "32"
+    # ZeRO-1: partition AdamW moment buffers over the data axis (each
+    # device keeps 1/P of the optimizer state; XLA gathers the updates).
+    # Per-device optimizer memory drops ~P-fold; numerics unchanged.
+    shard_opt_state: bool = True
     # jax.profiler trace capture (SURVEY.md 5.1): when set, epoch 0
     # captures steps [2, 2+profile_steps) into this directory for
     # TensorBoard/XProf.
@@ -295,7 +305,20 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        # Pin output shardings so AdamW moments stay data-axis sharded
+        # across steps (ZeRO-1) instead of being re-replicated.
+        out_shardings = None
+        if getattr(self, "_opt_shardings", None) is not None:
+            out_shardings = (
+                self._replicated,
+                self._opt_shardings,
+                self._replicated,
+            )
+        return jax.jit(
+            train_step,
+            donate_argnums=(0, 1),
+            out_shardings=out_shardings,
+        )
 
     def make_eval_step(self, pred_steps: int) -> Callable:
         """Jitted eval: returns total loss plus per-unroll-step losses
@@ -307,6 +330,7 @@ class Trainer:
                 self.args.loss,
                 self.args.val_steps_to_log,
                 pred_steps,
+                with_mse_table=bool(self.args.metrics_watch),
             )
         steps_to_log = [
             s for s in self.args.val_steps_to_log if s <= pred_steps
@@ -332,16 +356,55 @@ class Trainer:
             out = {"loss": jnp.mean(time_step_loss, axis=-1)}
             for s in steps_to_log:
                 out[f"loss_unroll{s}"] = time_step_loss[:, s - 1]
+            if self.args.metrics_watch:
+                # standardized per-(step, var) MSE for watch promotion
+                out["mse_table"] = get_metric("mse")(
+                    prediction,
+                    target_s,
+                    jnp.float32(1.0),
+                    mask=self.interior_mask_bool,
+                    average_grid=True,
+                    sum_vars=False,
+                )  # (B, T, d)
             return out
 
         return jax.jit(eval_step)
 
     # -- loops -------------------------------------------------------------
+    def _opt_state_sharding(self, opt_state) -> Any:
+        """Per-leaf shardings partitioning AdamW moments over ``data``
+        (the FSDP-lite/ZeRO-1 cheap win, SURVEY.md 2.2): a leaf shards
+        when its leading axis divides by the data-axis size, else it
+        stays replicated (scalars like the step count)."""
+        data_axis = (
+            self.mesh.shape["data"] if "data" in self.mesh.axis_names
+            else 1
+        )
+
+        def leaf_sharding(leaf):
+            if (
+                self.args.shard_opt_state
+                and data_axis > 1
+                and hasattr(leaf, "ndim")
+                and leaf.ndim >= 1
+                and leaf.shape[0] % data_axis == 0
+                and leaf.shape[0] > 0
+            ):
+                return NamedSharding(self.mesh, P("data"))
+            return self._replicated
+
+        return jax.tree_util.tree_map(leaf_sharding, opt_state)
+
     def init_state(self, rng: jax.Array) -> tuple[Any, Any]:
-        """Initialise (replicated) params and optimizer state."""
+        """Initialise params (replicated) and optimizer state
+        (moments sharded over the data axis when enabled)."""
         params = self.forecaster.init_params(rng)
         params = jax.device_put(params, self._replicated)
         opt_state = self.optimizer.init(params)
+        self._opt_shardings = self._opt_state_sharding(opt_state)
+        opt_state = jax.tree_util.tree_map(
+            jax.device_put, opt_state, self._opt_shardings
+        )
         return params, opt_state
 
     def fit(
@@ -458,14 +521,45 @@ class Trainer:
                     ]
                 )
                 for k, v in out.items():
-                    sums[k] = sums.get(k, 0.0) + float(v[keep].sum())
+                    sums[k] = sums.get(k, 0.0) + v[keep].sum(axis=0)
                 count += int(reals.sum())
             else:
                 for k, v in out.items():
-                    sums[k] = sums.get(k, 0.0) + float(
-                        jnp.sum(v[:real])
-                    )
+                    v = np.asarray(v)[:real]
+                    sums[k] = sums.get(k, 0.0) + v.sum(axis=0)
                 count += real
-        return {
-            f"{prefix}_{k}": v / max(count, 1) for k, v in sums.items()
+        means = {k: v / max(count, 1) for k, v in sums.items()}
+        mse_table = means.pop("mse_table", None)
+        result = {
+            f"{prefix}_{k}": float(v) for k, v in means.items()
         }
+        if mse_table is not None:
+            result.update(
+                self._promote_watched_metrics(mse_table, prefix)
+            )
+        return result
+
+    def _promote_watched_metrics(
+        self, mse_table: np.ndarray, prefix: str
+    ) -> dict:
+        """Per-epoch (metric, variable, lead) scalars in physical units
+        from the standardized per-(step, var) MSE table
+        (reference: models/module.py:806-817)."""
+        out: dict = {}
+        watch = {m.split("_")[-1] for m in self.args.metrics_watch}
+        var_names = list(self.datastore.get_vars_names("state"))
+        state_std = np.asarray(self.state_std)
+        rmse_phys = np.sqrt(np.asarray(mse_table)) * state_std
+        var_leads = self.args.var_leads_metrics_watch or {}
+        for var, leads in var_leads.items():
+            if var not in var_names:
+                continue
+            vi = var_names.index(var)
+            for lead in leads:
+                if lead > rmse_phys.shape[0]:
+                    continue
+                if "rmse" in watch or not watch:
+                    out[f"{prefix}_rmse_{var}_step{lead}"] = float(
+                        rmse_phys[lead - 1, vi]
+                    )
+        return out

@@ -204,6 +204,20 @@ def plot_error_heatmap(
     return fig
 
 
+def plot_error_map(errors, datastore, title: Optional[str] = None):
+    """Deprecated alias kept for reference API parity
+    (reference: neural_lam/vis.py:586-614): forwards to
+    :func:`plot_error_heatmap` with a DeprecationWarning."""
+    import warnings
+
+    warnings.warn(
+        "plot_error_map is deprecated, use plot_error_heatmap instead",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return plot_error_heatmap(errors, datastore=datastore, title=title)
+
+
 def save_metrics_csv(
     errors: np.ndarray, datastore, path, step_length_hours=None
 ) -> None:

@@ -325,3 +325,15 @@ def test_blosc_memcpy_chunk_decoding():
     data = bytes(range(256)) * 4
     frame = _make_blosc_frame(data, memcpy=True)
     assert _blosc_decompress(frame) == data
+
+
+def test_missing_zarr_without_mdp_package(tmp_path):
+    """Without mllam-data-prep installed, a missing zarr raises an
+    actionable error naming both remediation paths (the reference
+    creates the dataset on demand, reference: mdp.py:77-92)."""
+    cfg = tmp_path / "absent.datastore.yaml"
+    cfg.write_text("schema_version: v0.5.0\n", encoding="utf-8")
+    from neural_lam_tpu.datastore.mdp import MDPDatastore
+
+    with pytest.raises(FileNotFoundError, match="mllam-data-prep"):
+        MDPDatastore(cfg)

@@ -281,3 +281,98 @@ def test_data_parallel_equivalence(setup):
         params, opt_state, loss = step(params, opt_state, *db)
         losses[name] = float(loss)
     np.testing.assert_allclose(losses["dp8"], losses["dp1"], rtol=1e-5)
+
+
+def test_sharded_optimizer_state_parity(tmp_path):
+    """ZeRO-1 moment sharding over the data axis: identical training
+    trajectory to replicated optimizer state, with AdamW moment leaves
+    actually partitioned across devices."""
+    import optax  # noqa: F401
+
+    ds = DummyDatastore(
+        n_grid_x=10, n_grid_y=10, n_timesteps=12, root_path=tmp_path
+    )
+    create_graph_from_datastore(
+        ds, ds.root_path / "graph" / "multiscale", hierarchical=False
+    )
+    model = GraphLAM(
+        ds, graph_name="multiscale", hidden_dim=8, processor_layers=2
+    )
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path="")
+    )
+    n = ds.num_grid_points
+    rng = np.random.default_rng(0)
+    batch = (
+        rng.normal(size=(4, 2, n, 3)).astype(np.float32),
+        rng.normal(size=(4, 1, n, 3)).astype(np.float32),
+        rng.normal(size=(4, 1, n, 6)).astype(np.float32),
+    )
+
+    results = {}
+    for shard_opt in (False, True):
+        fc = ARForecaster(model, ds)
+        args = TrainingArgs(batch_size=4, shard_opt_state=shard_opt)
+        trainer = Trainer(fc, config, ds, args)
+        params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+        if shard_opt:
+            assert trainer.mesh.shape["data"] > 1, "needs a multi-device mesh"
+            sharded_leaves = [
+                leaf
+                for leaf in jax.tree_util.tree_leaves(opt_state)
+                if hasattr(leaf, "sharding")
+                and not leaf.sharding.is_fully_replicated
+            ]
+            assert sharded_leaves, "no optimizer leaf was partitioned"
+        step = trainer.make_train_step()
+        db, _ = trainer.device_put_batch(batch)
+        for _ in range(3):
+            params, opt_state, loss = step(params, opt_state, *db)
+        results[shard_opt] = (
+            jax.tree_util.tree_map(np.asarray, jax.device_get(params)),
+            float(loss),
+        )
+
+    ref_params, ref_loss = results[False]
+    got_params, got_loss = results[True]
+    np.testing.assert_allclose(got_loss, ref_loss, rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(got_params),
+        jax.tree_util.tree_leaves(ref_params),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_validation_metrics_watch_promotion(tmp_path):
+    """Watched (metric, variable, lead) scalars appear in every
+    validation record (reference: models/module.py:806-817)."""
+    ds = DummyDatastore(
+        n_grid_x=10, n_grid_y=10, n_timesteps=14, root_path=tmp_path
+    )
+    create_graph_from_datastore(
+        ds, ds.root_path / "graph" / "multiscale", hierarchical=False
+    )
+    model = GraphLAM(
+        ds, graph_name="multiscale", hidden_dim=8, processor_layers=2
+    )
+    fc = ARForecaster(model, ds)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path="")
+    )
+    args = TrainingArgs(
+        batch_size=2,
+        val_steps_to_log=(1, 2),
+        metrics_watch=("val_rmse",),
+        var_leads_metrics_watch={"state_var_0": [1, 2]},
+    )
+    trainer = Trainer(fc, config, ds, args)
+    params, _ = trainer.init_state(jax.random.PRNGKey(0))
+    loader = DataLoader(
+        WeatherDataset(ds, split="val", ar_steps=2),
+        batch_size=2, shuffle=False,
+    )
+    metrics = trainer.evaluate(params, loader, "val")
+    assert "val_rmse_state_var_0_step1" in metrics
+    assert "val_rmse_state_var_0_step2" in metrics
+    assert np.isfinite(metrics["val_rmse_state_var_0_step1"])
+    assert "val_mse_table" not in metrics
