@@ -26,6 +26,26 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _to_host(tree: Any) -> Any:
+    """Fetch a pytree to host numpy, gathering leaves whose shards span
+    other processes (e.g. ZeRO-1 data-axis-sharded optimizer moments),
+    which plain ``device_get`` cannot fetch multi-host."""
+
+    def get(x):
+        if (
+            isinstance(x, jax.Array)
+            and not x.is_fully_addressable
+        ):
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)
+            )
+        return np.asarray(jax.device_get(x))
+
+    return jax.tree_util.tree_map(get, tree)
+
+
 def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
     flat = {}
     leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
@@ -64,8 +84,8 @@ class CheckpointManager:
         """
         path = self._path(name)
         state = {
-            "params": jax.device_get(params),
-            "opt_state": jax.device_get(opt_state),
+            "params": _to_host(params),
+            "opt_state": _to_host(opt_state),
             "step": np.int64(step),
         }
         self._ckptr.save(path.resolve(), state, force=True)
@@ -104,8 +124,8 @@ class CheckpointManager:
         if not path.exists():
             raise FileNotFoundError(f"No checkpoint at {path}")
         template = {
-            "params": jax.device_get(params_template),
-            "opt_state": jax.device_get(opt_state_template),
+            "params": _to_host(params_template),
+            "opt_state": _to_host(opt_state_template),
             "step": np.int64(0),
         }
         state = self._ckptr.restore(path.resolve(), item=template)
@@ -118,7 +138,7 @@ class CheckpointManager:
         if not path.exists():
             raise FileNotFoundError(f"No checkpoint at {path}")
         state = self._ckptr.restore(path.resolve())
-        template_flat = _flatten(jax.device_get(params_template))
+        template_flat = _flatten(_to_host(params_template))
         restored_flat = _flatten(state["params"])
         if set(template_flat) != set(restored_flat):
             missing = set(template_flat) - set(restored_flat)
@@ -129,10 +149,10 @@ class CheckpointManager:
             )
         # Rebuild with the template's structure
         leaves_paths = jax.tree_util.tree_flatten_with_path(
-            jax.device_get(params_template)
+            _to_host(params_template)
         )
         treedef = jax.tree_util.tree_structure(
-            jax.device_get(params_template)
+            _to_host(params_template)
         )
         new_leaves = [
             restored_flat[jax.tree_util.keystr(path)]

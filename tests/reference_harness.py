@@ -29,6 +29,7 @@ import sys
 import types
 from pathlib import Path
 
+import numpy as np
 import torch
 from torch import nn
 
@@ -91,6 +92,147 @@ class MessagePassingShim(nn.Module):
         raise NotImplementedError
 
 
+class PygSequentialShim(nn.Module):
+    """PyG 2.3.1 ``nn.Sequential`` signature-DSL shim.
+
+    Supports the subset the reference uses
+    (reference: graph_lam.py:102-121): an input signature string and a
+    list of ``(module, "a, b -> x, y")`` steps threading named values.
+    """
+
+    def __init__(self, input_sig: str, steps) -> None:
+        super().__init__()
+        self._input_names = [s.strip() for s in input_sig.split(",")]
+        self._steps = []
+        self._n_mods = len(steps)
+        for i, (mod, sig) in enumerate(steps):
+            ins, outs = sig.split("->")
+            self._steps.append(
+                (
+                    [s.strip() for s in ins.split(",")],
+                    [s.strip() for s in outs.split(",")],
+                )
+            )
+            # real PyG Sequential names children module_{i}; keep the
+            # state_dict key layout identical
+            setattr(self, f"module_{i}", mod)
+
+    def forward(self, *args):
+        env = dict(zip(self._input_names, args))
+        outs = args
+        for i, (ins, out_names) in enumerate(self._steps):
+            mod = getattr(self, f"module_{i}")
+            outs = mod(*[env[n] for n in ins])
+            if not isinstance(outs, tuple):
+                outs = (outs,)
+            env.update(zip(out_names, outs))
+        return outs if len(outs) > 1 else outs[0]
+
+
+class _V:
+    """xarray-DataArray stand-in: bare ``.values``."""
+
+    def __init__(self, values):
+        self.values = np.asarray(values)
+
+
+class RefDatastoreAdapter:
+    """Expose one of OUR datastores through the accessor surface the
+    reference models use (reference: step_predictors/base.py:50-86,
+    graph/base.py:76-130, forecasters/autoregressive.py:38)."""
+
+    def __init__(self, ds, root_path):
+        self._ds = ds
+        self.root_path = Path(root_path)
+        self.num_grid_points = ds.num_grid_points
+        self.boundary_mask = _V(np.asarray(ds.boundary_mask.data))
+
+    def get_num_data_vars(self, category):
+        return self._ds.get_num_data_vars(category)
+
+    def get_vars_names(self, category):
+        return self._ds.get_vars_names(category)
+
+    def get_dataarray(self, category, split=None, standardize=False):
+        da = self._ds.get_dataarray(
+            category, split=split, standardize=standardize
+        )
+        return None if da is None else _V(np.asarray(da.data))
+
+    def get_standardization_dataarray(self, category):
+        stats = self._ds.get_standardization_dataarray(category)
+        return types.SimpleNamespace(
+            **{k: _V(np.asarray(v)) for k, v in stats.items()}
+        )
+
+    def get_xy_extent(self, category):
+        return self._ds.get_xy_extent(category)
+
+
+def write_reference_graph_dir(our_graph_dir, out_dir) -> None:
+    """Write a spec-0.1.0 reference ``.pt`` graph dir from one of our
+    ``graph.npz`` dirs (layout per reference create_graph.py:120-167)."""
+    import yaml
+
+    our_graph_dir, out = Path(our_graph_dir), Path(out_dir)
+    with np.load(our_graph_dir / "graph.npz") as data:
+        arrays = {k: data[k].copy() for k in data.files}
+    meta = yaml.safe_load(
+        (our_graph_dir / "metainfo.yaml").read_text(encoding="utf-8")
+    )
+    n_levels = int(meta["n_levels"])
+    out.mkdir(parents=True, exist_ok=True)
+
+    def ei(name):
+        return torch.tensor(
+            np.stack(
+                [arrays[f"{name}_senders"], arrays[f"{name}_receivers"]]
+            ).astype(np.int64)
+        )
+
+    def feat(name):
+        return torch.tensor(arrays[f"{name}_features"])
+
+    torch.save(ei("g2m"), out / "g2m_edge_index.pt")
+    torch.save(ei("m2g"), out / "m2g_edge_index.pt")
+    torch.save(feat("g2m"), out / "g2m_features.pt")
+    torch.save(feat("m2g"), out / "m2g_features.pt")
+    torch.save(
+        [ei(f"m2m__{lev}") for lev in range(n_levels)],
+        out / "m2m_edge_index.pt",
+    )
+    torch.save(
+        [feat(f"m2m__{lev}") for lev in range(n_levels)],
+        out / "m2m_features.pt",
+    )
+    torch.save(
+        [
+            torch.tensor(arrays[f"mesh_features__{lev}"])
+            for lev in range(n_levels)
+        ],
+        out / "mesh_features.pt",
+    )
+    if n_levels > 1:
+        for kind in ("up", "down"):
+            torch.save(
+                [
+                    ei(f"mesh_{kind}__{lev}")
+                    for lev in range(n_levels - 1)
+                ],
+                out / f"mesh_{kind}_edge_index.pt",
+            )
+            torch.save(
+                [
+                    feat(f"mesh_{kind}__{lev}")
+                    for lev in range(n_levels - 1)
+                ],
+                out / f"mesh_{kind}_features.pt",
+            )
+    (out / "metainfo.yaml").write_text(
+        yaml.dump({"spec_version": "0.1.0"}), encoding="utf-8"
+    )
+
+
 def _bag(name: str, **attrs) -> types.ModuleType:
     mod = types.ModuleType(name)
     for k, v in attrs.items():
@@ -104,8 +246,23 @@ def _install_stubs() -> None:
         return
 
     pyg = _bag("torch_geometric")
-    pyg_nn = _bag("torch_geometric.nn", MessagePassing=MessagePassingShim)
+    pyg_nn = _bag(
+        "torch_geometric.nn",
+        MessagePassing=MessagePassingShim,
+        Sequential=PygSequentialShim,
+    )
     pyg.nn = pyg_nn
+    # create_graph.py (imported transitively by utils.load_graph)
+    # needs the from_networkx symbol at import time only
+    pyg_utils = _bag("torch_geometric.utils")
+    pyg_utils.convert = _bag(
+        "torch_geometric.utils.convert",
+        from_networkx=lambda *a, **k: (_ for _ in ()).throw(
+            NotImplementedError("from_networkx stub")
+        ),
+    )
+    pyg.utils = pyg_utils
+    pyg.data = _bag("torch_geometric.data", Data=object)
 
     class _AnyLogger:
         def __init__(self, *a, **k):
@@ -143,6 +300,29 @@ def _install_stubs() -> None:
     _bag("mlflow.pytorch")
     _bag("wandb")
 
+    class _WizMeta:
+        def __init_subclass__(cls, **kw):
+            pass
+
+    def _wizard(name):
+        return type(
+            name,
+            (),
+            {
+                "Meta": _WizMeta,
+                "__init_subclass__": classmethod(lambda cls, **kw: None),
+            },
+        )
+
+    _bag(
+        "dataclass_wizard",
+        JSONWizard=_wizard("JSONWizard"),
+        YAMLWizard=_wizard("YAMLWizard"),
+        LoadMeta=lambda **kw: types.SimpleNamespace(
+            bind_to=lambda cls: None
+        ),
+    )
+
 
 def _install_reference_package() -> None:
     if "neural_lam" in sys.modules:
@@ -151,6 +331,33 @@ def _install_reference_package() -> None:
     pkg.__path__ = [str(REFERENCE_ROOT / "neural_lam")]
     pkg.__package__ = "neural_lam"
     sys.modules["neural_lam"] = pkg
+    # The real datastore package pulls xarray/cartopy/dask (absent
+    # here); the models only import the BaseDatastore name for typing,
+    # so a stub package satisfies them and RefDatastoreAdapter supplies
+    # the instances.
+    _bag(
+        "neural_lam.datastore",
+        BaseDatastore=object,
+        BaseRegularGridDatastore=object,
+        MDPDatastore=object,
+        NpyFilesDatastoreMEPS=object,
+        DATASTORES={},
+        init_datastore=lambda *a, **k: (_ for _ in ()).throw(
+            NotImplementedError("init_datastore stub")
+        ),
+    )
+    _bag(
+        "neural_lam.datastore.base",
+        BaseDatastore=object,
+        BaseRegularGridDatastore=object,
+    )
+    # Skip models/__init__ (it imports the Lightning module, which
+    # needs xarray); submodules import directly through a namespace
+    # package instead.
+    models_pkg = types.ModuleType("neural_lam.models")
+    models_pkg.__path__ = [str(REFERENCE_ROOT / "neural_lam" / "models")]
+    models_pkg.__package__ = "neural_lam.models"
+    sys.modules["neural_lam.models"] = models_pkg
 
 
 def load_reference_module(name: str):

@@ -376,3 +376,44 @@ def test_validation_metrics_watch_promotion(tmp_path):
     assert "val_rmse_state_var_0_step2" in metrics
     assert np.isfinite(metrics["val_rmse_state_var_0_step1"])
     assert "val_mse_table" not in metrics
+
+
+def test_eval_tail_batch_smaller_than_mesh(tmp_path):
+    """Eval with a tail batch smaller than the data mesh: padded rows
+    (repeats of the last sample) must not contaminate the metric — the
+    exact DistributedSampler caveat the reference documents
+    (reference: README.md:528-530)."""
+    ds = DummyDatastore(
+        n_grid_x=10, n_grid_y=10, n_timesteps=13, root_path=tmp_path
+    )
+    create_graph_from_datastore(
+        ds, ds.root_path / "graph" / "multiscale", hierarchical=False
+    )
+    model = GraphLAM(
+        ds, graph_name="multiscale", hidden_dim=8, processor_layers=2
+    )
+    fc = ARForecaster(model, ds)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path="")
+    )
+    args = TrainingArgs(batch_size=4, val_steps_to_log=(1,))
+    trainer = Trainer(fc, config, ds, args)
+    assert trainer.num_data_shards > 1, "needs a multi-device mesh"
+    params, _ = trainer.init_state(jax.random.PRNGKey(0))
+
+    dataset = WeatherDataset(ds, split="val", ar_steps=1)
+    n_samples = len(dataset)
+    # choose a batch size that leaves a ragged tail vs the mesh size
+    loader = DataLoader(dataset, batch_size=4, shuffle=False)
+    tail = n_samples % 4
+    assert tail not in (0,), (
+        f"fixture must produce a ragged tail (got {n_samples} samples)"
+    )
+    got = trainer.evaluate(params, loader, "val")
+
+    # reference value: every sample evaluated exactly once at batch 1
+    loader1 = DataLoader(dataset, batch_size=1, shuffle=False)
+    want = trainer.evaluate(params, loader1, "val")
+    np.testing.assert_allclose(
+        got["val_loss"], want["val_loss"], rtol=1e-5
+    )
