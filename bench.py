@@ -32,6 +32,15 @@ CACHE_DIR = Path(__file__).parent / ".bench_cache"
 def main() -> None:
     import jax
 
+    # Persistent compilation cache: the fused Pallas kernel variants
+    # compile slowly through the remote-compile helper (minutes per
+    # variant); caching makes repeat benches start in seconds.
+    CACHE_DIR.mkdir(exist_ok=True)
+    jax.config.update(
+        "jax_compilation_cache_dir", str(CACHE_DIR / "jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from neural_lam_tpu.config import DatastoreSelection, NeuralLAMConfig
     from neural_lam_tpu.datastore.dummy import DummyDatastore
     from neural_lam_tpu.graphs import create_graph_from_datastore

@@ -181,7 +181,8 @@ class BaseGraphModel(StepPredictor):
         pe,
         send_rep: jax.Array,
         rec_rep: jax.Array,
-        edge_rep: jax.Array,
+        edge_rep: Optional[jax.Array],
+        edge_embedder: Optional[dict] = None,
         **kwargs: Any,
     ):
         """Apply one GNN over the padded-edge bundle ``pe``.
@@ -192,6 +193,10 @@ class BaseGraphModel(StepPredictor):
         (parallel/spatial.py) swaps this method on its local model view
         for a halo-exchange + local-segment version, which is what lets
         every model family run sharded without per-model sharded code.
+
+        Passing ``edge_embedder`` (with ``edge_rep=None``) delegates the
+        static edge-feature embedding to the op, which fuses it into the
+        Pallas kernel when possible.
         """
         return apply_interaction_net(
             net_params,
@@ -199,6 +204,10 @@ class BaseGraphModel(StepPredictor):
             send_rep=send_rep,
             rec_rep=rec_rep,
             edge_rep=edge_rep,
+            edge_embedder=edge_embedder,
+            edge_features=(
+                pe.features if edge_embedder is not None else None
+            ),
             **kwargs,
         )
 
@@ -244,16 +253,17 @@ class BaseGraphModel(StepPredictor):
         )
 
         grid_emb = apply_mlp(params["grid_embedder"], grid_features)
-        g2m_emb = apply_mlp(params["g2m_embedder"], self.graph.g2m.features)
-        m2g_emb = apply_mlp(params["m2g_embedder"], self.graph.m2g.features)
         mesh_emb = self.embed_mesh_nodes(params)
 
+        # The g2m/m2g edge embedders are delegated to gnn_apply, which
+        # fuses them into the Pallas edge kernel where possible.
         mesh_rep = self.gnn_apply(
             params["g2m_gnn"],
             self.graph.g2m,
             send_rep=grid_emb,
             rec_rep=mesh_emb,
-            edge_rep=g2m_emb,
+            edge_rep=None,
+            edge_embedder=params["g2m_embedder"],
             update_edges=False,
             propagation=self.g2m_propagation,
         )
@@ -268,7 +278,8 @@ class BaseGraphModel(StepPredictor):
             self.graph.m2g,
             send_rep=mesh_rep,
             rec_rep=grid_rep,
-            edge_rep=m2g_emb,
+            edge_rep=None,
+            edge_embedder=params["m2g_embedder"],
             update_edges=False,
             propagation=self.m2g_propagation,
         )

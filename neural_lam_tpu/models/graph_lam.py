@@ -43,17 +43,23 @@ class GraphLAM(BaseGraphModel):
 
     def process_step(self, params: dict, mesh_rep: jax.Array) -> jax.Array:
         """Chained InteractionNets with edge-representation threading
-        (reference: graph/graph_lam.py:102-121, 152-183)."""
-        edge_rep = apply_mlp(
-            params["m2m_embedder"], self.graph.m2m[0].features
-        )
-        for net_params in params["processor"]:
+        (reference: graph/graph_lam.py:102-121, 152-183).
+
+        The first layer consumes the static m2m features through the
+        delegated embedder (fused into the Pallas kernel when
+        possible); subsequent layers thread the updated edge reps.
+        """
+        edge_rep = None
+        for i, net_params in enumerate(params["processor"]):
             mesh_rep, edge_rep = self.gnn_apply(
                 net_params,
                 self.graph.m2m[0],
                 send_rep=mesh_rep,
                 rec_rep=mesh_rep,
                 edge_rep=edge_rep,
+                edge_embedder=(
+                    params["m2m_embedder"] if i == 0 else None
+                ),
                 aggr=self.mesh_aggr,
                 update_edges=True,
             )

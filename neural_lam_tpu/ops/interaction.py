@@ -262,6 +262,18 @@ def _apply_chunked(
     return jnp.concatenate(outs, axis=0)
 
 
+def _embedder_fusable(emb_params, hidden: int) -> bool:
+    """The in-kernel edge embedder supports the Linear-SiLU-Linear-LN
+    shape produced by the default ``hidden_layers=1`` MLP factory."""
+    layers = emb_params["layers"]
+    return (
+        len(layers) == 2
+        and emb_params["ln"] is not None
+        and layers[0]["w"].shape[1] == hidden
+        and layers[1]["w"].shape == (hidden, hidden)
+    )
+
+
 def _use_fused(params, edge_set, send_rep, rec_rep, edge_rep) -> bool:
     """Route through the fused Pallas edge kernel when the configuration
     matches what it implements (blocked layout, single 2-layer edge MLP,
@@ -279,7 +291,7 @@ def _use_fused(params, edge_set, send_rep, rec_rep, edge_rep) -> bool:
     return (
         send_rep.shape[-1] == h
         and rec_rep.shape[-1] == h
-        and edge_rep.shape[-1] == h
+        and (edge_rep is None or edge_rep.shape[-1] == h)
     )
 
 
@@ -294,8 +306,16 @@ def apply_interaction_net(
     propagation: bool = False,
     edge_chunk_sizes: Optional[Sequence[int]] = None,
     aggr_chunk_sizes: Optional[Sequence[int]] = None,
+    edge_embedder: Optional[dict] = None,
+    edge_features: Optional[jax.Array] = None,
 ):
     """One message-passing step on node-major representations.
+
+    ``edge_embedder`` + ``edge_features`` (instead of ``edge_rep``)
+    delegate the static edge-feature embedding to this op: the fused
+    kernel runs the embedder MLP in-kernel on the raw features (the
+    embedding never exists in HBM), while the fallback computes it
+    up-front — identical math either way.
 
     Two layouts are supported, selected by ndim:
     - unbatched ``(N, d)`` node / ``(E, d)`` edge arrays (batch via
@@ -315,8 +335,25 @@ def apply_interaction_net(
     if propagation:
         aggr = "mean"  # reference: neural_lam/gnn_layers.py:221-230
 
+    embed_in_kernel = False
+    if edge_embedder is not None:
+        assert edge_rep is None and edge_features is not None
+        hidden = send_rep.shape[-1]
+        # In-kernel embedding is numerically validated but compiles
+        # pathologically slowly through the TPU remote-compile helper
+        # (tens of minutes per step variant), so it stays opt-in until
+        # Mosaic compile times improve.
+        embed_in_kernel = (
+            os.environ.get("NEURAL_LAM_TPU_FUSED_EMBED", "off") == "on"
+            and _use_fused(params, edge_set, send_rep, rec_rep, None)
+            and _embedder_fusable(edge_embedder, hidden)
+        )
+        if not embed_in_kernel:
+            edge_rep = apply_mlp(edge_embedder, edge_features)
+
     batched = any(
-        a.ndim == 3 for a in (send_rep, rec_rep, edge_rep)
+        a is not None and a.ndim == 3
+        for a in (send_rep, rec_rep, edge_rep)
     )
     if batched:
         b = next(
@@ -337,20 +374,33 @@ def apply_interaction_net(
 
     x_send = gather_senders(edge_set, send_rep)  # (E_pad, [B,] d)
 
-    if _use_fused(params, edge_set, send_rep, rec_rep, edge_rep):
+    if embed_in_kernel or _use_fused(
+        params, edge_set, send_rep, rec_rep, edge_rep
+    ):
         # Single-kernel edge phase: receiver gather + edge MLP +
         # aggregation (+ edge residual) with no per-edge HBM
-        # intermediates. See ops/pallas_fused.py.
-        key = ("fused", update_edges, propagation, _interpret_mode())
+        # intermediates; optionally including the static edge-feature
+        # embedder. See ops/pallas_fused.py.
+        key = (
+            "fused", update_edges, propagation, _interpret_mode(),
+            embed_in_kernel,
+        )
         if key not in edge_set.fn_cache:
             edge_set.fn_cache[key] = make_fused_interaction(
                 edge_set.layout,
                 update_edges=update_edges,
                 propagation=propagation,
                 interpret=_interpret_mode(),
+                edge_features=(
+                    edge_features if embed_in_kernel else None
+                ),
             )
         aggregated, new_edge = edge_set.fn_cache[key](
-            params["edge"][0], edge_rep, x_send, rec_rep
+            params["edge"][0],
+            edge_rep,
+            x_send,
+            rec_rep,
+            emb_params=(edge_embedder if embed_in_kernel else None),
         )
         if aggr == "mean":
             counts = jnp.maximum(edge_set.recv_counts, 1).astype(

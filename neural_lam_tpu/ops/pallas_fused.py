@@ -77,6 +77,74 @@ def _tile_vec(v: jax.Array, groups: int) -> jax.Array:
     return jnp.tile(v.astype(jnp.float32), groups)[None, :]
 
 
+def _embed_forward(f, emb_refs):
+    """In-kernel edge-embedder MLP: Linear-SiLU-Linear-LN on the raw
+    static features (the reference's per-edge-set embedder,
+    reference: graph/base.py:142-149)."""
+    ew1, eb1, ew2, eb2, eg, ebt, mmat_h = emb_refs
+    p1 = jnp.dot(f, ew1[:], preferred_element_type=jnp.float32) + eb1[:]
+    a1 = jax.nn.silu(p1)
+    ze = jnp.dot(a1, ew2[:], preferred_element_type=jnp.float32) + eb2[:]
+    mu = jnp.dot(ze, mmat_h[:], preferred_element_type=jnp.float32)
+    ce = ze - mu
+    var = jnp.dot(
+        ce * ce, mmat_h[:], preferred_element_type=jnp.float32
+    )
+    return ce * jax.lax.rsqrt(var + _LN_EPS) * eg[:] + ebt[:]
+
+
+def _embed_backward(f, d_emb, emb_refs, accum_refs, init):
+    """Backward of the in-kernel embedder: recompute, then weight-grad
+    accumulators (no feature grad — features are constants)."""
+    ew1, eb1, ew2, eb2, eg, ebt, mmat_h = emb_refs
+    dew1, deb1, dew2, deb2, deg, debt = accum_refs
+
+    @pl.when(init)
+    def _():
+        dew1[:] = jnp.zeros_like(dew1)
+        deb1[:] = jnp.zeros_like(deb1)
+        dew2[:] = jnp.zeros_like(dew2)
+        deb2[:] = jnp.zeros_like(deb2)
+        deg[:] = jnp.zeros_like(deg)
+        debt[:] = jnp.zeros_like(debt)
+
+    p1 = jnp.dot(f, ew1[:], preferred_element_type=jnp.float32) + eb1[:]
+    a1 = jax.nn.silu(p1)
+    ze = jnp.dot(a1, ew2[:], preferred_element_type=jnp.float32) + eb2[:]
+    mu = jnp.dot(ze, mmat_h[:], preferred_element_type=jnp.float32)
+    ce = ze - mu
+    var = jnp.dot(
+        ce * ce, mmat_h[:], preferred_element_type=jnp.float32
+    )
+    rinv = jax.lax.rsqrt(var + _LN_EPS)
+    xhat = ce * rinv
+
+    d_xhat = d_emb * eg[:]
+    m1 = jnp.dot(d_xhat, mmat_h[:], preferred_element_type=jnp.float32)
+    m2 = jnp.dot(
+        d_xhat * xhat, mmat_h[:], preferred_element_type=jnp.float32
+    )
+    dz = rinv * (d_xhat - m1 - xhat * m2)
+    deg[:] += jnp.sum(d_emb * xhat, axis=0, keepdims=True)
+    debt[:] += jnp.sum(d_emb, axis=0, keepdims=True)
+    dew2[:] += jax.lax.dot_general(
+        a1, dz, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    deb2[:] += jnp.sum(dz, axis=0, keepdims=True)
+    d_a1 = jax.lax.dot_general(
+        dz, ew2[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    sig = jax.nn.sigmoid(p1)
+    d_p1 = d_a1 * (sig * (1.0 + p1 * (1.0 - sig)))
+    dew1[:] += jax.lax.dot_general(
+        f, d_p1, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    deb1[:] += jnp.sum(d_p1, axis=0, keepdims=True)
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
@@ -102,12 +170,21 @@ def _fused_fwd_kernel(
     update_edges,
     propagation,
     edge_unbatched,
+    embed_edges=False,
 ):
     # When the edge rep is a shared (unbatched) embedding, ``edge_ref``
     # is a (C, D) block and ``w1e_ref`` the column-tiled (D, S) weight;
     # its matmul broadcasts the edge contribution across lane groups
     # without the caller materialising an (E, B, D) broadcast in HBM.
+    # With ``embed_edges`` the chain starts one stage earlier still:
+    # ``edge_ref`` holds the RAW static edge features (C, F) and the
+    # edge-embedder MLP (Linear-SiLU-Linear-LN) runs in-kernel, so the
+    # per-edge embedding never exists in HBM at all.
     rest = list(rest)
+    emb_refs = None
+    if embed_edges:
+        emb_refs = rest[:7]
+        rest = rest[7:]
     tile_ref = rest.pop(0) if (edge_unbatched and update_edges) else None
     out_refs = rest
     aggr_ref = out_refs[0]
@@ -138,8 +215,14 @@ def _fused_fwd_kernel(
         preferred_element_type=jnp.float32,
     )  # (C, S)
 
+    if embed_edges:
+        edge_val = _embed_forward(edge_ref[:], emb_refs)
+        edge_dot = edge_val
+    else:
+        edge_val = edge_ref[:]
+        edge_dot = edge_val
     pre = (
-        jnp.dot(edge_ref[:], w1e_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(edge_dot, w1e_ref[:], preferred_element_type=jnp.float32)
         + jnp.dot(send_ref[:], w1s_ref[:], preferred_element_type=jnp.float32)
         + gathered
         + b1_ref[:]
@@ -162,11 +245,11 @@ def _fused_fwd_kernel(
         if edge_unbatched:
             # broadcast (C, D) -> (C, S) via the tiled-identity matmul
             edge_b = jnp.dot(
-                edge_ref[:], tile_ref[:],
+                edge_val, tile_ref[:],
                 preferred_element_type=jnp.float32,
             )
         else:
-            edge_b = edge_ref[:]
+            edge_b = edge_val
         out_refs[1][:] = edge_b + msg
     aggr_ref[:] += jnp.dot(
         one_hot_t, msg, preferred_element_type=jnp.float32
@@ -198,16 +281,28 @@ def _fused_bwd_kernel(
     update_edges,
     propagation,
     edge_unbatched,
+    embed_edges=False,
 ):
     rest_refs = list(rest_refs)
+    emb_refs = None
+    if embed_edges:
+        emb_refs = rest_refs[:7]
+        rest_refs = rest_refs[7:]
     d_new_edge_ref = rest_refs.pop(0) if update_edges else None
     tile_ref = (
         rest_refs.pop(0)
         if (edge_unbatched and update_edges)
         else None
     )
+    if embed_edges:
+        # no feature grad; embedder weight-grad accumulators instead
+        d_edge_ref = None
+        emb_accum_refs = rest_refs[:6]
+        rest_refs = rest_refs[6:]
+    else:
+        d_edge_ref = rest_refs.pop(0)
+        emb_accum_refs = None
     (
-        d_edge_ref,
         d_send_ref,
         d_recproj_ref,
         dw1e_ref,
@@ -217,7 +312,7 @@ def _fused_bwd_kernel(
         db2_ref,
         dgamma_ref,
         dbeta_ref,
-    ) = rest_refs[:10]
+    ) = rest_refs[:9]
 
     s = pl.program_id(0)
     c = pl.program_id(1)
@@ -255,8 +350,12 @@ def _fused_bwd_kernel(
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    if embed_edges:
+        edge_val = _embed_forward(edge_ref[:], emb_refs)
+    else:
+        edge_val = edge_ref[:]
     pre = (
-        jnp.dot(edge_ref[:], w1e_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(edge_val, w1e_ref[:], preferred_element_type=jnp.float32)
         + jnp.dot(send_ref[:], w1s_ref[:], preferred_element_type=jnp.float32)
         + gathered
         + b1_ref[:]
@@ -331,13 +430,19 @@ def _fused_bwd_kernel(
             )
         else:
             d_edge = d_edge + d_new_edge_ref[:]
-    if edge_unbatched:
+    if embed_edges:
+        # chain into the in-kernel embedder; the features themselves
+        # are constants, so only weight-grad accumulators come out
+        _embed_backward(
+            edge_ref[:], d_edge, emb_refs, emb_accum_refs, very_first
+        )
+    elif edge_unbatched:
         d_edge_ref[0] = d_edge  # (1, C, D) per-stripe plane
     else:
         d_edge_ref[:] = d_edge
 
     dw1e_ref[:] += jax.lax.dot_general(
-        edge_ref[:], d_pre, (((0,), (0,)), ((), ())),
+        edge_val, d_pre, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dw1s_ref[:] += jax.lax.dot_general(
@@ -392,6 +497,24 @@ def _prep_weights(
     )
 
 
+def _prep_embedder_weights(emb_params: dict) -> list:
+    """Edge-embedder MLP weights as plain f32 arrays for the kernel
+    (Linear-SiLU-Linear-LN; single 64-lane group, so the LN averaging
+    matrix has no kron structure)."""
+    layers = emb_params["layers"]
+    hidden = layers[1]["w"].shape[1]
+    ln = emb_params["ln"]
+    return [
+        layers[0]["w"].astype(jnp.float32),
+        layers[0]["b"].astype(jnp.float32)[None, :],
+        layers[1]["w"].astype(jnp.float32),
+        layers[1]["b"].astype(jnp.float32)[None, :],
+        ln["scale"].astype(jnp.float32)[None, :],
+        ln["bias"].astype(jnp.float32)[None, :],
+        jnp.full((hidden, hidden), 1.0 / hidden, jnp.float32),
+    ]
+
+
 def _pad_rows(x: jax.Array, rows: int) -> jax.Array:
     pad = rows - x.shape[0]
     if pad:
@@ -414,9 +537,14 @@ def _fused_fwd_impl(
     propagation: bool,
     edge_unbatched: bool,
     interpret: bool,
+    emb_weights=None,
 ):
+    embed_edges = emb_weights is not None
     lanes = send2d.shape[1]
-    feat = edge2d.shape[1] if edge_unbatched else None
+    in_feat = edge2d.shape[1] if edge_unbatched else None
+    # with the in-kernel embedder, the GNN-side edge width is the
+    # embedding dim, not the raw feature width
+    feat = emb_weights[2].shape[1] if embed_edges else in_feat
     n_stripes = lanes // stripe
     n_chunks = int(layout.chunk_block.shape[0])
     out_rows = layout.num_blocks * layout.block_rows
@@ -430,16 +558,18 @@ def _fused_fwd_impl(
         return (cb[c], s)
 
     const = lambda s, c, cb: (0, 0)  # noqa: E731
+
+    def cs(shape):
+        return pl.BlockSpec(shape, const, memory_space=pltpu.VMEM)
+
     edge_spec = (
-        pl.BlockSpec((ce, feat), lambda s, c, cb: (c, 0),
+        pl.BlockSpec((ce, in_feat), lambda s, c, cb: (c, 0),
                      memory_space=pltpu.VMEM)
         if edge_unbatched
         else pl.BlockSpec((ce, stripe), cix, memory_space=pltpu.VMEM)
     )
     w1e_spec = (
-        pl.BlockSpec((feat, stripe), const, memory_space=pltpu.VMEM)
-        if edge_unbatched
-        else pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM)
+        cs((feat, stripe)) if edge_unbatched else cs((stripe, stripe))
     )
     in_specs = [
         pl.BlockSpec((1, ce), lambda s, c, cb: (0, c),
@@ -448,14 +578,14 @@ def _fused_fwd_impl(
         pl.BlockSpec((ce, stripe), cix, memory_space=pltpu.VMEM),  # send
         pl.BlockSpec((br, stripe), bix, memory_space=pltpu.VMEM),  # rec
         w1e_spec,
-        pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, stripe), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, stripe), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, stripe), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, stripe), const, memory_space=pltpu.VMEM),
-        pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM),
+        cs((stripe, stripe)),
+        cs((stripe, stripe)),
+        cs((1, stripe)),
+        cs((stripe, stripe)),
+        cs((1, stripe)),
+        cs((1, stripe)),
+        cs((1, stripe)),
+        cs((stripe, stripe)),
     ]
     operands = [
         layout.chunk_block,
@@ -473,10 +603,11 @@ def _fused_fwd_impl(
         wb["beta"],
         wb["mmat"],
     ]
+    if embed_edges:
+        in_specs += [cs(tuple(w.shape)) for w in emb_weights]
+        operands += list(emb_weights)
     if edge_unbatched and update_edges:
-        in_specs.append(
-            pl.BlockSpec((feat, stripe), const, memory_space=pltpu.VMEM)
-        )
+        in_specs.append(cs((feat, stripe)))
         operands.append(wb["tile"])
     out_specs = [pl.BlockSpec((br, stripe), bix, memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((out_rows, lanes), jnp.float32)]
@@ -502,6 +633,7 @@ def _fused_fwd_impl(
         update_edges=update_edges,
         propagation=propagation,
         edge_unbatched=edge_unbatched,
+        embed_edges=embed_edges,
     )
     outs = pl.pallas_call(
         kernel,
@@ -529,9 +661,12 @@ def _fused_bwd_impl(
     propagation: bool,
     edge_unbatched: bool,
     interpret: bool,
+    emb_weights=None,
 ):
+    embed_edges = emb_weights is not None
     lanes = send2d.shape[1]
-    feat = edge2d.shape[1] if edge_unbatched else None
+    in_feat = edge2d.shape[1] if edge_unbatched else None
+    feat = emb_weights[2].shape[1] if embed_edges else in_feat
     n_stripes = lanes // stripe
     n_chunks = int(layout.chunk_block.shape[0])
     out_rows = layout.num_blocks * layout.block_rows
@@ -546,17 +681,20 @@ def _fused_bwd_impl(
         return (cb[c], s)
 
     const = lambda s, c, cb: (0, 0)  # noqa: E731
+
+    def cs(shape):
+        return pl.BlockSpec(shape, const, memory_space=pltpu.VMEM)
+
     cspec = pl.BlockSpec((ce, stripe), cix, memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((br, stripe), bix, memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((stripe, stripe), const, memory_space=pltpu.VMEM)
-    vspec = pl.BlockSpec((1, stripe), const, memory_space=pltpu.VMEM)
+    wspec = cs((stripe, stripe))
+    vspec = cs((1, stripe))
     if edge_unbatched:
         edge_spec = pl.BlockSpec(
-            (ce, feat), lambda s, c, cb: (c, 0), memory_space=pltpu.VMEM
+            (ce, in_feat), lambda s, c, cb: (c, 0),
+            memory_space=pltpu.VMEM,
         )
-        w1e_spec = pl.BlockSpec(
-            (feat, stripe), const, memory_space=pltpu.VMEM
-        )
+        w1e_spec = cs((feat, stripe))
         # Per-stripe planes, summed over stripes by the caller. A
         # leading stripe axis (instead of stripe-wide lanes) keeps the
         # trailing block dims equal to the array dims — Mosaic rejects
@@ -612,19 +750,30 @@ def _fused_bwd_impl(
         wb["gamma"],
         wb["mmat"],
     ]
+    if embed_edges:
+        in_specs += [cs(tuple(w.shape)) for w in emb_weights]
+        operands += list(emb_weights)
     if update_edges:
         in_specs.append(cspec)
         operands.append(d_new_edge.astype(jnp.float32))
         if edge_unbatched:
-            in_specs.append(
-                pl.BlockSpec((feat, stripe), const,
-                             memory_space=pltpu.VMEM)
-            )
+            in_specs.append(cs((feat, stripe)))
             operands.append(wb["tile"])
 
     e_rows = layout.num_blocked
-    out_specs = (
-        d_edge_spec,
+    head_specs = []
+    head_shapes = []
+    if embed_edges:
+        # embedder weight-grad accumulators replace the d_edge output
+        for w in emb_weights[:6]:
+            head_specs.append(cs(tuple(w.shape)))
+            head_shapes.append(
+                jax.ShapeDtypeStruct(tuple(w.shape), jnp.float32)
+            )
+    else:
+        head_specs.append(d_edge_spec)
+        head_shapes.append(d_edge_shape)
+    out_specs = tuple(head_specs) + (
         cspec,  # d_send
         bspec,  # d_recproj
         dw1e_spec,
@@ -635,8 +784,7 @@ def _fused_bwd_impl(
         vspec,  # dgamma
         vspec,  # dbeta
     )
-    out_shape = (
-        d_edge_shape,
+    out_shape = tuple(head_shapes) + (
         jax.ShapeDtypeStruct((e_rows, lanes), jnp.float32),
         jax.ShapeDtypeStruct((out_rows, lanes), jnp.float32),
         dw1e_shape,
@@ -661,6 +809,7 @@ def _fused_bwd_impl(
         update_edges=update_edges,
         propagation=propagation,
         edge_unbatched=edge_unbatched,
+        embed_edges=embed_edges,
     )
     return pl.pallas_call(
         kernel,
@@ -703,19 +852,33 @@ def make_fused_interaction(
     update_edges: bool,
     propagation: bool,
     interpret: bool,
+    edge_features=None,
 ):
     """Build the differentiable fused edge phase for one edge set.
 
-    Returns ``fused(mlp_params, edge_rep, x_send, rec_rep) ->
-    (aggregated_sum, new_edge | None)`` on node-major arrays
-    (``(E, [B,] D)`` / ``(N_rec, [B,] D)``). Aggregation is always the
-    *sum*; mean (propagation) is divided outside so its gradient is
-    handled by autodiff.
-    """
+    Returns ``fused(mlp_params, edge_rep, x_send, rec_rep,
+    emb_params=None) -> (aggregated_sum, new_edge | None)`` on
+    node-major arrays (``(E, [B,] D)`` / ``(N_rec, [B,] D)``).
+    Aggregation is always the *sum*; mean (propagation) is divided
+    outside so its gradient is handled by autodiff.
 
-    def run(mlp_params, edge_rep, x_send, rec_rep):
+    With ``edge_features`` (the static per-edge features in blocked
+    slot order) and a per-call ``emb_params``, the edge-embedder MLP
+    runs inside the kernel on the raw features, ``edge_rep`` is ignored
+    and the embedding never materialises in HBM.
+    """
+    feats2 = (
+        jnp.asarray(edge_features, jnp.float32)
+        if edge_features is not None
+        else None
+    )
+
+    def run(mlp_params, edge_rep, x_send, rec_rep, emb_params=None):
         batched = x_send.ndim == 3
-        edge_unbatched = batched and edge_rep.ndim == 2
+        embed = emb_params is not None
+        if embed:
+            assert feats2 is not None, "edge_features required to embed"
+        edge_unbatched = embed or (batched and edge_rep.ndim == 2)
         in_dtype = x_send.dtype
         feat = x_send.shape[-1]
         if batched:
@@ -728,18 +891,20 @@ def make_fused_interaction(
         stripe = stripe_g * feat
         n_stripes = (groups * feat) // stripe
 
-        e2 = (
-            edge_rep.astype(jnp.float32)
-            if edge_unbatched
-            else fold(edge_rep).astype(jnp.float32)
-        )
+        if embed:
+            e2 = feats2
+        elif edge_unbatched:
+            e2 = edge_rep.astype(jnp.float32)
+        else:
+            e2 = fold(edge_rep).astype(jnp.float32)
         s2 = fold(x_send).astype(jnp.float32)
         r2 = fold(rec_rep).astype(jnp.float32)
         ln = mlp_params["ln"] is not None
 
         @jax.custom_vjp
-        def fused(params, e2d, s2d, r2d):
+        def fused(params, eparams, e2d, s2d, r2d):
             wb = _prep_weights(params, stripe_g, feat, edge_unbatched)
+            ew = _prep_embedder_weights(eparams) if embed else None
             return _fused_fwd_impl(
                 layout, e2d, s2d, r2d, wb, stripe,
                 layer_norm=ln,
@@ -747,15 +912,20 @@ def make_fused_interaction(
                 propagation=propagation,
                 edge_unbatched=edge_unbatched,
                 interpret=interpret,
+                emb_weights=ew,
             )
 
-        def fwd(params, e2d, s2d, r2d):
-            return fused(params, e2d, s2d, r2d), (params, e2d, s2d, r2d)
+        def fwd(params, eparams, e2d, s2d, r2d):
+            return (
+                fused(params, eparams, e2d, s2d, r2d),
+                (params, eparams, e2d, s2d, r2d),
+            )
 
         def bwd(res, grads):
-            params, e2d, s2d, r2d = res
+            params, eparams, e2d, s2d, r2d = res
             d_aggr, d_new_edge = grads
             wb = _prep_weights(params, stripe_g, feat, edge_unbatched)
+            ew = _prep_embedder_weights(eparams) if embed else None
             outs = _fused_bwd_impl(
                 layout, e2d, s2d, r2d, wb, d_aggr, d_new_edge, stripe,
                 layer_norm=ln,
@@ -763,9 +933,16 @@ def make_fused_interaction(
                 propagation=propagation,
                 edge_unbatched=edge_unbatched,
                 interpret=interpret,
+                emb_weights=ew,
             )
-            (d_edge, d_send, d_recproj, dw1e_a, dw1s_a, dw2_a,
-             db1_a, db2_a, dg_a, dbeta_a) = outs
+            if embed:
+                (dew1, deb1, dew2, deb2, deg_e, debt_e,
+                 d_send, d_recproj, dw1e_a, dw1s_a, dw2_a,
+                 db1_a, db2_a, dg_a, dbeta_a) = outs
+                d_edge = None
+            else:
+                (d_edge, d_send, d_recproj, dw1e_a, dw1s_a, dw2_a,
+                 db1_a, db2_a, dg_a, dbeta_a) = outs
             hidden = feat
             d_recproj = d_recproj[: r2d.shape[0]]
             # rec grad + rec-side weight grad finish outside the kernel
@@ -777,8 +954,9 @@ def make_fused_interaction(
             dw1r = jnp.einsum("ngd,ngh->dh", rg, drp)
 
             if edge_unbatched:
-                # (n_stripes, E, D) per-stripe planes -> (E, D)
-                d_edge = d_edge.sum(axis=0)
+                if not embed:
+                    # (n_stripes, E, D) per-stripe planes -> (E, D)
+                    d_edge = d_edge.sum(axis=0)
                 # (D, stripe) accumulator -> (D, H) by group fold
                 dw1e = dw1e_a.reshape(hidden, stripe_g, hidden).sum(
                     axis=1
@@ -809,11 +987,26 @@ def make_fused_interaction(
             d_params = jax.tree_util.tree_map(
                 lambda g, p: g.astype(p.dtype), d_params, params
             )
-            return d_params, d_edge, d_send, d_rec
+            if embed:
+                d_eparams = {
+                    "layers": [
+                        {"w": dew1, "b": deb1[0]},
+                        {"w": dew2, "b": deb2[0]},
+                    ],
+                    "ln": {"scale": deg_e[0], "bias": debt_e[0]},
+                }
+                d_eparams = jax.tree_util.tree_map(
+                    lambda g, p: g.astype(p.dtype), d_eparams, eparams
+                )
+                d_e2d = jnp.zeros_like(e2d)  # features are constants
+            else:
+                d_eparams = None
+                d_e2d = d_edge
+            return d_params, d_eparams, d_e2d, d_send, d_rec
 
         fused.defvjp(fwd, bwd)
 
-        aggregated, new_edge = fused(mlp_params, e2, s2, r2)
+        aggregated, new_edge = fused(mlp_params, emb_params, e2, s2, r2)
         unfold = (
             (lambda x: x.reshape(x.shape[0], groups, feat))
             if batched

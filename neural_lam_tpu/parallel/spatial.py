@@ -585,7 +585,12 @@ class ShardedModel:
 
         def gnn_apply(net_params, pe, send_rep, rec_rep, edge_rep,
                       aggr="sum", update_edges=True, propagation=False,
-                      edge_chunk_sizes=None, aggr_chunk_sizes=None):
+                      edge_chunk_sizes=None, aggr_chunk_sizes=None,
+                      edge_embedder=None):
+            if edge_embedder is not None:
+                # sharded path embeds the (local) static edge features
+                # up-front; math identical to the fused in-kernel path
+                edge_rep = apply_mlp(edge_embedder, pe.features)
             if isinstance(pe, LocalCombinedPE):
                 return _sharded_combined(
                     pe, net_params, send_rep, edge_rep, axis,

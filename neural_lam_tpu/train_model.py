@@ -188,6 +188,17 @@ def main(argv=None) -> None:
 
         jax.distributed.initialize()
 
+    # Persistent compilation cache (TPU kernel variants compile in
+    # minutes through the remote-compile helper; cache once per shape)
+    import jax as _jax
+
+    cache_dir = Path(args.runs_root) / ".jax_cache"
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    _jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", 1.0
+    )
+
     utils.seed_everything(args.seed)
 
     config, datastore = load_config_and_datastore(args.config_path)

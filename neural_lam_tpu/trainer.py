@@ -249,8 +249,14 @@ class Trainer:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        self.input_wait_seconds = 0.0
         while True:
+            t0 = time.perf_counter()
             item = q.get()
+            # time the consumer spent blocked on the input pipeline —
+            # when this grows, grid_points_per_s under-reports device
+            # throughput (the wall-clock counter includes host loading)
+            self.input_wait_seconds += time.perf_counter() - t0
             if item is sentinel:
                 break
             yield item
@@ -464,6 +470,12 @@ class Trainer:
                 "epoch": epoch,
                 "train_loss": train_loss,
                 "epoch_seconds": epoch_seconds,
+                # host time spent blocked waiting for input batches; when
+                # this dominates, the wall-clock throughput below stops
+                # reflecting device speed (bench.py is the honest number)
+                "input_wait_seconds": round(
+                    getattr(self, "input_wait_seconds", 0.0), 3
+                ),
                 # the north-star throughput counter (SURVEY.md 5.1)
                 "grid_points_per_s": (
                     n_samples

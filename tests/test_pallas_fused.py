@@ -192,3 +192,74 @@ def test_fused_unbatched_edge_gradients(monkeypatch):
         jax.tree_util.tree_leaves(g_ref),
     ):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("update_edges", [False, True])
+@pytest.mark.parametrize("batched", [False, True])
+def test_fused_in_kernel_embedder(monkeypatch, update_edges, batched):
+    """The in-kernel edge-embedder path (raw static features + embedder
+    MLP fused into the kernel) matches embedding up-front, for values
+    and for gradients through BOTH parameter trees."""
+    from neural_lam_tpu.ops.interaction import place_edge_features
+    from neural_lam_tpu.ops.mlp import init_mlp
+
+    rng = np.random.default_rng(23)
+    d, f_dim = 8, 3
+    es, perm = _random_edge_set(rng, n_send=13, n_rec=9, n_edges=48)
+    params = init_interaction_net(jax.random.PRNGKey(5), d)
+    emb_params = init_mlp(jax.random.PRNGKey(6), [f_dim, d, d])
+    feats_raw = rng.normal(size=(48, f_dim)).astype(np.float32)
+    feats = jnp.asarray(place_edge_features(feats_raw, perm, es))
+
+    shape = (lambda n: (n, 2, d)) if batched else (lambda n: (n, d))
+    send = jnp.asarray(rng.normal(size=shape(13)), jnp.float32)
+    rec = jnp.asarray(rng.normal(size=shape(9)), jnp.float32)
+
+    def run(params, emb_params, send, rec, fused):
+        monkeypatch.setenv(
+            "NEURAL_LAM_TPU_FUSED", "auto" if fused else "off"
+        )
+        monkeypatch.setenv(
+            "NEURAL_LAM_TPU_FUSED_EMBED", "on" if fused else "off"
+        )
+        out = apply_interaction_net(
+            params, es, send, rec, None,
+            update_edges=update_edges,
+            edge_embedder=emb_params,
+            edge_features=feats,
+        )
+        return out
+
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    ref = run(params, emb_params, send, rec, False)
+    got = run(params, emb_params, send, rec, True)
+    valid = np.asarray(perm) >= 0
+    if update_edges:
+        np.testing.assert_allclose(got[0], ref[0], rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(got[1])[valid], np.asarray(ref[1])[valid],
+            rtol=2e-5, atol=2e-5,
+        )
+    else:
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    def loss(params, emb_params, send, rec, fused):
+        out = run(params, emb_params, send, rec, fused)
+        if update_edges:
+            mask = jnp.asarray(valid.astype(np.float32)).reshape(
+                (-1,) + (1,) * (out[1].ndim - 1)
+            )
+            return jnp.sum(out[0] ** 2) + jnp.sum((out[1] * mask) ** 2)
+        return jnp.sum(out**2)
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        params, emb_params, send, rec, False
+    )
+    g_got = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        params, emb_params, send, rec, True
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_got),
+        jax.tree_util.tree_leaves(g_ref),
+    ):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
