@@ -409,11 +409,18 @@ def apply_interaction_net(
             aggregated = aggregated / counts.reshape(
                 (-1,) + (1,) * (aggregated.ndim - 1)
             )
-        rec_diff = _apply_chunked(
-            params["aggr"],
-            jnp.concatenate([rec_rep, aggregated], axis=-1),
-            aggr_chunk_sizes,
-        )
+        if len(params["aggr"]) == 1:
+            # split-weight first layer: skip materialising the 2x-wide
+            # node concat
+            rec_diff = apply_mlp_split_first(
+                params["aggr"][0], (rec_rep, aggregated)
+            )
+        else:
+            rec_diff = _apply_chunked(
+                params["aggr"],
+                jnp.concatenate([rec_rep, aggregated], axis=-1),
+                aggr_chunk_sizes,
+            )
         residual_base = aggregated if propagation else rec_rep
         new_rec = residual_base + rec_diff
         if update_edges:
