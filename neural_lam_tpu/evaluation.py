@@ -86,9 +86,17 @@ def run_test_evaluation(
         init_s, target_s, forcing_s = trainer.standardize_batch(
             init, target, forcing
         )
-        prediction, pred_std = trainer.forecaster.forward(
-            params, init_s, forcing_s, target_s
-        )
+        if trainer.spatial is not None:
+            # batches arrive grid-padded and spatially sharded; the
+            # sharded rollout returns the global, unpadded prediction
+            prediction, pred_std = trainer.spatial.forward(
+                params, trainer.forecaster, init_s, forcing_s, target_s
+            )
+            target_s = target_s[..., : trainer.spatial.n_grid, :]
+        else:
+            prediction, pred_std = trainer.forecaster.forward(
+                params, init_s, forcing_s, target_s
+            )
         if pred_std is None:
             pred_std = trainer.per_var_std
         loss = trainer.loss_fn(

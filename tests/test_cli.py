@@ -159,3 +159,23 @@ def test_train_cli_spatial_shards(config_path, tmp_path):
     import numpy as np
 
     assert np.isfinite([h["train_loss"] for h in history]).all()
+
+    # evaluation from the spatial checkpoint, still sharded
+    train_model.main([
+        "--config_path", str(config_path),
+        "--graph", "1level",
+        "--hidden_dim", "8",
+        "--processor_layers", "2",
+        "--batch_size", "2",
+        "--spatial_shards", "4",
+        "--eval", "test",
+        "--ar_steps_eval", "2",
+        "--load", str(run_dir),
+        "--runs_root", str(runs_root),
+        "--logger_run_name", "spatialeval",
+        "--val_steps_to_log", "1",
+    ])
+    metrics = json.loads(
+        (runs_root / "spatialeval" / "test_metrics.json").read_text()
+    )
+    assert np.isfinite(list(metrics.values())).all()
