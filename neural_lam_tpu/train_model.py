@@ -51,6 +51,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="Initialise jax.distributed for a multi-host slice",
     )
     runtime.add_argument(
+        "--debug_nans",
+        action="store_true",
+        help="Enable jax.debug_nans: error out on the first NaN/Inf "
+        "produced by any jitted computation (the counterpart of the "
+        "reference's detect_anomaly NaN tripwire, reference: "
+        "tests/test_training.py:77). Slows training; use to localise "
+        "numerical blowups",
+    )
+    runtime.add_argument(
         "--spatial_shards",
         type=int,
         default=1,
@@ -198,6 +207,11 @@ def main(argv=None) -> None:
     _jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", 1.0
     )
+
+    if args.debug_nans:
+        import jax as _jax_dbg
+
+        _jax_dbg.config.update("jax_debug_nans", True)
 
     utils.seed_everything(args.seed)
 

@@ -179,3 +179,33 @@ def test_train_cli_spatial_shards(config_path, tmp_path):
         (runs_root / "spatialeval" / "test_metrics.json").read_text()
     )
     assert np.isfinite(list(metrics.values())).all()
+
+
+def test_debug_nans_cli(config_path, tmp_path):
+    """--debug_nans enables the NaN tripwire (counterpart of the
+    reference's detect_anomaly, reference: tests/test_training.py:77):
+    normal training still completes with the flag on."""
+    graph_dir = config_path.parent / "graph" / "1level"
+    if not (graph_dir / "graph.npz").exists():
+        create_graph.main(
+            ["--config_path", str(config_path), "--name", "1level",
+             "--levels", "1"]
+        )
+    import jax
+
+    try:
+        train_model.main([
+            "--config_path", str(config_path),
+            "--graph", "1level",
+            "--hidden_dim", "8",
+            "--processor_layers", "1",
+            "--batch_size", "2",
+            "--epochs", "1",
+            "--debug_nans",
+            "--runs_root", str(tmp_path / "runs"),
+            "--logger_run_name", "nanrun",
+            "--val_steps_to_log", "1",
+        ])
+        assert jax.config.jax_debug_nans
+    finally:
+        jax.config.update("jax_debug_nans", False)
