@@ -339,12 +339,14 @@ def apply_interaction_net(
     if edge_embedder is not None:
         assert edge_rep is None and edge_features is not None
         hidden = send_rep.shape[-1]
-        # In-kernel embedding is numerically validated but compiles
-        # pathologically slowly through the TPU remote-compile helper
-        # (tens of minutes per step variant), so it stays opt-in until
-        # Mosaic compile times improve.
+        # In-kernel embedding is the fastest path (8.46M vs 7.56M
+        # grid-points/s at MEPS size) but compiles slowly through the
+        # TPU remote-compile helper (tens of minutes for a new step
+        # shape — amortised by the persistent compilation cache that
+        # bench.py and the CLI enable). NEURAL_LAM_TPU_FUSED_EMBED=off
+        # selects the fast-compiling variant that embeds up-front.
         embed_in_kernel = (
-            os.environ.get("NEURAL_LAM_TPU_FUSED_EMBED", "off") == "on"
+            os.environ.get("NEURAL_LAM_TPU_FUSED_EMBED", "on") != "off"
             and _use_fused(params, edge_set, send_rep, rec_rep, None)
             and _embedder_fusable(edge_embedder, hidden)
         )
