@@ -75,7 +75,11 @@ def main() -> None:
     args = TrainingArgs(batch_size=BATCH, ar_steps_train=AR_STEPS)
     trainer = Trainer(forecaster, config, ds, args)
     params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
-    train_step = trainer.make_train_step()
+    # In-graph multi-step training (lax.scan over a batch stack): one
+    # dispatch covers ITERS optimizer steps, so the per-program launch
+    # overhead of the dispatch path is off the measured step time (and
+    # off real training loops that use the same path).
+    train_step = trainer.make_train_step(scan_steps=ITERS)
 
     n = ds.num_grid_points
     f_dim = N_FORCING * 3
@@ -85,24 +89,25 @@ def main() -> None:
         rng.normal(size=(BATCH, AR_STEPS, n, N_STATE)).astype(np.float32),
         rng.normal(size=(BATCH, AR_STEPS, n, f_dim)).astype(np.float32),
     )
-    device_batch, _ = trainer.device_put_batch(batch)
+    stacked = tuple(
+        np.broadcast_to(a, (ITERS,) + a.shape).copy() for a in batch
+    )
+    device_batch = tuple(jax.device_put(a) for a in stacked)
 
     for _ in range(WARMUP):
-        params, opt_state, loss = train_step(
+        params, opt_state, losses = train_step(
             params, opt_state, *device_batch
         )
-    jax.block_until_ready((params, loss))
+    jax.block_until_ready((params, losses))
 
-    # Chain ITERS steps with a single device sync at the end: the host
-    # round-trip through the device tunnel costs ~30 ms, which would
-    # otherwise dominate per-step timing.
+    reps = 2
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        params, opt_state, loss = train_step(
+    for _ in range(reps):
+        params, opt_state, losses = train_step(
             params, opt_state, *device_batch
         )
-    jax.block_until_ready((params, loss))
-    step_time = (time.perf_counter() - t0) / ITERS
+    jax.block_until_ready((params, losses))
+    step_time = (time.perf_counter() - t0) / (reps * ITERS)
     grid_points_per_s = BATCH * n * AR_STEPS / step_time
     print(
         json.dumps(

@@ -390,6 +390,11 @@ def main(argv=None) -> None:
                 hparams,
             )
 
+    # Preemption-signal rescue (SURVEY.md 5.3): a SIGTERM from the
+    # scheduler / TPU maintenance event drains the current epoch and
+    # writes the latest checkpoint below before the process exits.
+    trainer.install_preemption_handler()
+
     # Run epoch-by-epoch so checkpoints always see the current state
     for epoch in range(args.epochs):
         params, opt_state, history = trainer.fit(
@@ -404,6 +409,12 @@ def main(argv=None) -> None:
         record["epoch"] = epoch
         log_fn.params, log_fn.opt_state = params, opt_state
         log_fn(record)
+        if trainer.preempt_event.is_set():
+            print(
+                "preemption signal received: latest checkpoint saved, "
+                "exiting (resume with --load <run_dir> --restore_opt)"
+            )
+            break
     logger.finish()
 
 

@@ -163,6 +163,36 @@ class Trainer:
         self._train_step = None
         self._eval_step: dict[int, Callable] = {}
 
+        # Preemption flag: set by install_preemption_handler's signal
+        # handler (SLURM/TPU-maintenance SIGTERM); fit() drains the
+        # current work and returns early so the caller can write a
+        # rescue checkpoint before the kill escalates (the idiomatic
+        # TPU addition to the reference's every-epoch rescue policy,
+        # SURVEY.md 5.3; reference: train_model.py:500-516).
+        import threading
+
+        self.preempt_event = threading.Event()
+
+    def install_preemption_handler(self, signals=None) -> None:
+        """Install SIGTERM/SIGUSR1 handlers that request a graceful stop.
+
+        Single-host, the training loop stops at the next step; multi-host
+        it stops at the epoch boundary only — a per-step break would
+        deadlock the SPMD peers mid-collective if the signal lands at
+        different step indices on different hosts (SLURM delivers to all
+        tasks, but not atomically).
+        """
+        import signal as signal_mod
+
+        if signals is None:
+            signals = (signal_mod.SIGTERM, signal_mod.SIGUSR1)
+
+        def handler(signum, frame):
+            self.preempt_event.set()
+
+        for s in signals:
+            signal_mod.signal(s, handler)
+
     # -- batch prep --------------------------------------------------------
     def _tiled_forcing_stats(self, forcing_width: int):
         """Per-window tiling of forcing stats, feature-major
@@ -290,10 +320,24 @@ class Trainer:
             )
         )
 
-    def make_train_step(self) -> Callable:
+    def make_train_step(self, scan_steps: Optional[int] = None) -> Callable:
         """Build the jitted, donated ``(params, opt_state, batch) ->
-        (params, opt_state, loss)`` step."""
+        (params, opt_state, loss)`` step.
+
+        With ``scan_steps=k`` the returned callable consumes a STACK of
+        ``k`` batches (leading axis ``k`` on every batch array) and runs
+        ``k`` sequential optimizer steps inside one executable via
+        ``lax.scan``, returning the ``(k,)`` per-step losses. One device
+        dispatch then covers ``k`` steps, which removes the per-dispatch
+        host/runtime gap between steps — significant on deployments with
+        slow dispatch paths (the remote-tunnel dev chip pays ~3 ms per
+        program launch; see docs/performance.md).
+        """
         if self.spatial is not None:
+            if scan_steps:
+                raise NotImplementedError(
+                    "scan_steps is not supported with spatial sharding"
+                )
             return self.spatial.make_train_step(
                 self.forecaster,
                 self.optimizer,
@@ -320,6 +364,28 @@ class Trainer:
                 self._opt_shardings,
                 self._replicated,
             )
+
+        if scan_steps:
+
+            def train_steps(params, opt_state, init_k, target_k, forcing_k):
+                def body(carry, batch):
+                    p, o = carry
+                    p, o, loss = train_step(p, o, *batch)
+                    return (p, o), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    body,
+                    (params, opt_state),
+                    (init_k, target_k, forcing_k),
+                )
+                return params, opt_state, losses
+
+            return jax.jit(
+                train_steps,
+                donate_argnums=(0, 1),
+                out_shardings=out_shardings,
+            )
+
         return jax.jit(
             train_step,
             donate_argnums=(0, 1),
@@ -457,6 +523,11 @@ class Trainer:
                     jax.block_until_ready(loss)
                     jax.profiler.stop_trace()
                     profiling = False
+                if (
+                    self.preempt_event.is_set()
+                    and jax.process_count() == 1
+                ):
+                    break
             if profiling:  # short epoch: close the trace cleanly
                 jax.profiler.stop_trace()
                 profiling = False
@@ -484,13 +555,19 @@ class Trainer:
                     / max(epoch_seconds, 1e-9)
                 ),
             }
-            if val_loader is not None and (
-                (epoch + 1) % self.args.val_interval == 0
+            if self.preempt_event.is_set():
+                record["preempted"] = True
+            if (
+                val_loader is not None
+                and (epoch + 1) % self.args.val_interval == 0
+                and not self.preempt_event.is_set()
             ):
                 record.update(self.evaluate(params, val_loader, "val"))
             history.append(record)
             if log_fn is not None:
                 log_fn(record)
+            if self.preempt_event.is_set():
+                break
         return params, opt_state, history
 
     def evaluate(self, params, loader, prefix: str = "val") -> dict:

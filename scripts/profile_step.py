@@ -1,112 +1,149 @@
-"""Capture a jax.profiler trace of the MEPS-size train step on TPU.
+"""Capture a jax.profiler device trace of the bench train step and print
+an op-level time breakdown.
 
-Usage: python scripts/profile_step.py [outdir]
-Prints a per-op-category summary parsed from the trace so kernel tuning
-doesn't need TensorBoard in the loop.
+Usage: python scripts/profile_step.py [--steps N] [--outdir DIR]
+
+Parses the captured xplane protobuf with tensorboard_plugin_profile's
+converter when available; otherwise just leaves the trace for xprof.
 """
 
 from __future__ import annotations
 
+import argparse
 import glob
 import gzip
 import json
 import sys
-import time
 from collections import defaultdict
 from pathlib import Path
 
-import numpy as np
-
-sys.path.insert(0, str(Path(__file__).parent.parent))
-
-GRID_X, GRID_Y = 268, 238
-N_STATE, N_FORCING = 17, 6
-BATCH = 4
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 
 
-def main() -> None:
+def build_trainer():
     import jax
 
-    from bench import CACHE_DIR  # reuse the cached graph
-    from neural_lam_tpu.config import (
-        DatastoreSelection,
-        NeuralLAMConfig,
-    )
+    cache = REPO / ".bench_cache"
+    jax.config.update("jax_compilation_cache_dir", str(cache / "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import bench
+
+    ds = bench.__dict__  # reuse bench's constants
+    from neural_lam_tpu.config import DatastoreSelection, NeuralLAMConfig
     from neural_lam_tpu.datastore.dummy import DummyDatastore
     from neural_lam_tpu.graphs import create_graph_from_datastore
     from neural_lam_tpu.models import ARForecaster, GraphLAM
     from neural_lam_tpu.trainer import Trainer, TrainingArgs
 
-    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nl_profile"
-    CACHE_DIR.mkdir(exist_ok=True)
-    ds = DummyDatastore(
-        n_grid_x=GRID_X,
-        n_grid_y=GRID_Y,
+    dstore = DummyDatastore(
+        n_grid_x=ds["GRID_X"],
+        n_grid_y=ds["GRID_Y"],
         n_timesteps=8,
-        n_state_features=N_STATE,
-        n_forcing_features=N_FORCING,
+        n_state_features=ds["N_STATE"],
+        n_forcing_features=ds["N_FORCING"],
         n_static_features=4,
-        root_path=CACHE_DIR,
+        root_path=cache,
     )
-    graph_dir = ds.root_path / "graph" / "multiscale"
+    graph_dir = dstore.root_path / "graph" / "multiscale"
     if not (graph_dir / "graph.npz").exists():
-        create_graph_from_datastore(ds, graph_dir, hierarchical=False)
-    model = GraphLAM(ds, graph_name="multiscale")
-    trainer = Trainer(
-        ARForecaster(model, ds),
-        NeuralLAMConfig(
-            datastore=DatastoreSelection(kind="dummydata", config_path="")
-        ),
-        ds,
-        TrainingArgs(batch_size=BATCH),
+        create_graph_from_datastore(dstore, graph_dir, hierarchical=False)
+    model = GraphLAM(
+        dstore,
+        graph_name="multiscale",
+        hidden_dim=ds["HIDDEN_DIM"],
+        processor_layers=ds["PROC_LAYERS"],
     )
+    forecaster = ARForecaster(model, dstore)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path="")
+    )
+    args = TrainingArgs(batch_size=ds["BATCH"], ar_steps_train=ds["AR_STEPS"])
+    trainer = Trainer(forecaster, config, dstore, args)
+    return trainer, dstore, ds
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--outdir", default=str(REPO / ".bench_cache" / "trace"))
+    ap.add_argument("--top", type=int, default=40)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    trainer, dstore, C = build_trainer()
     params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
-    step = trainer.make_train_step()
-    n = ds.num_grid_points
+    train_step = trainer.make_train_step()
+
     rng = np.random.default_rng(0)
-    batch = (
-        rng.normal(size=(BATCH, 2, n, N_STATE)).astype(np.float32),
-        rng.normal(size=(BATCH, 1, n, N_STATE)).astype(np.float32),
-        rng.normal(size=(BATCH, 1, n, N_FORCING * 3)).astype(np.float32),
+    n = dstore.num_grid_points
+    f_dim = C["N_FORCING"] * 3
+    raw = (
+        rng.normal(size=(C["BATCH"], 2, n, C["N_STATE"])).astype(np.float32),
+        rng.normal(
+            size=(C["BATCH"], C["AR_STEPS"], n, C["N_STATE"])
+        ).astype(np.float32),
+        rng.normal(
+            size=(C["BATCH"], C["AR_STEPS"], n, f_dim)
+        ).astype(np.float32),
     )
-    db, _ = trainer.device_put_batch(batch)
-    for _ in range(3):
-        params, opt_state, loss = step(params, opt_state, *db)
+    batch, _ = trainer.device_put_batch(raw)
+
+    # warm up (compile)
+    params, opt_state, loss = train_step(params, opt_state, *batch)
     jax.block_until_ready(loss)
 
-    jax.profiler.start_trace(outdir)
-    for _ in range(3):
-        params, opt_state, loss = step(params, opt_state, *db)
-    jax.block_until_ready(loss)
-    jax.profiler.stop_trace()
-    time.sleep(1)
-    summarize(outdir)
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    with jax.profiler.trace(str(outdir)):
+        for _ in range(args.steps):
+            params, opt_state, loss = train_step(params, opt_state, *batch)
+        jax.block_until_ready(loss)
+    print("trace captured to", outdir, file=sys.stderr)
 
-
-def summarize(outdir: str) -> None:
-    traces = sorted(
-        glob.glob(f"{outdir}/**/*.trace.json.gz", recursive=True)
+    planes = sorted(
+        glob.glob(str(outdir / "**" / "*.xplane.pb"), recursive=True)
     )
-    if not traces:
-        print("no trace found under", outdir)
+    if not planes:
+        print("no xplane.pb found", file=sys.stderr)
         return
-    with gzip.open(traces[-1], "rt") as f:
-        data = json.load(f)
-    per_op = defaultdict(float)
-    for ev in data.get("traceEvents", []):
-        if ev.get("ph") != "X" or "dur" not in ev:
+    latest = planes[-1]
+    summarize_xplane(latest, args.top, args.steps)
+
+
+def summarize_xplane(path: str, top: int, steps: int) -> None:
+    from tensorboard_plugin_profile.protobuf import xplane_pb2
+
+    xspace = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    for plane in xspace.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name:
             continue
-        # keep only device lanes (TensorCore op events)
-        name = ev.get("name", "")
-        args = ev.get("args", {})
-        if not isinstance(args, dict):
-            args = {}
-        key = args.get("long_name", name).split("(")[0][:80]
-        per_op[key] += ev["dur"]
-    total = sum(per_op.values())
-    print(f"total device-op time (3 steps, us): {total:.0f}")
-    for k, v in sorted(per_op.items(), key=lambda kv: -kv[1])[:30]:
-        print(f"{v/3:10.0f} us/step  {100*v/total:5.1f}%  {k}")
+        meta = {m.id: m.name for m in plane.event_metadata.values()}
+        totals = defaultdict(int)
+        counts = defaultdict(int)
+        for line in plane.lines:
+            lname = line.name.lower()
+            if "step" in lname and "tensorcore" not in lname:
+                pass
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, "?")
+                totals[name] += ev.duration_ps
+                counts[name] += 1
+        if not totals:
+            continue
+        print(f"\n== plane: {plane.name} ==")
+        total_ms = sum(totals.values()) / 1e9
+        print(f"(sum over lines, {steps} steps) total {total_ms:.2f} ms")
+        rows = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
+        for name, ps in rows:
+            ms = ps / 1e9 / steps
+            print(f"{ms:9.3f} ms/step  x{counts[name]//steps:<4d} {name[:110]}")
 
 
 if __name__ == "__main__":

@@ -417,3 +417,76 @@ def test_eval_tail_batch_smaller_than_mesh(tmp_path):
     np.testing.assert_allclose(
         got["val_loss"], want["val_loss"], rtol=1e-5
     )
+
+
+def test_scanned_multi_step_matches_sequential(setup):
+    """``make_train_step(scan_steps=k)`` over a k-stack of batches must
+    produce the same params/opt_state/losses as k sequential dispatches
+    of the plain step (it is the same math in one executable)."""
+    ds, fc, config = setup
+    args = TrainingArgs(lr=1e-3, batch_size=2, ar_steps_train=1)
+    trainer = Trainer(fc, config, ds, args)
+    step = trainer.make_train_step()
+    multi = trainer.make_train_step(scan_steps=3)
+
+    loader, _ = _loaders(ds, ar_steps=1)
+    batches = []
+    it = iter(loader)
+    for _ in range(3):
+        dev_batch, _real = trainer.device_put_batch(next(it))
+        batches.append(tuple(np.asarray(a) for a in dev_batch))
+
+    params0, opt0 = trainer.init_state(jax.random.PRNGKey(1))
+    p_seq, o_seq = params0, opt0
+    seq_losses = []
+    for b in batches:
+        p_seq, o_seq, loss = step(p_seq, o_seq, *b)
+        seq_losses.append(float(loss))
+
+    params1, opt1 = trainer.init_state(jax.random.PRNGKey(1))
+    stacked = tuple(
+        np.stack([b[i] for b in batches]) for i in range(3)
+    )
+    p_scan, o_scan, losses = multi(params1, opt1, *stacked)
+
+    np.testing.assert_allclose(
+        np.asarray(losses), seq_losses, rtol=1e-6
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        p_seq,
+        p_scan,
+    )
+
+
+def test_preemption_signal_stops_training(setup):
+    """A SIGTERM mid-epoch drains the step loop and fit() returns early
+    with the record marked preempted (SURVEY.md 5.3)."""
+    import os
+    import signal
+    import threading
+
+    ds, fc, config = setup
+    args = TrainingArgs(lr=1e-3, batch_size=2, ar_steps_train=1)
+    trainer = Trainer(fc, config, ds, args)
+    trainer.install_preemption_handler()
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+    train_loader, _ = _loaders(ds, ar_steps=1)
+
+    # deliver SIGTERM shortly after training starts
+    timer = threading.Timer(
+        0.5, lambda: os.kill(os.getpid(), signal.SIGTERM)
+    )
+    timer.start()
+    try:
+        params, opt_state, history = trainer.fit(
+            params, opt_state, train_loader, epochs=50
+        )
+    finally:
+        timer.cancel()
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    assert trainer.preempt_event.is_set()
+    assert len(history) < 50, "fit should stop at the preempted epoch"
+    assert history[-1].get("preempted") is True
