@@ -393,9 +393,6 @@ def apply_interaction_net(
                 update_edges=update_edges,
                 propagation=propagation,
                 interpret=_interpret_mode(),
-                edge_features=(
-                    edge_features if embed_in_kernel else None
-                ),
             )
         aggregated, new_edge = edge_set.fn_cache[key](
             params["edge"][0],
@@ -403,6 +400,7 @@ def apply_interaction_net(
             x_send,
             rec_rep,
             emb_params=(edge_embedder if embed_in_kernel else None),
+            edge_feats=(edge_features if embed_in_kernel else None),
         )
         if aggr == "mean":
             counts = jnp.maximum(edge_set.recv_counts, 1).astype(

@@ -77,14 +77,18 @@ def _tile_vec(v: jax.Array, groups: int) -> jax.Array:
     return jnp.tile(v.astype(jnp.float32), groups)[None, :]
 
 
-def _embed_forward(f, emb_refs):
+def _embed_forward(f, emb_refs, cdt=jnp.float32):
     """In-kernel edge-embedder MLP: Linear-SiLU-Linear-LN on the raw
     static features (the reference's per-edge-set embedder,
-    reference: graph/base.py:142-149)."""
+    reference: graph/base.py:142-149). Matmul operands run in ``cdt``
+    (bf16 under mixed precision) with f32 accumulation."""
     ew1, eb1, ew2, eb2, eg, ebt, mmat_h = emb_refs
+    c = lambda x: x.astype(cdt)  # noqa: E731
     p1 = jnp.dot(f, ew1[:], preferred_element_type=jnp.float32) + eb1[:]
     a1 = jax.nn.silu(p1)
-    ze = jnp.dot(a1, ew2[:], preferred_element_type=jnp.float32) + eb2[:]
+    ze = jnp.dot(c(a1), ew2[:], preferred_element_type=jnp.float32) + eb2[:]
+    # LN statistics stay f32: ``z - mean(z)`` cancels catastrophically
+    # under bf16 operands, and these matmuls are a small FLOP fraction.
     mu = jnp.dot(ze, mmat_h[:], preferred_element_type=jnp.float32)
     ce = ze - mu
     var = jnp.dot(
@@ -93,11 +97,12 @@ def _embed_forward(f, emb_refs):
     return ce * jax.lax.rsqrt(var + _LN_EPS) * eg[:] + ebt[:]
 
 
-def _embed_backward(f, d_emb, emb_refs, accum_refs, init):
+def _embed_backward(f, d_emb, emb_refs, accum_refs, init, cdt=jnp.float32):
     """Backward of the in-kernel embedder: recompute, then weight-grad
     accumulators (no feature grad — features are constants)."""
     ew1, eb1, ew2, eb2, eg, ebt, mmat_h = emb_refs
     dew1, deb1, dew2, deb2, deg, debt = accum_refs
+    c = lambda x: x.astype(cdt)  # noqa: E731
 
     @pl.when(init)
     def _():
@@ -110,7 +115,7 @@ def _embed_backward(f, d_emb, emb_refs, accum_refs, init):
 
     p1 = jnp.dot(f, ew1[:], preferred_element_type=jnp.float32) + eb1[:]
     a1 = jax.nn.silu(p1)
-    ze = jnp.dot(a1, ew2[:], preferred_element_type=jnp.float32) + eb2[:]
+    ze = jnp.dot(c(a1), ew2[:], preferred_element_type=jnp.float32) + eb2[:]
     mu = jnp.dot(ze, mmat_h[:], preferred_element_type=jnp.float32)
     ce = ze - mu
     var = jnp.dot(
@@ -128,18 +133,18 @@ def _embed_backward(f, d_emb, emb_refs, accum_refs, init):
     deg[:] += jnp.sum(d_emb * xhat, axis=0, keepdims=True)
     debt[:] += jnp.sum(d_emb, axis=0, keepdims=True)
     dew2[:] += jax.lax.dot_general(
-        a1, dz, (((0,), (0,)), ((), ())),
+        c(a1), c(dz), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     deb2[:] += jnp.sum(dz, axis=0, keepdims=True)
     d_a1 = jax.lax.dot_general(
-        dz, ew2[:], (((1,), (1,)), ((), ())),
+        c(dz), ew2[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     sig = jax.nn.sigmoid(p1)
     d_p1 = d_a1 * (sig * (1.0 + p1 * (1.0 - sig)))
     dew1[:] += jax.lax.dot_general(
-        f, d_p1, (((0,), (0,)), ((), ())),
+        f, c(d_p1), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     deb1[:] += jnp.sum(d_p1, axis=0, keepdims=True)
@@ -171,6 +176,7 @@ def _fused_fwd_kernel(
     propagation,
     edge_unbatched,
     embed_edges=False,
+    cdt=jnp.float32,
 ):
     # When the edge rep is a shared (unbatched) embedding, ``edge_ref``
     # is a (C, D) block and ``w1e_ref`` the column-tiled (D, S) weight;
@@ -180,6 +186,10 @@ def _fused_fwd_kernel(
     # ``edge_ref`` holds the RAW static edge features (C, F) and the
     # edge-embedder MLP (Linear-SiLU-Linear-LN) runs in-kernel, so the
     # per-edge embedding never exists in HBM at all.
+    # ``cdt`` is the matmul operand dtype (bf16 under mixed precision —
+    # roughly doubles MXU throughput and halves operand VMEM/HBM
+    # traffic); accumulation stays f32 via preferred_element_type.
+    cv = lambda x: x.astype(cdt)  # noqa: E731
     rest = list(rest)
     emb_refs = None
     if embed_edges:
@@ -200,7 +210,7 @@ def _fused_fwd_kernel(
     rows = jax.lax.broadcasted_iota(
         jnp.int32, (block_rows, chunk_edges), dimension=0
     )
-    one_hot_t = (ids == rows).astype(jnp.float32)  # (N_b, C)
+    one_hot_t = (ids == rows).astype(cdt)  # (N_b, C)
 
     # Project the resident receiver block, then one-hot-gather projected
     # rows (projection and selection commute; projecting first keeps the
@@ -210,14 +220,14 @@ def _fused_fwd_kernel(
     )
     gathered = jax.lax.dot_general(
         one_hot_t,
-        rec_proj,
+        cv(rec_proj),
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (C, S)
 
     if embed_edges:
-        edge_val = _embed_forward(edge_ref[:], emb_refs)
-        edge_dot = edge_val
+        edge_val = _embed_forward(edge_ref[:], emb_refs, cdt)
+        edge_dot = cv(edge_val)
     else:
         edge_val = edge_ref[:]
         edge_dot = edge_val
@@ -228,8 +238,12 @@ def _fused_fwd_kernel(
         + b1_ref[:]
     )
     h1 = jax.nn.silu(pre)
-    z = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    z = (
+        jnp.dot(cv(h1), w2_ref[:], preferred_element_type=jnp.float32)
+        + b2_ref[:]
+    )
     if layer_norm:
+        # LN statistics in f32 (cancellation-sensitive; small FLOPs)
         mu = jnp.dot(z, mmat_ref[:], preferred_element_type=jnp.float32)
         cz = z - mu
         var = jnp.dot(
@@ -240,19 +254,19 @@ def _fused_fwd_kernel(
         msg = z
     if propagation:
         # reference: neural_lam/gnn_layers.py:242-250 (sender residual)
-        msg = msg + send_ref[:]
+        msg = msg + send_ref[:].astype(jnp.float32)
     if update_edges:
         if edge_unbatched:
             # broadcast (C, D) -> (C, S) via the tiled-identity matmul
             edge_b = jnp.dot(
-                edge_val, tile_ref[:],
+                cv(edge_val), tile_ref[:],
                 preferred_element_type=jnp.float32,
             )
         else:
-            edge_b = edge_val
+            edge_b = edge_val.astype(jnp.float32)
         out_refs[1][:] = edge_b + msg
     aggr_ref[:] += jnp.dot(
-        one_hot_t, msg, preferred_element_type=jnp.float32
+        one_hot_t, cv(msg), preferred_element_type=jnp.float32
     )
 
 
@@ -282,7 +296,9 @@ def _fused_bwd_kernel(
     propagation,
     edge_unbatched,
     embed_edges=False,
+    cdt=jnp.float32,
 ):
+    cv = lambda x: x.astype(cdt)  # noqa: E731
     rest_refs = list(rest_refs)
     emb_refs = None
     if embed_edges:
@@ -338,7 +354,7 @@ def _fused_bwd_kernel(
     rows = jax.lax.broadcasted_iota(
         jnp.int32, (block_rows, chunk_edges), dimension=0
     )
-    one_hot_t = (ids == rows).astype(jnp.float32)
+    one_hot_t = (ids == rows).astype(cdt)
 
     # --- recompute forward ------------------------------------------------
     rec_proj = jnp.dot(
@@ -346,12 +362,12 @@ def _fused_bwd_kernel(
     )
     gathered = jax.lax.dot_general(
         one_hot_t,
-        rec_proj,
+        cv(rec_proj),
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     if embed_edges:
-        edge_val = _embed_forward(edge_ref[:], emb_refs)
+        edge_val = cv(_embed_forward(edge_ref[:], emb_refs, cdt))
     else:
         edge_val = edge_ref[:]
     pre = (
@@ -361,7 +377,10 @@ def _fused_bwd_kernel(
         + b1_ref[:]
     )
     h1 = jax.nn.silu(pre)
-    z = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    z = (
+        jnp.dot(cv(h1), w2_ref[:], preferred_element_type=jnp.float32)
+        + b2_ref[:]
+    )
 
     # --- message gradient -------------------------------------------------
     d_msg = jax.lax.dot_general(
@@ -371,7 +390,7 @@ def _fused_bwd_kernel(
         preferred_element_type=jnp.float32,
     )
     if update_edges:
-        d_msg = d_msg + d_new_edge_ref[:]
+        d_msg = d_msg + d_new_edge_ref[:].astype(jnp.float32)
 
     if layer_norm:
         mu = jnp.dot(z, mmat_ref[:], preferred_element_type=jnp.float32)
@@ -382,9 +401,12 @@ def _fused_bwd_kernel(
         rinv = jax.lax.rsqrt(var + _LN_EPS)
         xhat = cz * rinv
         d_xhat = d_msg * gamma_ref[:]
-        m1 = jnp.dot(d_xhat, mmat_ref[:], preferred_element_type=jnp.float32)
+        m1 = jnp.dot(
+            d_xhat, mmat_ref[:], preferred_element_type=jnp.float32
+        )
         m2 = jnp.dot(
-            d_xhat * xhat, mmat_ref[:], preferred_element_type=jnp.float32
+            d_xhat * xhat, mmat_ref[:],
+            preferred_element_type=jnp.float32,
         )
         dz = rinv * (d_xhat - m1 - xhat * m2)
         dgamma_ref[:] += jnp.sum(d_msg * xhat, axis=0, keepdims=True)
@@ -392,23 +414,25 @@ def _fused_bwd_kernel(
     else:
         dz = d_msg
 
+    dzc = cv(dz)
     d_h1 = jax.lax.dot_general(
-        dz,
+        dzc,
         w2_ref[:],
         (((1,), (1,)), ((), ())),  # dz @ W2^T
         preferred_element_type=jnp.float32,
     )
     dw2_ref[:] += jax.lax.dot_general(
-        h1, dz, (((0,), (0,)), ((), ())),
+        cv(h1), dzc, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     db2_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
 
     sig = jax.nn.sigmoid(pre)
     d_pre = d_h1 * (sig * (1.0 + pre * (1.0 - sig)))
+    d_prec = cv(d_pre)
 
     d_send = jax.lax.dot_general(
-        d_pre, w1s_ref[:], (((1,), (1,)), ((), ())),
+        d_prec, w1s_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     if propagation:
@@ -418,23 +442,24 @@ def _fused_bwd_kernel(
     # For an unbatched edge rep, w1e is the (D, S) column-tiled weight,
     # so d_pre @ w1e^T directly yields the group-summed (C, D) grad.
     d_edge = jax.lax.dot_general(
-        d_pre, w1e_ref[:], (((1,), (1,)), ((), ())),
+        d_prec, w1e_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     if update_edges:
         if edge_unbatched:
             # group-sum the batched residual grad: (C, S) @ (D, S)^T
             d_edge = d_edge + jax.lax.dot_general(
-                d_new_edge_ref[:], tile_ref[:], (((1,), (1,)), ((), ())),
+                cv(d_new_edge_ref[:]), tile_ref[:],
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         else:
-            d_edge = d_edge + d_new_edge_ref[:]
+            d_edge = d_edge + d_new_edge_ref[:].astype(jnp.float32)
     if embed_edges:
         # chain into the in-kernel embedder; the features themselves
         # are constants, so only weight-grad accumulators come out
         _embed_backward(
-            edge_ref[:], d_edge, emb_refs, emb_accum_refs, very_first
+            edge_ref[:], d_edge, emb_refs, emb_accum_refs, very_first, cdt
         )
     elif edge_unbatched:
         d_edge_ref[0] = d_edge  # (1, C, D) per-stripe plane
@@ -442,16 +467,16 @@ def _fused_bwd_kernel(
         d_edge_ref[:] = d_edge
 
     dw1e_ref[:] += jax.lax.dot_general(
-        edge_val, d_pre, (((0,), (0,)), ((), ())),
+        edge_val, d_prec, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dw1s_ref[:] += jax.lax.dot_general(
-        send_ref[:], d_pre, (((0,), (0,)), ((), ())),
+        send_ref[:], d_prec, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     db1_ref[:] += jnp.sum(d_pre, axis=0, keepdims=True)
     d_recproj_ref[:] += jnp.dot(
-        one_hot_t, d_pre, preferred_element_type=jnp.float32
+        one_hot_t, d_prec, preferred_element_type=jnp.float32
     )
 
 
@@ -459,10 +484,16 @@ def _fused_bwd_kernel(
 # host-side wrappers
 # ---------------------------------------------------------------------------
 def _prep_weights(
-    mlp_params: dict, groups: int, feat_dim: int, edge_unbatched: bool
+    mlp_params: dict,
+    groups: int,
+    feat_dim: int,
+    edge_unbatched: bool,
+    cdt=jnp.float32,
 ):
-    """Block-diagonal weight stripes + tiled bias/LN rows (all f32).
+    """Block-diagonal weight stripes + tiled bias/LN rows.
 
+    Matmul operands (weights, averaging matrix, tiled identity) are cast
+    to ``cdt``; bias/LN rows stay f32 — they add into f32 accumulators.
     For an unbatched edge rep, ``w1e`` is column-tiled ``(D, S)`` (one
     matmul broadcasts the shared edge contribution across lane groups)
     and ``tile`` is the matching tiled identity for the residual path.
@@ -480,15 +511,18 @@ def _prep_weights(
     if edge_unbatched:
         w1e_k = jnp.tile(w1e, (1, groups))
         tile = jnp.tile(jnp.eye(hidden, dtype=jnp.float32), (1, groups))
+        tile = tile.astype(cdt)
     else:
         w1e_k = _block_diag(w1e, groups)
         tile = None
     return dict(
-        w1e=w1e_k,
-        w1s=_block_diag(w1s, groups),
-        w1r=_block_diag(w1r, groups),
+        w1e=w1e_k.astype(cdt),
+        w1s=_block_diag(w1s, groups).astype(cdt),
+        w1r=_block_diag(w1r, groups).astype(cdt),
         b1=_tile_vec(layers[0]["b"], groups),
-        w2=_block_diag(layers[1]["w"].astype(jnp.float32), groups),
+        w2=_block_diag(layers[1]["w"].astype(jnp.float32), groups).astype(
+            cdt
+        ),
         b2=_tile_vec(layers[1]["b"], groups),
         gamma=_tile_vec(gamma, groups),
         beta=_tile_vec(beta, groups),
@@ -497,17 +531,18 @@ def _prep_weights(
     )
 
 
-def _prep_embedder_weights(emb_params: dict) -> list:
-    """Edge-embedder MLP weights as plain f32 arrays for the kernel
+def _prep_embedder_weights(emb_params: dict, cdt=jnp.float32) -> list:
+    """Edge-embedder MLP weights as plain arrays for the kernel
     (Linear-SiLU-Linear-LN; single 64-lane group, so the LN averaging
-    matrix has no kron structure)."""
+    matrix has no kron structure). Matmul operands in ``cdt``, bias/LN
+    rows f32."""
     layers = emb_params["layers"]
     hidden = layers[1]["w"].shape[1]
     ln = emb_params["ln"]
     return [
-        layers[0]["w"].astype(jnp.float32),
+        layers[0]["w"].astype(cdt),
         layers[0]["b"].astype(jnp.float32)[None, :],
-        layers[1]["w"].astype(jnp.float32),
+        layers[1]["w"].astype(cdt),
         layers[1]["b"].astype(jnp.float32)[None, :],
         ln["scale"].astype(jnp.float32)[None, :],
         ln["bias"].astype(jnp.float32)[None, :],
@@ -538,6 +573,7 @@ def _fused_fwd_impl(
     edge_unbatched: bool,
     interpret: bool,
     emb_weights=None,
+    cdt=jnp.float32,
 ):
     embed_edges = emb_weights is not None
     lanes = send2d.shape[1]
@@ -634,6 +670,7 @@ def _fused_fwd_impl(
         propagation=propagation,
         edge_unbatched=edge_unbatched,
         embed_edges=embed_edges,
+        cdt=cdt,
     )
     outs = pl.pallas_call(
         kernel,
@@ -662,6 +699,7 @@ def _fused_bwd_impl(
     edge_unbatched: bool,
     interpret: bool,
     emb_weights=None,
+    cdt=jnp.float32,
 ):
     embed_edges = emb_weights is not None
     lanes = send2d.shape[1]
@@ -671,7 +709,7 @@ def _fused_bwd_impl(
     n_chunks = int(layout.chunk_block.shape[0])
     out_rows = layout.num_blocks * layout.block_rows
     rec_pad = _pad_rows(rec2d, out_rows)
-    d_aggr_pad = _pad_rows(d_aggr.astype(jnp.float32), out_rows)
+    d_aggr_pad = _pad_rows(d_aggr.astype(cdt), out_rows)
     ce, br = layout.chunk_edges, layout.block_rows
 
     def cix(s, c, cb):
@@ -755,7 +793,7 @@ def _fused_bwd_impl(
         operands += list(emb_weights)
     if update_edges:
         in_specs.append(cspec)
-        operands.append(d_new_edge.astype(jnp.float32))
+        operands.append(d_new_edge.astype(cdt))
         if edge_unbatched:
             in_specs.append(cs((feat, stripe)))
             operands.append(wb["tile"])
@@ -810,6 +848,7 @@ def _fused_bwd_impl(
         propagation=propagation,
         edge_unbatched=edge_unbatched,
         embed_edges=embed_edges,
+        cdt=cdt,
     )
     return pl.pallas_call(
         kernel,
@@ -852,34 +891,55 @@ def make_fused_interaction(
     update_edges: bool,
     propagation: bool,
     interpret: bool,
-    edge_features=None,
 ):
     """Build the differentiable fused edge phase for one edge set.
 
     Returns ``fused(mlp_params, edge_rep, x_send, rec_rep,
-    emb_params=None) -> (aggregated_sum, new_edge | None)`` on
-    node-major arrays (``(E, [B,] D)`` / ``(N_rec, [B,] D)``).
-    Aggregation is always the *sum*; mean (propagation) is divided
-    outside so its gradient is handled by autodiff.
+    emb_params=None, edge_feats=None) -> (aggregated_sum,
+    new_edge | None)`` on node-major arrays (``(E, [B,] D)`` /
+    ``(N_rec, [B,] D)``). Aggregation is always the *sum*; mean
+    (propagation) is divided outside so its gradient is handled by
+    autodiff.
 
-    With ``edge_features`` (the static per-edge features in blocked
-    slot order) and a per-call ``emb_params``, the edge-embedder MLP
-    runs inside the kernel on the raw features, ``edge_rep`` is ignored
-    and the embedding never materialises in HBM.
+    With per-call ``edge_feats`` (the static per-edge features in
+    blocked slot order) and ``emb_params``, the edge-embedder MLP runs
+    inside the kernel on the raw features, ``edge_rep`` is ignored and
+    the embedding never materialises in HBM. ``edge_feats`` must be
+    passed per call (never captured here): the returned closure is
+    cached on the EdgeSet, and a trace-time capture would leak tracers
+    across jit boundaries.
     """
-    feats2 = (
-        jnp.asarray(edge_features, jnp.float32)
-        if edge_features is not None
-        else None
-    )
 
-    def run(mlp_params, edge_rep, x_send, rec_rep, emb_params=None):
+    def run(
+        mlp_params, edge_rep, x_send, rec_rep,
+        emb_params=None, edge_feats=None,
+    ):
         batched = x_send.ndim == 3
         embed = emb_params is not None
         if embed:
-            assert feats2 is not None, "edge_features required to embed"
+            assert edge_feats is not None, "edge_feats required to embed"
+        feats2 = (
+            jnp.asarray(edge_feats, jnp.float32)
+            if edge_feats is not None
+            else None
+        )
         edge_unbatched = embed or (batched and edge_rep.ndim == 2)
         in_dtype = x_send.dtype
+        # Mixed precision reaches INTO the kernel: bf16 inputs select
+        # bf16 matmul operands (f32 accumulation and f32 elementwise
+        # math throughout). NEURAL_LAM_TPU_BF16_KERNELS=off keeps the
+        # kernels f32 with boundary casts instead.
+        import os as _os
+
+        cdt = (
+            jnp.bfloat16
+            if (
+                in_dtype == jnp.bfloat16
+                and _os.environ.get("NEURAL_LAM_TPU_BF16_KERNELS", "auto")
+                != "off"
+            )
+            else jnp.float32
+        )
         feat = x_send.shape[-1]
         if batched:
             b = x_send.shape[1]
@@ -892,19 +952,19 @@ def make_fused_interaction(
         n_stripes = (groups * feat) // stripe
 
         if embed:
-            e2 = feats2
+            e2 = feats2.astype(cdt)
         elif edge_unbatched:
-            e2 = edge_rep.astype(jnp.float32)
+            e2 = edge_rep.astype(cdt)
         else:
-            e2 = fold(edge_rep).astype(jnp.float32)
-        s2 = fold(x_send).astype(jnp.float32)
-        r2 = fold(rec_rep).astype(jnp.float32)
+            e2 = fold(edge_rep).astype(cdt)
+        s2 = fold(x_send).astype(cdt)
+        r2 = fold(rec_rep).astype(cdt)
         ln = mlp_params["ln"] is not None
 
         @jax.custom_vjp
         def fused(params, eparams, e2d, s2d, r2d):
-            wb = _prep_weights(params, stripe_g, feat, edge_unbatched)
-            ew = _prep_embedder_weights(eparams) if embed else None
+            wb = _prep_weights(params, stripe_g, feat, edge_unbatched, cdt)
+            ew = _prep_embedder_weights(eparams, cdt) if embed else None
             return _fused_fwd_impl(
                 layout, e2d, s2d, r2d, wb, stripe,
                 layer_norm=ln,
@@ -913,6 +973,7 @@ def make_fused_interaction(
                 edge_unbatched=edge_unbatched,
                 interpret=interpret,
                 emb_weights=ew,
+                cdt=cdt,
             )
 
         def fwd(params, eparams, e2d, s2d, r2d):
@@ -924,8 +985,8 @@ def make_fused_interaction(
         def bwd(res, grads):
             params, eparams, e2d, s2d, r2d = res
             d_aggr, d_new_edge = grads
-            wb = _prep_weights(params, stripe_g, feat, edge_unbatched)
-            ew = _prep_embedder_weights(eparams) if embed else None
+            wb = _prep_weights(params, stripe_g, feat, edge_unbatched, cdt)
+            ew = _prep_embedder_weights(eparams, cdt) if embed else None
             outs = _fused_bwd_impl(
                 layout, e2d, s2d, r2d, wb, d_aggr, d_new_edge, stripe,
                 layer_norm=ln,
@@ -934,6 +995,7 @@ def make_fused_interaction(
                 edge_unbatched=edge_unbatched,
                 interpret=interpret,
                 emb_weights=ew,
+                cdt=cdt,
             )
             if embed:
                 (dew1, deb1, dew2, deb2, deg_e, debt_e,
@@ -1001,8 +1063,14 @@ def make_fused_interaction(
                 d_e2d = jnp.zeros_like(e2d)  # features are constants
             else:
                 d_eparams = None
-                d_e2d = d_edge
-            return d_params, d_eparams, d_e2d, d_send, d_rec
+                d_e2d = d_edge.astype(e2d.dtype)
+            return (
+                d_params,
+                d_eparams,
+                d_e2d,
+                d_send.astype(s2d.dtype),
+                d_rec.astype(r2d.dtype),
+            )
 
         fused.defvjp(fwd, bwd)
 

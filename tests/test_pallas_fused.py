@@ -194,6 +194,143 @@ def test_fused_unbatched_edge_gradients(monkeypatch):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.parametrize("embed", [False, True])
+def test_fused_bf16_kernel_compute(monkeypatch, embed):
+    """bf16 inputs select bf16 matmul operands inside the kernel
+    (f32 accumulation). Values/grads must track the f32 separate path
+    within bf16 rounding; BF16_KERNELS=off reverts to boundary casts."""
+    from neural_lam_tpu.ops.interaction import place_edge_features
+    from neural_lam_tpu.ops.mlp import init_mlp
+
+    rng = np.random.default_rng(29)
+    d, f_dim = 8, 3
+    es, perm = _random_edge_set(rng, n_send=13, n_rec=9, n_edges=48)
+    params = init_interaction_net(jax.random.PRNGKey(7), d)
+    if embed:
+        emb_params = init_mlp(jax.random.PRNGKey(8), [f_dim, d, d])
+        feats_raw = rng.normal(size=(48, f_dim)).astype(np.float32)
+        feats = jnp.asarray(place_edge_features(feats_raw, perm, es))
+        edge = None
+    else:
+        emb_params, feats = None, None
+        edge = jnp.asarray(rng.normal(size=(es.num_padded, d)), jnp.float32)
+
+    send = jnp.asarray(rng.normal(size=(13, 2, d)), jnp.float32)
+    rec = jnp.asarray(rng.normal(size=(9, 2, d)), jnp.float32)
+
+    def run(params, send, rec, edge, fused, bf16_kernels):
+        monkeypatch.setenv(
+            "NEURAL_LAM_TPU_FUSED", "auto" if fused else "off"
+        )
+        monkeypatch.setenv(
+            "NEURAL_LAM_TPU_FUSED_EMBED", "on" if (fused and embed) else "off"
+        )
+        monkeypatch.setenv(
+            "NEURAL_LAM_TPU_BF16_KERNELS", "auto" if bf16_kernels else "off"
+        )
+        return apply_interaction_net(
+            params, es, send, rec, edge,
+            update_edges=False,
+            edge_embedder=emb_params,
+            edge_features=feats,
+        )
+
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    to_bf = lambda x: None if x is None else jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), x
+    )
+
+    ref = run(params, send, rec, edge, False, False)  # separate path, f32
+    # real bf16 mode: trainer casts params AND batch to bf16 in-step
+    got = run(
+        to_bf(params), to_bf(send), to_bf(rec), to_bf(edge), True, True
+    )
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=0.08, atol=0.08,
+    )
+
+    # off-switch: fused kernel back to f32 operands (boundary casts only)
+    off = run(
+        to_bf(params), to_bf(send), to_bf(rec), to_bf(edge), True, False
+    )
+    np.testing.assert_allclose(
+        np.asarray(off, np.float32), np.asarray(ref, np.float32),
+        rtol=0.08, atol=0.08,
+    )
+
+    def loss(params, send, rec, edge, fused, bf16_kernels):
+        out = run(params, send, rec, edge, fused, bf16_kernels)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    # Gradient check isolates the in-kernel operand precision: compare
+    # bf16-operand vs f32-operand kernels at the SAME bf16 inputs (the
+    # bf16 rounding of inputs/params dominates any comparison against
+    # the full-f32 path and is not what this test is about). Tolerance
+    # is leaf-scaled: bf16 matmul noise is relative to the leaf's
+    # gradient magnitude, not elementwise.
+    g_f32k = jax.grad(loss, argnums=(0, 1, 2))(
+        to_bf(params), to_bf(send), to_bf(rec), to_bf(edge), True, False
+    )
+    g_bf = jax.grad(loss, argnums=(0, 1, 2))(
+        to_bf(params), to_bf(send), to_bf(rec), to_bf(edge), True, True
+    )
+    # grads w.r.t. bf16 inputs come back bf16 (mixed-precision contract)
+    assert jax.tree_util.tree_leaves(g_bf)[-1].dtype == jnp.bfloat16
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_bf), jax.tree_util.tree_leaves(g_f32k)
+    ):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = float(np.abs(b).max()) + 1e-6
+        np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05 * scale)
+
+
+def test_fused_embed_no_tracer_leak_across_jits(monkeypatch):
+    """The cached fused closure must not capture edge features from the
+    first (traced) call: the second, separately-jitted call would then
+    see a leaked tracer (regression: bf16 CLI eval after training
+    raised UnexpectedTracerError because the train-step trace's cast
+    edge features were baked into the EdgeSet's fn_cache closure)."""
+    from neural_lam_tpu.ops.interaction import place_edge_features
+    from neural_lam_tpu.ops.mlp import init_mlp
+
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED", "auto")
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_EMBED", "on")
+
+    rng = np.random.default_rng(41)
+    d, f_dim = 8, 3
+    es, perm = _random_edge_set(rng, n_send=11, n_rec=7, n_edges=30)
+    params = init_interaction_net(jax.random.PRNGKey(1), d)
+    emb_params = init_mlp(jax.random.PRNGKey(2), [f_dim, d, d])
+    feats = jnp.asarray(
+        place_edge_features(
+            rng.normal(size=(30, f_dim)).astype(np.float32), perm, es
+        )
+    )
+    send = jnp.asarray(rng.normal(size=(11, d)), jnp.float32)
+    rec = jnp.asarray(rng.normal(size=(7, d)), jnp.float32)
+
+    def apply(params, emb_params, feats, send, rec):
+        return apply_interaction_net(
+            params, es, send, rec, None,
+            update_edges=False,
+            edge_embedder=emb_params,
+            # in-step cast: feats is a tracer inside each trace
+            edge_features=feats * 1.0,
+        )
+
+    out1 = jax.jit(apply)(params, emb_params, feats, send, rec)
+    out2 = jax.jit(lambda *a: apply(*a) + 0.0)(
+        params, emb_params, feats, send, rec
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out2), rtol=1e-6
+    )
+
+
 @pytest.mark.parametrize("update_edges", [False, True])
 @pytest.mark.parametrize("batched", [False, True])
 def test_fused_in_kernel_embedder(monkeypatch, update_edges, batched):
