@@ -924,19 +924,33 @@ def make_fused_interaction(
             else None
         )
         edge_unbatched = embed or (batched and edge_rep.ndim == 2)
-        in_dtype = x_send.dtype
+        # The node/receiver stream dtype governs output dtype — under
+        # matmul_high the sender gather already rides bf16 while the
+        # node stream (and therefore the aggregation output) stays f32.
+        in_dtype = rec_rep.dtype
         # Mixed precision reaches INTO the kernel: bf16 inputs select
         # bf16 matmul operands (f32 accumulation and f32 elementwise
         # math throughout). NEURAL_LAM_TPU_BF16_KERNELS=off keeps the
         # kernels f32 with boundary casts instead.
+        # NEURAL_LAM_TPU_MATMUL_PRECISION=high selects bf16 operands
+        # for f32 inputs too — the TF32-equivalent of the reference's
+        # float32_matmul_precision("high") CUDA default (see
+        # segment.matmul_high); inputs/outputs/accumulation stay f32.
         import os as _os
+
+        from .segment import matmul_high as _mh
 
         cdt = (
             jnp.bfloat16
             if (
-                in_dtype == jnp.bfloat16
-                and _os.environ.get("NEURAL_LAM_TPU_BF16_KERNELS", "auto")
-                != "off"
+                (
+                    in_dtype == jnp.bfloat16
+                    and _os.environ.get(
+                        "NEURAL_LAM_TPU_BF16_KERNELS", "auto"
+                    )
+                    != "off"
+                )
+                or _mh()
             )
             else jnp.float32
         )
@@ -961,10 +975,7 @@ def make_fused_interaction(
         r2 = fold(rec_rep).astype(cdt)
         ln = mlp_params["ln"] is not None
 
-        @jax.custom_vjp
-        def fused(params, eparams, e2d, s2d, r2d):
-            wb = _prep_weights(params, stripe_g, feat, edge_unbatched, cdt)
-            ew = _prep_embedder_weights(eparams, cdt) if embed else None
+        def _impl(wb, ew, e2d, s2d, r2d):
             return _fused_fwd_impl(
                 layout, e2d, s2d, r2d, wb, stripe,
                 layer_norm=ln,
@@ -976,17 +987,27 @@ def make_fused_interaction(
                 cdt=cdt,
             )
 
+        @jax.custom_vjp
+        def fused(params, eparams, e2d, s2d, r2d):
+            wb = _prep_weights(params, stripe_g, feat, edge_unbatched, cdt)
+            ew = _prep_embedder_weights(eparams, cdt) if embed else None
+            return _impl(wb, ew, e2d, s2d, r2d)
+
         def fwd(params, eparams, e2d, s2d, r2d):
+            # The kernel-layout weights (kron-striped blocks, tiled
+            # rows) are saved as residuals so the backward reuses them:
+            # rebuilding them per call is a storm of tiny ops (the
+            # arrays themselves are small).
+            wb = _prep_weights(params, stripe_g, feat, edge_unbatched, cdt)
+            ew = _prep_embedder_weights(eparams, cdt) if embed else None
             return (
-                fused(params, eparams, e2d, s2d, r2d),
-                (params, eparams, e2d, s2d, r2d),
+                _impl(wb, ew, e2d, s2d, r2d),
+                (params, eparams, wb, ew, e2d, s2d, r2d),
             )
 
         def bwd(res, grads):
-            params, eparams, e2d, s2d, r2d = res
+            params, eparams, wb, ew, e2d, s2d, r2d = res
             d_aggr, d_new_edge = grads
-            wb = _prep_weights(params, stripe_g, feat, edge_unbatched, cdt)
-            ew = _prep_embedder_weights(eparams, cdt) if embed else None
             outs = _fused_bwd_impl(
                 layout, e2d, s2d, r2d, wb, d_aggr, d_new_edge, stripe,
                 layer_norm=ln,

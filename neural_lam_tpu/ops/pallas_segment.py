@@ -122,9 +122,18 @@ def _segsum_kernel(
 
 
 def _blocked_segment_sum_fwd_impl(
-    messages: jax.Array, layout: BlockedLayout, interpret: bool
+    messages: jax.Array,
+    layout: BlockedLayout,
+    interpret: bool,
+    out_dtype=None,
 ) -> jax.Array:
-    """(E_blocked, D) messages (blocked order) -> (num_rec, D) sums."""
+    """(E_blocked, D) messages (blocked order) -> (num_rec, D) sums.
+
+    ``out_dtype`` decouples the accumulator/output dtype from the
+    message dtype: bf16 messages with an f32 output accumulate without
+    per-chunk rounding (the mixed-precision gradient path).
+    """
+    out_dtype = out_dtype or messages.dtype
     d = messages.shape[-1]
     n_chunks = int(layout.chunk_block.shape[0])
     out_rows = layout.num_blocks * layout.block_rows
@@ -158,7 +167,7 @@ def _blocked_segment_sum_fwd_impl(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((out_rows, d), messages.dtype),
+        out_shape=jax.ShapeDtypeStruct((out_rows, d), out_dtype),
         interpret=interpret,
     )(layout.chunk_block, layout.local_ids, messages)
     return out[: layout.num_rec]
@@ -231,10 +240,15 @@ def _blocked_segment_sum_bwd_impl(
 
 
 def blocked_segment_sum_nondiff(
-    messages: jax.Array, layout: BlockedLayout, interpret: bool = False
+    messages: jax.Array,
+    layout: BlockedLayout,
+    interpret: bool = False,
+    out_dtype=None,
 ) -> jax.Array:
     """Raw (non-differentiable) kernel entry for custom VJPs elsewhere."""
-    return _blocked_segment_sum_fwd_impl(messages, layout, interpret)
+    return _blocked_segment_sum_fwd_impl(
+        messages, layout, interpret, out_dtype
+    )
 
 
 def blocked_expand_nondiff(

@@ -47,6 +47,22 @@ def _interpret_mode() -> bool:
     )
 
 
+def matmul_high() -> bool:
+    """True when NEURAL_LAM_TPU_MATMUL_PRECISION=high.
+
+    ``high`` is the TPU counterpart of the reference's CUDA default
+    ``torch.set_float32_matmul_precision("high")`` (TF32 tensor cores,
+    reference: neural_lam/train_model.py:423-427): matmul *operands*
+    round to bfloat16 while accumulation, parameters and every
+    elementwise op stay float32. Default is ``highest`` (exact f32
+    operands), which the parity tests rely on.
+    """
+    return (
+        os.environ.get("NEURAL_LAM_TPU_MATMUL_PRECISION", "highest")
+        == "high"
+    )
+
+
 def segment_sum(
     data: jax.Array,
     segment_ids: jax.Array,
@@ -69,23 +85,26 @@ def segment_sum(
     return out[:num_segments]
 
 
-def _fold_rows(fn):
+def _fold_rows(fn, compute_dtype=jnp.float32):
     """Adapt a 2-D ``(R, D) -> (S, D)`` kernel callable to also accept
     node-major batched ``(R, B, D)`` arrays by folding ``B`` into the
-    feature axis (a free reshape in row-major layout), and to run in
-    f32 regardless of input dtype (Mosaic's bf16 path compiles ~5x
-    slower and the reductions accumulate in f32 anyway)."""
+    feature axis (a free reshape in row-major layout), casting in/out of
+    ``compute_dtype``. The default keeps kernels f32 regardless of
+    input dtype (Mosaic's bf16 path compiles ~5x slower and the
+    reductions accumulate in f32 anyway); the gather path passes bf16
+    under mixed precision / ``matmul_high`` to halve edge-wide HBM
+    traffic."""
 
     def wrapped(x):
         dtype = x.dtype
-        x32 = x.astype(jnp.float32) if dtype != jnp.float32 else x
-        if x32.ndim == 3:
-            r, b, d = x32.shape
-            out = fn(x32.reshape(r, b * d))
+        xc = x.astype(compute_dtype) if dtype != compute_dtype else x
+        if xc.ndim == 3:
+            r, b, d = xc.shape
+            out = fn(xc.reshape(r, b * d))
             out = out.reshape(out.shape[0], b, d)
         else:
-            out = fn(x32)
-        return out.astype(dtype) if dtype != jnp.float32 else out
+            out = fn(xc)
+        return out.astype(dtype) if out.dtype != dtype else out
 
     return wrapped
 
@@ -110,15 +129,32 @@ def aggregate_sum(edge_set: "EdgeSet", messages: jax.Array) -> jax.Array:
     )
 
 
+def _gather_io_dtype(dtype):
+    """Dtype the per-edge gather path (forward expand + backward slot
+    permutation — the two largest XLA-side HBM movers at MEPS size)
+    runs in. bf16 halves that traffic; selected under bf16 inputs or
+    ``matmul_high`` (TF32-equivalent) f32 mode."""
+    if dtype == jnp.float32 and matmul_high():
+        return jnp.bfloat16
+    if dtype == jnp.bfloat16 and (
+        os.environ.get("NEURAL_LAM_TPU_BF16_KERNELS", "auto") != "off"
+    ):
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def gather_senders(edge_set: "EdgeSet", send_rep: jax.Array) -> jax.Array:
     """Per-edge sender features ``send_rep[senders]``.
 
     On TPU the gradient (a scatter-add into the sender node set, the
     slowest op in XLA's AD of the message-passing step) runs through the
-    Pallas kernel over a sender-sorted blocked layout.
+    Pallas kernel over a sender-sorted blocked layout. The grad
+    aggregation kernel always accumulates/outputs f32; only the edge-wide
+    traffic (expand + slot permutation) rides ``_gather_io_dtype``.
     """
     if edge_set.send_layout is not None and _pallas_enabled():
-        key = ("send", _interpret_mode())
+        io_dtype = _gather_io_dtype(send_rep.dtype)
+        key = ("send", _interpret_mode(), jnp.dtype(io_dtype).name)
         if key not in edge_set.fn_cache:
             layout = edge_set.send_layout
             senders = edge_set.senders
@@ -139,14 +175,14 @@ def gather_senders(edge_set: "EdgeSet", send_rep: jax.Array) -> jax.Array:
                 # padded copy of the full (E, B*D) grad array.
                 safe = jnp.minimum(rslot, grad_msgs.shape[0] - 1)
                 grad_sorted = grad_msgs[safe]
-                return (
-                    blocked_segment_sum_nondiff(
-                        grad_sorted, layout, interpret
-                    ),
+                d_nodes = blocked_segment_sum_nondiff(
+                    grad_sorted, layout, interpret,
+                    out_dtype=jnp.float32,
                 )
+                return (d_nodes.astype(grad_msgs.dtype),)
 
             gather.defvjp(fwd, bwd)
-            edge_set.fn_cache[key] = _fold_rows(gather)
+            edge_set.fn_cache[key] = _fold_rows(gather, io_dtype)
         return edge_set.fn_cache[key](send_rep)
     return send_rep[edge_set.senders]
 

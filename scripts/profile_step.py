@@ -115,7 +115,10 @@ def main() -> None:
 
 
 def summarize_xplane(path: str, top: int, steps: int) -> None:
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    except ImportError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xspace = xplane_pb2.XSpace()
     with open(path, "rb") as f:

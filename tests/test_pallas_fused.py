@@ -287,6 +287,59 @@ def test_fused_bf16_kernel_compute(monkeypatch, embed):
         np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05 * scale)
 
 
+def test_matmul_precision_high(monkeypatch):
+    """NEURAL_LAM_TPU_MATMUL_PRECISION=high (the TF32-equivalent of the
+    reference's float32_matmul_precision("high") CUDA default,
+    reference: neural_lam/train_model.py:423-427): f32 inputs keep f32
+    outputs/accumulation while matmul operands and the edge-wide gather
+    traffic round to bf16. Values/grads track the exact path within
+    bf16-operand rounding."""
+    rng = np.random.default_rng(33)
+    d = 8
+    es, perm = _random_edge_set(rng, n_send=13, n_rec=9, n_edges=48)
+    params = init_interaction_net(jax.random.PRNGKey(5), d)
+    edge = jnp.asarray(rng.normal(size=(es.num_padded, 2, d)), jnp.float32)
+    send = jnp.asarray(rng.normal(size=(13, 2, d)), jnp.float32)
+    rec = jnp.asarray(rng.normal(size=(9, 2, d)), jnp.float32)
+
+    def run(params, send, rec, edge, high):
+        monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+        monkeypatch.setenv("NEURAL_LAM_TPU_FUSED", "auto")
+        monkeypatch.setenv(
+            "NEURAL_LAM_TPU_MATMUL_PRECISION",
+            "high" if high else "highest",
+        )
+        return apply_interaction_net(
+            params, es, send, rec, edge, update_edges=False
+        )
+
+    exact = run(params, send, rec, edge, False)
+    high = run(params, send, rec, edge, True)
+    assert high.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(high), np.asarray(exact), rtol=0.05, atol=0.05
+    )
+
+    def loss(params, send, rec, edge, high_mode):
+        return jnp.sum(run(params, send, rec, edge, high_mode) ** 2)
+
+    g_exact = jax.grad(loss, argnums=(0, 1, 2))(
+        params, send, rec, edge, False
+    )
+    g_high = jax.grad(loss, argnums=(0, 1, 2))(
+        params, send, rec, edge, True
+    )
+    # grads of f32 inputs stay f32 under high
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_high), jax.tree_util.tree_leaves(g_exact)
+    ):
+        assert a.dtype == jnp.float32
+        a = np.asarray(a)
+        b = np.asarray(b)
+        scale = float(np.abs(b).max()) + 1e-6
+        np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05 * scale)
+
+
 def test_fused_embed_no_tracer_leak_across_jits(monkeypatch):
     """The cached fused closure must not capture edge features from the
     first (traced) call: the second, separately-jitted call would then
