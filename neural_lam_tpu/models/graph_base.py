@@ -211,6 +211,51 @@ class BaseGraphModel(StepPredictor):
             **kwargs,
         )
 
+    # Keep grid/mesh node arrays at the kernel-layout block-padded row
+    # counts through the whole encode-process-decode pipeline, so no
+    # per-GNN-call pad/slice copies are materialised (grid-sized pads
+    # are ~65 MB each at MEPS/batch-4). Opt-in per model family: flat
+    # meshes thread padding transparently; hierarchical models (level
+    # concatenation offsets) and spatially sharded local views opt out.
+    padded_residency = False
+
+    def _residency_rows(self):
+        """(grid_rows, mesh_rows) block-padded targets, or (None, None)
+        when disabled or the edge sets' layouts disagree."""
+        if not self.padded_residency:
+            return None, None
+        g = self.graph
+
+        def rows(layout):
+            return (
+                None
+                if layout is None
+                else layout.num_blocks * layout.block_rows
+            )
+
+        mesh = {rows(g.g2m.edges.layout), rows(g.m2g.edges.send_layout)}
+        grid = {rows(g.m2g.edges.layout), rows(g.g2m.edges.send_layout)}
+        for pe in g.m2m:
+            mesh.add(rows(pe.edges.layout))
+            mesh.add(rows(pe.edges.send_layout))
+        if (
+            None in mesh
+            or None in grid
+            or len(mesh) != 1
+            or len(grid) != 1
+        ):
+            return None, None
+        return grid.pop(), mesh.pop()
+
+    @staticmethod
+    def _pad_nodes(x: jax.Array, rows) -> jax.Array:
+        if rows is None or x.shape[0] == rows:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((rows - x.shape[0],) + x.shape[1:], x.dtype)],
+            axis=0,
+        )
+
     @abc.abstractmethod
     def embed_mesh_nodes(self, params: dict) -> jax.Array:
         """Embed static mesh node features (bottom level for hierarchies)."""
@@ -252,8 +297,13 @@ class BaseGraphModel(StepPredictor):
             axis=-1,
         )
 
-        grid_emb = apply_mlp(params["grid_embedder"], grid_features)
-        mesh_emb = self.embed_mesh_nodes(params)
+        grid_rows, mesh_rows = self._residency_rows()
+        grid_emb = self._pad_nodes(
+            apply_mlp(params["grid_embedder"], grid_features), grid_rows
+        )
+        mesh_emb = self._pad_nodes(
+            self.embed_mesh_nodes(params), mesh_rows
+        )
 
         # The g2m/m2g edge embedders are delegated to gnn_apply, which
         # fuses them into the Pallas edge kernel where possible.
@@ -286,6 +336,8 @@ class BaseGraphModel(StepPredictor):
         net_output = apply_mlp(params["output_map"], grid_rep)
 
         net_output = net_output.astype(jnp.float32)
+        if net_output.shape[0] != prev_state.shape[0]:
+            net_output = net_output[: prev_state.shape[0]]
         if self.output_std:
             pred_delta_mean, pred_std_raw = jnp.split(net_output, 2, axis=-1)
             pred_std = jax.nn.softplus(pred_std_raw)

@@ -17,6 +17,9 @@ from .graph_base import BaseGraphModel
 class GraphLAM(BaseGraphModel):
     """Graph model on a flat (possibly multiscale-merged) mesh."""
 
+    # flat mesh: padding threads transparently through every GNN call
+    padded_residency = True
+
     def __init__(self, *args, **kwargs) -> None:
         super().__init__(*args, **kwargs)
         assert (

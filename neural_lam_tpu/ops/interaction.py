@@ -88,6 +88,33 @@ class EdgeSet:
         return int(self.senders.shape[0])
 
 
+def _pick_tiling(sorted_ids: np.ndarray, num_rows: int) -> dict:
+    """Per-edge-set kernel tiling (measured on v5e, MEPS-size sets).
+
+    ``block_rows=128`` halves the one-hot gather/aggregate matmul FLOPs
+    vs 256 and won every sweep point; ``chunk_edges`` then trades grid
+    length against padding waste from blocks whose edge count is not a
+    chunk multiple (m2m-like ~9-edge receivers waste 27% at 512 but 12%
+    at 256, while m2g/g2m-like degrees divide 512 nearly exactly).
+    Tiny edge sets keep the defaults — their kernel time is noise.
+    """
+    if num_rows <= 0 or sorted_ids.shape[0] < 4096:
+        return {}
+    block_rows = 128
+
+    def padded_slots(chunk: int) -> int:
+        blocks = np.bincount(
+            sorted_ids // block_rows,
+            minlength=-(-num_rows // block_rows),
+        )
+        return int(np.sum(-(-np.maximum(blocks, 1) // chunk) * chunk))
+
+    w512, w256 = padded_slots(512), padded_slots(256)
+    # 512-edge chunks halve the grid; prefer unless the waste gap is real
+    chunk_edges = 512 if w512 <= 1.1 * w256 else 256
+    return {"block_rows": block_rows, "chunk_edges": chunk_edges}
+
+
 def make_edge_set(
     senders: np.ndarray,
     receivers: np.ndarray,
@@ -119,7 +146,11 @@ def make_edge_set(
         senders_sorted = senders[sort_perm]
         receivers_sorted = receivers[sort_perm]
 
-        layout = build_blocked_layout(receivers_sorted, num_rec)
+        layout = build_blocked_layout(
+            receivers_sorted,
+            num_rec,
+            **_pick_tiling(receivers_sorted, num_rec),
+        )
         dead = layout.perm < 0
         safe = np.where(dead, 0, layout.perm)
         perm = np.where(dead, -1, sort_perm[safe])
@@ -139,7 +170,9 @@ def make_edge_set(
             senders_valid = senders_p[valid_slots].astype(np.int64)
             ssort = np.argsort(senders_valid, kind="stable")
             send_layout = build_blocked_layout(
-                senders_valid[ssort], num_send
+                senders_valid[ssort],
+                num_send,
+                **_pick_tiling(senders_valid[ssort], num_send),
             )
             sdead = send_layout.perm < 0
             ssafe = np.where(sdead, 0, send_layout.perm)
@@ -406,6 +439,17 @@ def apply_interaction_net(
             counts = jnp.maximum(edge_set.recv_counts, 1).astype(
                 aggregated.dtype
             )
+            if counts.shape[0] != aggregated.shape[0]:
+                # block-padded residency: pad rows divide by 1
+                counts = jnp.concatenate(
+                    [
+                        counts,
+                        jnp.ones(
+                            aggregated.shape[0] - counts.shape[0],
+                            counts.dtype,
+                        ),
+                    ]
+                )
             aggregated = aggregated / counts.reshape(
                 (-1,) + (1,) * (aggregated.ndim - 1)
             )
@@ -446,6 +490,20 @@ def apply_interaction_net(
         aggregated = aggregate_sum(edge_set, messages)
     else:
         aggregated = aggregate_mean(edge_set, messages)
+    if aggregated.shape[0] != rec_rep.shape[0]:
+        # caller keeps node arrays block-padded resident (fused-path
+        # residency contract); mirror it on the fallback path
+        aggregated = jnp.concatenate(
+            [
+                aggregated,
+                jnp.zeros(
+                    (rec_rep.shape[0] - aggregated.shape[0],)
+                    + aggregated.shape[1:],
+                    aggregated.dtype,
+                ),
+            ],
+            axis=0,
+        )
 
     rec_diff = _apply_chunked(
         params["aggr"],

@@ -584,7 +584,11 @@ def _fused_fwd_impl(
     n_stripes = lanes // stripe
     n_chunks = int(layout.chunk_block.shape[0])
     out_rows = layout.num_blocks * layout.block_rows
-    rec_pad = _pad_rows(rec2d, out_rows)
+    # Padded residency: a caller that already keeps the receiver array
+    # at the block-padded row count skips the pad copy here and gets
+    # the aggregation back unsliced (pad rows are exact zeros).
+    padded_io = rec2d.shape[0] == out_rows and out_rows != layout.num_rec
+    rec_pad = rec2d if padded_io else _pad_rows(rec2d, out_rows)
     ce, br = layout.chunk_edges, layout.block_rows
 
     def cix(s, c, cb):
@@ -678,7 +682,7 @@ def _fused_fwd_impl(
         out_shape=tuple(out_shape),
         interpret=interpret,
     )(*operands)
-    aggregated = outs[0][: layout.num_rec]
+    aggregated = outs[0] if padded_io else outs[0][: layout.num_rec]
     new_edge = outs[1] if update_edges else None
     return aggregated, new_edge
 
@@ -708,8 +712,13 @@ def _fused_bwd_impl(
     n_stripes = lanes // stripe
     n_chunks = int(layout.chunk_block.shape[0])
     out_rows = layout.num_blocks * layout.block_rows
-    rec_pad = _pad_rows(rec2d, out_rows)
-    d_aggr_pad = _pad_rows(d_aggr.astype(cdt), out_rows)
+    rec_pad = rec2d if rec2d.shape[0] == out_rows else _pad_rows(
+        rec2d, out_rows
+    )
+    d_aggr = d_aggr.astype(cdt)
+    d_aggr_pad = d_aggr if d_aggr.shape[0] == out_rows else _pad_rows(
+        d_aggr, out_rows
+    )
     ce, br = layout.chunk_edges, layout.block_rows
 
     def cix(s, c, cb):

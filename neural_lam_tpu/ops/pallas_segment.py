@@ -126,12 +126,16 @@ def _blocked_segment_sum_fwd_impl(
     layout: BlockedLayout,
     interpret: bool,
     out_dtype=None,
+    keep_padded: bool = False,
 ) -> jax.Array:
     """(E_blocked, D) messages (blocked order) -> (num_rec, D) sums.
 
     ``out_dtype`` decouples the accumulator/output dtype from the
     message dtype: bf16 messages with an f32 output accumulate without
     per-chunk rounding (the mixed-precision gradient path).
+    ``keep_padded`` skips the final slice, returning the full
+    block-padded row count (pad rows are exact zeros) for callers that
+    keep node arrays block-padded resident.
     """
     out_dtype = out_dtype or messages.dtype
     d = messages.shape[-1]
@@ -170,7 +174,7 @@ def _blocked_segment_sum_fwd_impl(
         out_shape=jax.ShapeDtypeStruct((out_rows, d), out_dtype),
         interpret=interpret,
     )(layout.chunk_block, layout.local_ids, messages)
-    return out[: layout.num_rec]
+    return out if keep_padded else out[: layout.num_rec]
 
 
 def _expand_kernel(
@@ -244,10 +248,11 @@ def blocked_segment_sum_nondiff(
     layout: BlockedLayout,
     interpret: bool = False,
     out_dtype=None,
+    keep_padded: bool = False,
 ) -> jax.Array:
     """Raw (non-differentiable) kernel entry for custom VJPs elsewhere."""
     return _blocked_segment_sum_fwd_impl(
-        messages, layout, interpret, out_dtype
+        messages, layout, interpret, out_dtype, keep_padded
     )
 
 

@@ -166,19 +166,36 @@ def gather_senders(edge_set: "EdgeSet", send_rep: jax.Array) -> jax.Array:
                 return x[senders]
 
             def fwd(x):
-                return gather(x), None
+                # Residual: the caller's node row count — block-padded
+                # resident senders get the grad back unsliced.
+                return gather(x), x.shape[0]
 
-            def bwd(_, grad_msgs):
+            def bwd(rows, grad_msgs):
                 # Dead sender-layout slots (rslot == num_padded) may read
                 # any row: the segment-sum kernel's one-hot drops them
                 # (local_ids == -1), so clamping beats materialising a
                 # padded copy of the full (E, B*D) grad array.
                 safe = jnp.minimum(rslot, grad_msgs.shape[0] - 1)
                 grad_sorted = grad_msgs[safe]
+                full = layout.num_blocks * layout.block_rows
                 d_nodes = blocked_segment_sum_nondiff(
                     grad_sorted, layout, interpret,
                     out_dtype=jnp.float32,
+                    keep_padded=(rows == full),
                 )
+                if d_nodes.shape[0] != rows:
+                    # caller kept a padded node array with a row count
+                    # that is not this layout's padding — zero-fill
+                    pad = rows - d_nodes.shape[0]
+                    d_nodes = jnp.concatenate(
+                        [
+                            d_nodes,
+                            jnp.zeros(
+                                (pad,) + d_nodes.shape[1:], d_nodes.dtype
+                            ),
+                        ],
+                        axis=0,
+                    )
                 return (d_nodes.astype(grad_msgs.dtype),)
 
             gather.defvjp(fwd, bwd)
@@ -207,17 +224,29 @@ def gather_receivers(edge_set: "EdgeSet", rec_rep: jax.Array) -> jax.Array:
                 return blocked_expand_nondiff(x, layout, interpret)
 
             def fwd(x):
-                return gather(x), None
+                return gather(x), x.shape[0]
 
-            def bwd(_, grad_msgs):
+            def bwd(rows, grad_msgs):
                 # Upstream grads at dead slots are exactly zero (their
                 # messages never reach the loss); the kernel drops them
                 # again via the one-hot, so no masking is needed.
-                return (
-                    blocked_segment_sum_nondiff(
-                        grad_msgs, layout, interpret
-                    ),
+                full = layout.num_blocks * layout.block_rows
+                d_nodes = blocked_segment_sum_nondiff(
+                    grad_msgs, layout, interpret,
+                    keep_padded=(rows == full),
                 )
+                if d_nodes.shape[0] != rows:
+                    pad = rows - d_nodes.shape[0]
+                    d_nodes = jnp.concatenate(
+                        [
+                            d_nodes,
+                            jnp.zeros(
+                                (pad,) + d_nodes.shape[1:], d_nodes.dtype
+                            ),
+                        ],
+                        axis=0,
+                    )
+                return (d_nodes,)
 
             gather.defvjp(fwd, bwd)
             edge_set.fn_cache[key] = _fold_rows(gather)

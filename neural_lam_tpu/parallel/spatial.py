@@ -582,6 +582,9 @@ class ShardedModel:
         local = copy.copy(self.model)
         local.graph = view
         local.grid_static_features = tbl["grid_static"]
+        # the sharded executors index local node arrays by exact local
+        # row counts — block-padded residency must stay off here
+        local.padded_residency = False
 
         def gnn_apply(net_params, pe, send_rep, rec_rep, edge_rep,
                       aggr="sum", update_edges=True, propagation=False,

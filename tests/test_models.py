@@ -194,3 +194,45 @@ def test_gradients_flow(datastore, model_name):
     assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
     nonzero = [float(jnp.max(jnp.abs(g))) > 0 for g in flat]
     assert all(nonzero), f"{sum(nonzero)}/{len(nonzero)} leaves got gradient"
+
+
+def test_padded_residency_equivalence(datastore, monkeypatch):
+    """GraphLAM keeps node arrays block-padded through the pipeline
+    (padded_residency); values and gradients must match the unpadded
+    path bit-for-bit up to f32 reduction order."""
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    model = _build("graph_lam", datastore)
+    assert model.padded_residency
+    grid_rows, mesh_rows = model._residency_rows()
+    assert grid_rows is not None and grid_rows >= datastore.num_grid_points
+    params = model.init_params(jax.random.PRNGKey(0))
+    n = datastore.num_grid_points
+    d = datastore.get_num_data_vars("state")
+    f = datastore.get_num_data_vars("forcing") * 3
+    rng = np.random.default_rng(11)
+    prev = jnp.asarray(rng.normal(size=(n, 2, d)), jnp.float32)
+    prev_prev = jnp.asarray(rng.normal(size=(n, 2, d)), jnp.float32)
+    forcing = jnp.asarray(rng.normal(size=(n, 2, f)), jnp.float32)
+
+    def run(p):
+        out, _ = model.step(p, prev, prev_prev, forcing)
+        return out
+
+    padded = run(params)
+    g_padded = jax.grad(lambda p: jnp.sum(run(p) ** 2))(params)
+
+    model.padded_residency = False
+    plain = run(params)
+    g_plain = jax.grad(lambda p: jnp.sum(run(p) ** 2))(params)
+
+    assert padded.shape == plain.shape == (n, 2, d)
+    np.testing.assert_allclose(
+        np.asarray(padded), np.asarray(plain), rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_padded),
+        jax.tree_util.tree_leaves(g_plain),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
+        )
