@@ -233,11 +233,19 @@ class BaseGraphModel(StepPredictor):
                 else layout.num_blocks * layout.block_rows
             )
 
+        # Only the grid node set and the BOTTOM mesh level stay padded —
+        # those are the arrays step() threads through g2m / processor /
+        # m2g. Hierarchies handle levels >= 1 unpadded (the op layer
+        # carries row counts per array, so mixing is fine).
         mesh = {rows(g.g2m.edges.layout), rows(g.m2g.edges.send_layout)}
         grid = {rows(g.m2g.edges.layout), rows(g.g2m.edges.send_layout)}
-        for pe in g.m2m:
-            mesh.add(rows(pe.edges.layout))
-            mesh.add(rows(pe.edges.send_layout))
+        if g.m2m:
+            mesh.add(rows(g.m2m[0].edges.layout))
+            mesh.add(rows(g.m2m[0].edges.send_layout))
+        if getattr(g, "up", None):
+            mesh.add(rows(g.up[0].edges.send_layout))
+        if getattr(g, "down", None):
+            mesh.add(rows(g.down[0].edges.layout))
         if (
             None in mesh
             or None in grid

@@ -17,6 +17,12 @@ from .hierarchical import BaseHiGraphModel
 class HiLAM(BaseHiGraphModel):
     """Sequential hierarchical message passing."""
 
+    # grid + bottom-mesh arrays ride block-padded; levels >= 1 are
+    # unpadded (mixing is fine — the op layer carries row counts).
+    # HiLAMParallel keeps this off: its combined edge set concatenates
+    # levels by exact node offsets.
+    padded_residency = True
+
     def _init_subclass_params(self, rng: jax.Array) -> dict:
         L = self.num_levels
         P = self.processor_layers

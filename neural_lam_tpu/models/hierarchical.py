@@ -41,6 +41,7 @@ class BaseHiGraphModel(BaseGraphModel):
         m2g_gnn_type: str = "InteractionNet",
         mesh_up_gnn_type: str = "InteractionNet",
         mesh_down_gnn_type: str = "InteractionNet",
+        **base_kwargs,
     ) -> None:
         super().__init__(
             datastore=datastore,
@@ -56,6 +57,7 @@ class BaseHiGraphModel(BaseGraphModel):
             output_clamping_upper=output_clamping_upper,
             g2m_gnn_type=g2m_gnn_type,
             m2g_gnn_type=m2g_gnn_type,
+            **base_kwargs,
         )
         assert self.hierarchical, (
             f"{type(self).__name__} requires a hierarchical mesh graph "

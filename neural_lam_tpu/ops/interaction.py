@@ -97,7 +97,16 @@ def _pick_tiling(sorted_ids: np.ndarray, num_rows: int) -> dict:
     chunk multiple (m2m-like ~9-edge receivers waste 27% at 512 but 12%
     at 256, while m2g/g2m-like degrees divide 512 nearly exactly).
     Tiny edge sets keep the defaults — their kernel time is noise.
+
+    Opt-in (NEURAL_LAM_TPU_TILING=sweep): the sweep was measured on the
+    plain fused kernel, but the production default is the in-kernel
+    edge-embedder variant, whose per-chunk embedder overhead grows with
+    chunk count — the full embed-fused step measured ~2 ms SLOWER with
+    these tilings (8.25M vs 8.8M grid-points/s). Default keeps the
+    (256, 512) tiling.
     """
+    if os.environ.get("NEURAL_LAM_TPU_TILING", "default") != "sweep":
+        return {}
     if num_rows <= 0 or sorted_ids.shape[0] < 4096:
         return {}
     block_rows = 128

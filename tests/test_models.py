@@ -196,12 +196,13 @@ def test_gradients_flow(datastore, model_name):
     assert all(nonzero), f"{sum(nonzero)}/{len(nonzero)} leaves got gradient"
 
 
-def test_padded_residency_equivalence(datastore, monkeypatch):
-    """GraphLAM keeps node arrays block-padded through the pipeline
+@pytest.mark.parametrize("model_name", ["graph_lam", "hi_lam"])
+def test_padded_residency_equivalence(datastore, monkeypatch, model_name):
+    """GraphLAM/HiLAM keep node arrays block-padded through the pipeline
     (padded_residency); values and gradients must match the unpadded
     path bit-for-bit up to f32 reduction order."""
     monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
-    model = _build("graph_lam", datastore)
+    model = _build(model_name, datastore)
     assert model.padded_residency
     grid_rows, mesh_rows = model._residency_rows()
     assert grid_rows is not None and grid_rows >= datastore.num_grid_points
