@@ -233,17 +233,25 @@ class BaseGraphModel(StepPredictor):
                 else layout.num_blocks * layout.block_rows
             )
 
+        def send_rows(es):
+            # The banded sender path (es.banded) replaces the
+            # sender-sorted layout; its window padding is the sender
+            # row target.
+            if es.banded is not None:
+                return es.banded.padded_send_rows
+            return rows(es.send_layout)
+
         # Only the grid node set and the BOTTOM mesh level stay padded —
         # those are the arrays step() threads through g2m / processor /
         # m2g. Hierarchies handle levels >= 1 unpadded (the op layer
         # carries row counts per array, so mixing is fine).
-        mesh = {rows(g.g2m.edges.layout), rows(g.m2g.edges.send_layout)}
-        grid = {rows(g.m2g.edges.layout), rows(g.g2m.edges.send_layout)}
+        mesh = {rows(g.g2m.edges.layout), send_rows(g.m2g.edges)}
+        grid = {rows(g.m2g.edges.layout), send_rows(g.g2m.edges)}
         if g.m2m:
             mesh.add(rows(g.m2m[0].edges.layout))
-            mesh.add(rows(g.m2m[0].edges.send_layout))
+            mesh.add(send_rows(g.m2m[0].edges))
         if getattr(g, "up", None):
-            mesh.add(rows(g.up[0].edges.send_layout))
+            mesh.add(send_rows(g.up[0].edges))
         if getattr(g, "down", None):
             mesh.add(rows(g.down[0].edges.layout))
         if (

@@ -30,7 +30,12 @@ import numpy as np
 
 from .mlp import MLPParams, apply_mlp, apply_mlp_split_first, init_mlp
 from .pallas_fused import fusable, make_fused_interaction
-from .pallas_segment import BlockedLayout, build_blocked_layout
+from .pallas_segment import (
+    BandedLayout,
+    BlockedLayout,
+    build_banded_layout,
+    build_blocked_layout,
+)
 from .segment import (
     _interpret_mode,
     _pallas_enabled,
@@ -75,6 +80,9 @@ class EdgeSet:
     send_layout: Optional[BlockedLayout] = None
     rslot_of_sslot: Optional[jax.Array] = None
     num_send: Optional[int] = None
+    # Banded sender gather/scatter tables (preferred over send_layout:
+    # no slot permutation, no sender-sorted gradient materialisation).
+    banded: Optional["BandedLayout"] = None
     # Per-instance cache of compiled gather/aggregate closures built by
     # ops.segment. Living on the instance (not a module-level id()-keyed
     # dict) ties each closure's lifetime to its edge set, so a recycled
@@ -173,7 +181,21 @@ def make_edge_set(
 
         send_layout = None
         rslot_of_sslot = None
+        banded = None
         if num_send is not None and num_send > 0:
+            # Preferred sender-side machinery: banded gather/scatter
+            # straight from receiver-sorted slots (regular meshes have
+            # spatially banded senders per chunk). Falls back to the
+            # sender-sorted layout + slot permutation when the sender
+            # structure is not banded (build returns None) or when
+            # NEURAL_LAM_TPU_BANDED=off.
+            if os.environ.get("NEURAL_LAM_TPU_BANDED", "auto") != "off":
+                banded = build_banded_layout(
+                    np.where(dead, -1, senders_p.astype(np.int64)),
+                    num_send,
+                    layout.chunk_edges,
+                )
+        if banded is None and num_send is not None and num_send > 0:
             # Receiver-blocked slot index of every valid edge
             valid_slots = np.nonzero(~dead)[0]
             senders_valid = senders_p[valid_slots].astype(np.int64)
@@ -209,6 +231,7 @@ def make_edge_set(
             send_layout=send_layout,
             rslot_of_sslot=rslot_of_sslot,
             num_send=num_send,
+            banded=banded,
         )
         return es, perm
 

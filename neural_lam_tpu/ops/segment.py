@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from .pallas_segment import (
+    banded_expand_nondiff,
+    banded_scatter_nondiff,
     blocked_expand_nondiff,
     blocked_segment_sum_nondiff,
     make_blocked_segment_sum,
@@ -152,6 +154,48 @@ def gather_senders(edge_set: "EdgeSet", send_rep: jax.Array) -> jax.Array:
     aggregation kernel always accumulates/outputs f32; only the edge-wide
     traffic (expand + slot permutation) rides ``_gather_io_dtype``.
     """
+    if edge_set.banded is not None and _pallas_enabled():
+        io_dtype = _gather_io_dtype(send_rep.dtype)
+        key = ("send_banded", _interpret_mode(), jnp.dtype(io_dtype).name)
+        if key not in edge_set.fn_cache:
+            banded = edge_set.banded
+            interpret = _interpret_mode()
+
+            @jax.custom_vjp
+            def gather(x):
+                # banded expand: per-(chunk, window) one-hot matmuls
+                # against VMEM-resident sender windows; dead slots zero
+                return banded_expand_nondiff(x, banded, interpret)
+
+            def fwd(x):
+                return gather(x), x.shape[0]
+
+            def bwd(rows, grad_msgs):
+                # scatter straight from receiver-sorted slots — no slot
+                # permutation, no sender-sorted grad materialisation
+                full = banded.padded_send_rows
+                d_nodes = banded_scatter_nondiff(
+                    grad_msgs, banded, interpret,
+                    out_dtype=jnp.float32,
+                    keep_padded=(rows == full),
+                )
+                if d_nodes.shape[0] != rows:
+                    pad = rows - d_nodes.shape[0]
+                    d_nodes = jnp.concatenate(
+                        [
+                            d_nodes,
+                            jnp.zeros(
+                                (pad,) + d_nodes.shape[1:],
+                                d_nodes.dtype,
+                            ),
+                        ],
+                        axis=0,
+                    )
+                return (d_nodes.astype(grad_msgs.dtype),)
+
+            gather.defvjp(fwd, bwd)
+            edge_set.fn_cache[key] = _fold_rows(gather, io_dtype)
+        return edge_set.fn_cache[key](send_rep)
     if edge_set.send_layout is not None and _pallas_enabled():
         io_dtype = _gather_io_dtype(send_rep.dtype)
         key = ("send", _interpret_mode(), jnp.dtype(io_dtype).name)

@@ -90,20 +90,29 @@ def test_aggregate_dispatch_pallas_vs_fallback(monkeypatch):
     )
 
 
-def test_custom_vjp_gathers_match_xla_ad(monkeypatch):
+@pytest.mark.parametrize("sender_path", ["banded", "permute"])
+def test_custom_vjp_gathers_match_xla_ad(monkeypatch, sender_path):
     """Full interaction-net gradients must agree between the Pallas
-    custom-VJP gather path and plain XLA autodiff."""
+    custom-VJP gather path and plain XLA autodiff, for both sender-side
+    machineries (banded windows and sender-sorted layout + permute)."""
     from neural_lam_tpu.ops import (
         apply_interaction_net,
         init_interaction_net,
     )
 
+    monkeypatch.setenv(
+        "NEURAL_LAM_TPU_BANDED",
+        "auto" if sender_path == "banded" else "off",
+    )
     rng = np.random.default_rng(11)
     E, Ns, Nr, D = 220, 35, 50, 8
     senders = rng.integers(0, Ns, E)
     receivers = rng.integers(0, Nr, E)
     es, perm = make_edge_set(senders, receivers, num_rec=Nr, num_send=Ns)
-    assert es.send_layout is not None
+    if sender_path == "banded":
+        assert es.banded is not None
+    else:
+        assert es.send_layout is not None
     edge_rep = place_edge_features(
         rng.normal(size=(E, D)).astype(np.float32), perm, es
     )
@@ -132,4 +141,75 @@ def test_custom_vjp_gathers_match_xla_ad(monkeypatch):
     )
     np.testing.assert_allclose(
         np.asarray(got[1]), np.asarray(want[1]), rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("batched", [False, True])
+def test_banded_sender_gather_matches_permute_path(monkeypatch, batched):
+    """The banded sender gather/scatter (per-(chunk, window) one-hot
+    kernels straight off receiver-sorted slots) must match the
+    sender-sorted-layout + slot-permutation path: forward per-edge rows
+    (dead slots aside, which neither path lets reach the loss) and the
+    scatter-add gradient."""
+    import os
+
+    from neural_lam_tpu.ops.interaction import make_edge_set
+    from neural_lam_tpu.ops.segment import gather_senders
+
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    rng = np.random.default_rng(17)
+    n_send, n_rec, n_edges = 41, 29, 300
+    senders = rng.integers(0, n_send, n_edges)
+    receivers = rng.integers(0, n_rec, n_edges)
+    receivers[0] = n_rec - 1
+    shape = (n_send, 3, 8) if batched else (n_send, 8)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+    def build(banded_on):
+        monkeypatch.setenv(
+            "NEURAL_LAM_TPU_BANDED", "auto" if banded_on else "off"
+        )
+        es, _ = make_edge_set(
+            senders, receivers, num_rec=n_rec, num_send=n_send
+        )
+        return es
+
+    es_banded = build(True)
+    es_perm = build(False)
+    # random senders on a tiny set may fail the bandedness guard; make
+    # the test meaningful by requiring it built here (small id space)
+    assert es_banded.banded is not None
+    assert es_perm.banded is None and es_perm.send_layout is not None
+
+    got = gather_senders(es_banded, x)
+    ref = gather_senders(es_perm, x)
+    live = np.asarray(es_banded.receivers) != n_rec
+    np.testing.assert_allclose(
+        np.asarray(got)[live], np.asarray(ref)[live], rtol=1e-6
+    )
+
+    def loss(es, x):
+        out = gather_senders(es, x)
+        live_m = jnp.asarray(live, out.dtype).reshape(
+            (-1,) + (1,) * (out.ndim - 1)
+        )
+        return jnp.sum((out * live_m) ** 2)
+
+    g_banded = jax.grad(loss, argnums=1)(es_banded, x)
+    g_perm = jax.grad(loss, argnums=1)(es_perm, x)
+    np.testing.assert_allclose(
+        np.asarray(g_banded), np.asarray(g_perm), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_banded_layout_rejects_nonlocal_senders():
+    """A sender structure where every chunk touches most windows must
+    fall back (build returns None) instead of building huge tables."""
+    from neural_lam_tpu.ops.pallas_segment import build_banded_layout
+
+    rng = np.random.default_rng(3)
+    num_send = 256 * 64  # 64 windows at win_rows=256
+    slots = rng.integers(0, num_send, 512 * 40).astype(np.int64)
+    assert (
+        build_banded_layout(slots, num_send, chunk_edges=512) is None
     )
