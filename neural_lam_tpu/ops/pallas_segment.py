@@ -321,11 +321,14 @@ class BandedLayout:
     # scatter direction: visits grouped by window (non-decreasing)
     svisit_chunk: jax.Array  # (n_svisits,) int32
     svisit_window: jax.Array  # (n_svisits,) int32
-    svisit_ids: jax.Array  # (n_svisits, chunk_edges) int32; -1 dead
+    # Lane-major like BlockedLayout.local_ids: Mosaic wants the blocked
+    # axis on lanes (a (1, C) block over an (n_visits, C) array fails
+    # the sublane-divisibility rule).
+    svisit_ids: jax.Array  # (1, n_svisits*chunk_edges) int32; -1 dead
     # gather direction: visits grouped by chunk (non-decreasing)
     gvisit_chunk: jax.Array  # (n_gvisits,) int32
     gvisit_window: jax.Array  # (n_gvisits,) int32
-    gvisit_ids: jax.Array  # (n_gvisits, chunk_edges) int32; -1 dead
+    gvisit_ids: jax.Array  # (1, n_gvisits*chunk_edges) int32; -1 dead
     num_send: int
     win_rows: int
     chunk_edges: int
@@ -405,10 +408,10 @@ def build_banded_layout(
     return BandedLayout(
         svisit_chunk=jnp.asarray(s_chunk),
         svisit_window=jnp.asarray(s_window),
-        svisit_ids=jnp.asarray(s_ids),
+        svisit_ids=jnp.asarray(s_ids.reshape(1, -1)),
         gvisit_chunk=jnp.asarray(g_chunk),
         gvisit_window=jnp.asarray(g_window),
-        gvisit_ids=jnp.asarray(g_ids),
+        gvisit_ids=jnp.asarray(g_ids.reshape(1, -1)),
         num_send=int(num_send),
         win_rows=int(win_rows),
         chunk_edges=int(chunk_edges),
@@ -474,7 +477,7 @@ def banded_scatter_nondiff(
         in_specs=[
             pl.BlockSpec(
                 (1, banded.chunk_edges),
-                lambda v, gw, gc: (v, 0),
+                lambda v, gw, gc: (0, v),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -536,7 +539,7 @@ def banded_expand_nondiff(
         in_specs=[
             pl.BlockSpec(
                 (1, banded.chunk_edges),
-                lambda v, gc, gw: (v, 0),
+                lambda v, gc, gw: (0, v),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
