@@ -941,13 +941,15 @@ def make_fused_interaction(
         # bf16 matmul operands (f32 accumulation and f32 elementwise
         # math throughout). NEURAL_LAM_TPU_BF16_KERNELS=off keeps the
         # kernels f32 with boundary casts instead.
-        # NEURAL_LAM_TPU_MATMUL_PRECISION=high selects bf16 operands
-        # for f32 inputs too — the TF32-equivalent of the reference's
+        # NEURAL_LAM_TPU_MATMUL_PRECISION=high (or high-kernels, which
+        # leaves the gather IO streams f32) selects bf16 operands for
+        # f32 inputs too — the TF32-equivalent of the reference's
         # float32_matmul_precision("high") CUDA default (see
-        # segment.matmul_high); inputs/outputs/accumulation stay f32.
+        # segment.kernel_matmul_high); inputs/outputs/accumulation
+        # stay f32.
         import os as _os
 
-        from .segment import matmul_high as _mh
+        from .segment import kernel_matmul_high as _mh
 
         cdt = (
             jnp.bfloat16

@@ -65,6 +65,23 @@ def matmul_high() -> bool:
     )
 
 
+def kernel_matmul_high() -> bool:
+    """True when the *in-kernel* matmul operands should ride bf16.
+
+    ``high-kernels`` restricts the TF32-equivalent rounding to the
+    Pallas kernels' matmul operands (one-hot gathers/aggregations and
+    the block-diagonal MLP weights) while every HBM stream — node/edge
+    arrays, gather IO — stays exact f32. ``high`` implies it (kernels +
+    IO thinning both).
+    """
+    return os.environ.get(
+        "NEURAL_LAM_TPU_MATMUL_PRECISION", "highest"
+    ) in (
+        "high",
+        "high-kernels",
+    )
+
+
 def segment_sum(
     data: jax.Array,
     segment_ids: jax.Array,
