@@ -27,6 +27,11 @@ class BaseLogger:
     def log_hparams(self, hparams: dict) -> None:
         pass
 
+    def watch_min_metrics(self, keys: "list[str]") -> None:
+        """Mark metrics whose run-level summary should be the minimum
+        (reference: neural_lam/utils.py:689-713). No-op for backends
+        without summary aggregation."""
+
     def finish(self) -> None:
         pass
 
@@ -101,6 +106,10 @@ class WandbLogger(BaseLogger):
 
     def log_hparams(self, hparams):
         self.run.config.update(hparams, allow_val_change=True)
+
+    def watch_min_metrics(self, keys):
+        for key in keys:
+            self.run.define_metric(key, summary="min")
 
     def finish(self):
         self._wandb.finish()

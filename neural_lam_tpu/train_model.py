@@ -333,6 +333,12 @@ def main(argv=None) -> None:
         config=hparams,
     )
     logger.log_hparams(hparams)
+    # Run-level min summaries for the validation losses
+    # (reference: neural_lam/utils.py:689-713)
+    logger.watch_min_metrics(
+        ["val_loss"]
+        + [f"val_loss_unroll{s}" for s in args.val_steps_to_log]
+    )
 
     if args.eval:
         loader = make_loader(args.eval, args.ar_steps_eval, shuffle=False)

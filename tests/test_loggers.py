@@ -65,7 +65,10 @@ class _FakeWandb(types.ModuleType):
         self.run = types.SimpleNamespace(
             config=types.SimpleNamespace(
                 update=lambda *a, **k: self.calls.append(("config", a))
-            )
+            ),
+            define_metric=lambda key, summary=None: self.calls.append(
+                ("define_metric", key, summary)
+            ),
         )
         return self.run
 
@@ -89,13 +92,19 @@ def test_wandb_adapter_contract(monkeypatch, fig):
     # resume-by-id semantics (reference: utils.py:746-772)
     assert fake.init_kwargs["id"] == "abc123"
     assert fake.init_kwargs["resume"] == "allow"
+    # min-summary registration (reference: utils.py:689-713)
+    logger.watch_min_metrics(["val_loss", "val_loss_unroll1"])
     logger.log_metrics({"loss": 1.0}, step=3)
     logger.log_image("examples/t2m", fig, step=3)
     logger.finish()
     kinds = [c[0] for c in fake.calls]
-    assert kinds == ["log", "log", "finish"]
-    assert fake.calls[0][1:] == ({"loss": 1.0}, 3)
-    assert fake.calls[1][1]["examples/t2m"] == ("image", fig)
+    assert kinds == [
+        "define_metric", "define_metric", "log", "log", "finish",
+    ]
+    assert fake.calls[0][1:] == ("val_loss", "min")
+    assert fake.calls[1][1:] == ("val_loss_unroll1", "min")
+    assert fake.calls[2][1:] == ({"loss": 1.0}, 3)
+    assert fake.calls[3][1]["examples/t2m"] == ("image", fig)
 
 
 class _FakeMLflow(types.ModuleType):
