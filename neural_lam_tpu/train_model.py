@@ -148,6 +148,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     logger.add_argument("--logger_project", type=str, default="neural_lam")
     logger.add_argument("--logger_run_name", type=str, default=None)
+    logger.add_argument(
+        "--logger_run_id",
+        type=str,
+        default=None,
+        help="Resume an existing W&B run by id "
+        "(reference --wandb_id, train_model.py:300-306)",
+    )
     logger.add_argument("--runs_root", type=str, default="runs")
 
     metrics = parser.add_argument_group("Metrics & Monitoring")
@@ -325,11 +332,18 @@ def main(argv=None) -> None:
     from .evaluation import run_test_evaluation
     from .loggers import setup_training_logger
 
+    if args.logger_run_id and args.logger != "wandb":
+        print(
+            f"warning: --logger_run_id is set but logger is "
+            f"{args.logger!r}; the run id has no effect "
+            "(reference: utils.py:754-757)"
+        )
     logger = setup_training_logger(
         args.logger,
         run_dir,
         project=args.logger_project,
         run_name=run_name,
+        run_id=args.logger_run_id,
         config=hparams,
     )
     logger.log_hparams(hparams)
