@@ -104,49 +104,72 @@ def main() -> None:
         jax.block_until_ready(loss)
     print("trace captured to", outdir, file=sys.stderr)
 
-    planes = sorted(
-        glob.glob(str(outdir / "**" / "*.xplane.pb"), recursive=True)
+    traces = sorted(
+        glob.glob(str(outdir / "**" / "*.trace.json.gz"), recursive=True)
     )
-    if not planes:
-        print("no xplane.pb found", file=sys.stderr)
+    if not traces:
+        print("no trace.json.gz found", file=sys.stderr)
         return
-    latest = planes[-1]
-    summarize_xplane(latest, args.top, args.steps)
+    summarize_trace(traces[-1], args.top, args.steps)
 
 
-def summarize_xplane(path: str, top: int, steps: int) -> None:
-    try:
-        from tensorboard_plugin_profile.protobuf import xplane_pb2
-    except ImportError:
-        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+def _category(name: str) -> str:
+    if "closed_call" in name or "custom-call" in name:
+        return "pallas"
+    if "fusion" in name:
+        return "fusion"
+    if "copy" in name:
+        return "copy"
+    if "convolution" in name or "dot" in name:
+        return "dot"
+    if "transpose" in name:
+        return "transpose"
+    if "reduce" in name:
+        return "reduce"
+    return "other"
 
-    xspace = xplane_pb2.XSpace()
-    with open(path, "rb") as f:
-        xspace.ParseFromString(f.read())
 
-    for plane in xspace.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name:
+def summarize_trace(path: str, top: int, steps: int) -> None:
+    """Exclusive-time breakdown from the Perfetto trace's "XLA Ops"
+    device line (async copy/slice lines overlap compute and would
+    double-count; this line is the op-by-op execution timeline)."""
+    with gzip.open(path) as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    device_pids = {
+        e["pid"]
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "TPU" in e["args"].get("name", "")
+    }
+    op_tids = {
+        (e["pid"], e["tid"])
+        for e in events
+        if e.get("ph") == "M"
+        and e.get("name") == "thread_name"
+        and e["args"].get("name") == "XLA Ops"
+        and e["pid"] in device_pids
+    }
+    totals: dict = defaultdict(float)
+    cats: dict = defaultdict(float)
+    for e in events:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
             continue
-        meta = {m.id: m.name for m in plane.event_metadata.values()}
-        totals = defaultdict(int)
-        counts = defaultdict(int)
-        for line in plane.lines:
-            lname = line.name.lower()
-            if "step" in lname and "tensorcore" not in lname:
-                pass
-            for ev in line.events:
-                name = meta.get(ev.metadata_id, "?")
-                totals[name] += ev.duration_ps
-                counts[name] += 1
-        if not totals:
-            continue
-        print(f"\n== plane: {plane.name} ==")
-        total_ms = sum(totals.values()) / 1e9
-        print(f"(sum over lines, {steps} steps) total {total_ms:.2f} ms")
-        rows = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
-        for name, ps in rows:
-            ms = ps / 1e9 / steps
-            print(f"{ms:9.3f} ms/step  x{counts[name]//steps:<4d} {name[:110]}")
+        name = e["name"].split(" = ")[0].lstrip("%")
+        totals[name] += e["dur"]
+        cats[_category(name)] += e["dur"]
+    if not totals:
+        print("no XLA Ops events found", file=sys.stderr)
+        return
+    busy = sum(cats.values()) / 1e3 / steps
+    print(f"\nTPU busy: {busy:.2f} ms/step (exclusive op time)")
+    print("by category (ms/step):")
+    for k, v in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:10s} {v/1e3/steps:8.3f}")
+    print(f"top {top} ops (ms/step):")
+    for name, us in sorted(totals.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"  {us/1e3/steps:8.3f}  {name[:100]}")
 
 
 if __name__ == "__main__":
