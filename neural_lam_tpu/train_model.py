@@ -355,6 +355,12 @@ def main(argv=None) -> None:
     )
 
     if args.eval:
+        if not args.load:
+            # reference: train_model.py:382-385
+            print(
+                "warning: --eval without --load evaluates freshly "
+                "initialised parameters; no checkpoint is loaded"
+            )
         loader = make_loader(args.eval, args.ar_steps_eval, shuffle=False)
         var_leads = json.loads(args.var_leads_metrics_watch)
         # Validate watched variables against the datastore at CLI time

@@ -91,6 +91,26 @@ def test_train_and_eval_cli(config_path, tmp_path):
     assert "test_loss" in metrics and metrics["test_loss"] > 0
 
 
+def test_eval_without_load_warns(config_path, tmp_path, capsys):
+    """--eval with no --load evaluates fresh parameters and must say so
+    (reference: tests/test_train_model_warnings.py,
+    train_model.py:382-385)."""
+    train_model.main([
+        "--config_path", str(config_path),
+        "--graph", "1level",
+        "--hidden_dim", "8",
+        "--processor_layers", "2",
+        "--batch_size", "2",
+        "--runs_root", str(tmp_path / "runs_warn"),
+        "--logger_run_name", "warnrun",
+        "--val_steps_to_log", "1",
+        "--eval", "test",
+        "--ar_steps_eval", "1",
+    ])
+    out = capsys.readouterr().out
+    assert "--eval without --load" in out
+
+
 def test_eval_with_gif_and_watch(config_path, tmp_path):
     runs_root = tmp_path / "runs2"
     common = [
