@@ -176,6 +176,7 @@ def _fused_fwd_kernel(
     propagation,
     edge_unbatched,
     embed_edges=False,
+    save_pre=False,
     cdt=jnp.float32,
 ):
     # When the edge rep is a shared (unbatched) embedding, ``edge_ref``
@@ -198,6 +199,9 @@ def _fused_fwd_kernel(
     tile_ref = rest.pop(0) if (edge_unbatched and update_edges) else None
     out_refs = rest
     aggr_ref = out_refs[0]
+    # optional per-edge pre-activation output (backward skips its
+    # recompute when the caller saves it as a residual)
+    pre_ref = out_refs.pop() if save_pre else None
     c = pl.program_id(1)
     prev = chunk_block_ref[jnp.maximum(c - 1, 0)]
     is_first = jnp.logical_or(c == 0, chunk_block_ref[c] != prev)
@@ -237,6 +241,8 @@ def _fused_fwd_kernel(
         + gathered
         + b1_ref[:]
     )
+    if pre_ref is not None:
+        pre_ref[:] = pre
     h1 = jax.nn.silu(pre)
     z = (
         jnp.dot(cv(h1), w2_ref[:], preferred_element_type=jnp.float32)
@@ -296,6 +302,7 @@ def _fused_bwd_kernel(
     propagation,
     edge_unbatched,
     embed_edges=False,
+    saved_pre=False,
     cdt=jnp.float32,
 ):
     cv = lambda x: x.astype(cdt)  # noqa: E731
@@ -310,6 +317,8 @@ def _fused_bwd_kernel(
         if (edge_unbatched and update_edges)
         else None
     )
+    # forward-saved pre-activations: skip the first-layer recompute
+    pre_in_ref = rest_refs.pop(0) if saved_pre else None
     if embed_edges:
         # no feature grad; embedder weight-grad accumulators instead
         d_edge_ref = None
@@ -357,25 +366,36 @@ def _fused_bwd_kernel(
     one_hot_t = (ids == rows).astype(cdt)
 
     # --- recompute forward ------------------------------------------------
-    rec_proj = jnp.dot(
-        rec_ref[:], w1r_ref[:], preferred_element_type=jnp.float32
-    )
-    gathered = jax.lax.dot_general(
-        one_hot_t,
-        cv(rec_proj),
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # ``edge_val`` stays needed for the dw1e weight-grad accumulation
+    # even when ``pre`` was saved (the embedder recompute is ~0.1% of
+    # the skipped first-layer matmuls).
     if embed_edges:
         edge_val = cv(_embed_forward(edge_ref[:], emb_refs, cdt))
     else:
         edge_val = edge_ref[:]
-    pre = (
-        jnp.dot(edge_val, w1e_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(send_ref[:], w1s_ref[:], preferred_element_type=jnp.float32)
-        + gathered
-        + b1_ref[:]
-    )
+    if pre_in_ref is not None:
+        pre = pre_in_ref[:]
+    else:
+        rec_proj = jnp.dot(
+            rec_ref[:], w1r_ref[:], preferred_element_type=jnp.float32
+        )
+        gathered = jax.lax.dot_general(
+            one_hot_t,
+            cv(rec_proj),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pre = (
+            jnp.dot(
+                edge_val, w1e_ref[:], preferred_element_type=jnp.float32
+            )
+            + jnp.dot(
+                send_ref[:], w1s_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + gathered
+            + b1_ref[:]
+        )
     h1 = jax.nn.silu(pre)
     z = (
         jnp.dot(cv(h1), w2_ref[:], preferred_element_type=jnp.float32)
@@ -573,6 +593,7 @@ def _fused_fwd_impl(
     edge_unbatched: bool,
     interpret: bool,
     emb_weights=None,
+    save_pre: bool = False,
     cdt=jnp.float32,
 ):
     embed_edges = emb_weights is not None
@@ -658,6 +679,13 @@ def _fused_fwd_impl(
         out_shape.append(
             jax.ShapeDtypeStruct((layout.num_blocked, lanes), jnp.float32)
         )
+    if save_pre:
+        out_specs.append(
+            pl.BlockSpec((ce, stripe), cix, memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((layout.num_blocked, lanes), jnp.float32)
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -674,6 +702,7 @@ def _fused_fwd_impl(
         propagation=propagation,
         edge_unbatched=edge_unbatched,
         embed_edges=embed_edges,
+        save_pre=save_pre,
         cdt=cdt,
     )
     outs = pl.pallas_call(
@@ -684,7 +713,8 @@ def _fused_fwd_impl(
     )(*operands)
     aggregated = outs[0] if padded_io else outs[0][: layout.num_rec]
     new_edge = outs[1] if update_edges else None
-    return aggregated, new_edge
+    pre = outs[-1] if save_pre else None
+    return aggregated, new_edge, pre
 
 
 def _fused_bwd_impl(
@@ -703,6 +733,7 @@ def _fused_bwd_impl(
     edge_unbatched: bool,
     interpret: bool,
     emb_weights=None,
+    pre2d=None,
     cdt=jnp.float32,
 ):
     embed_edges = emb_weights is not None
@@ -806,6 +837,9 @@ def _fused_bwd_impl(
         if edge_unbatched:
             in_specs.append(cs((feat, stripe)))
             operands.append(wb["tile"])
+    if pre2d is not None:
+        in_specs.append(cspec)
+        operands.append(pre2d)
 
     e_rows = layout.num_blocked
     head_specs = []
@@ -857,6 +891,7 @@ def _fused_bwd_impl(
         propagation=propagation,
         edge_unbatched=edge_unbatched,
         embed_edges=embed_edges,
+        saved_pre=pre2d is not None,
         cdt=cdt,
     )
     return pl.pallas_call(
@@ -986,7 +1021,18 @@ def make_fused_interaction(
         r2 = fold(rec_rep).astype(cdt)
         ln = mlp_params["ln"] is not None
 
-        def _impl(wb, ew, e2d, s2d, r2d):
+        # Save the per-edge first-layer pre-activations as a VJP
+        # residual so the backward kernel skips their recompute (the
+        # rec-projection, receiver-gather and first-layer matmuls).
+        # Trades ~(E_blocked, lanes) f32 of HBM per edge set for the
+        # recompute FLOPs — NEURAL_LAM_TPU_CACHE_PRE selects it.
+        import os as _os2
+
+        save_pre = (
+            _os2.environ.get("NEURAL_LAM_TPU_CACHE_PRE", "off") != "off"
+        )
+
+        def _impl(wb, ew, e2d, s2d, r2d, with_pre=False):
             return _fused_fwd_impl(
                 layout, e2d, s2d, r2d, wb, stripe,
                 layer_norm=ln,
@@ -995,6 +1041,7 @@ def make_fused_interaction(
                 edge_unbatched=edge_unbatched,
                 interpret=interpret,
                 emb_weights=ew,
+                save_pre=with_pre,
                 cdt=cdt,
             )
 
@@ -1002,7 +1049,7 @@ def make_fused_interaction(
         def fused(params, eparams, e2d, s2d, r2d):
             wb = _prep_weights(params, stripe_g, feat, edge_unbatched, cdt)
             ew = _prep_embedder_weights(eparams, cdt) if embed else None
-            return _impl(wb, ew, e2d, s2d, r2d)
+            return _impl(wb, ew, e2d, s2d, r2d)[:2]
 
         def fwd(params, eparams, e2d, s2d, r2d):
             # The kernel-layout weights (kron-striped blocks, tiled
@@ -1011,13 +1058,16 @@ def make_fused_interaction(
             # arrays themselves are small).
             wb = _prep_weights(params, stripe_g, feat, edge_unbatched, cdt)
             ew = _prep_embedder_weights(eparams, cdt) if embed else None
+            aggregated, new_edge, pre2d = _impl(
+                wb, ew, e2d, s2d, r2d, with_pre=save_pre
+            )
             return (
-                _impl(wb, ew, e2d, s2d, r2d),
-                (params, eparams, wb, ew, e2d, s2d, r2d),
+                (aggregated, new_edge),
+                (params, eparams, wb, ew, e2d, s2d, r2d, pre2d),
             )
 
         def bwd(res, grads):
-            params, eparams, wb, ew, e2d, s2d, r2d = res
+            params, eparams, wb, ew, e2d, s2d, r2d, pre2d = res
             d_aggr, d_new_edge = grads
             outs = _fused_bwd_impl(
                 layout, e2d, s2d, r2d, wb, d_aggr, d_new_edge, stripe,
@@ -1027,6 +1077,7 @@ def make_fused_interaction(
                 edge_unbatched=edge_unbatched,
                 interpret=interpret,
                 emb_weights=ew,
+                pre2d=pre2d,
                 cdt=cdt,
             )
             if embed:

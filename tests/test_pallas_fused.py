@@ -453,3 +453,56 @@ def test_fused_in_kernel_embedder(monkeypatch, update_edges, batched):
         jax.tree_util.tree_leaves(g_ref),
     ):
         np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("embed", [False, True])
+def test_cached_pre_gradients_match(monkeypatch, embed):
+    """NEURAL_LAM_TPU_CACHE_PRE saves the first-layer pre-activations
+    as a VJP residual and the backward kernel skips their recompute —
+    gradients must be identical to the recompute path."""
+    from neural_lam_tpu.ops.mlp import init_mlp
+
+    rng = np.random.default_rng(23)
+    d = 8
+    es, _ = _random_edge_set(rng, n_send=19, n_rec=11, n_edges=70)
+    params = init_interaction_net(jax.random.PRNGKey(1), d)
+    send = jnp.asarray(rng.normal(size=(19, 2, d)), jnp.float32)
+    rec = jnp.asarray(rng.normal(size=(11, 2, d)), jnp.float32)
+    if embed:
+        feats = jnp.asarray(
+            rng.normal(size=(es.num_padded, 3)), jnp.float32
+        )
+        emb = init_mlp(jax.random.PRNGKey(5), [3, d, d], layer_norm=True)
+        kw = dict(edge_embedder=emb, edge_features=feats)
+        edge = None
+    else:
+        kw = {}
+        edge = jnp.asarray(
+            rng.normal(size=(es.num_padded, 2, d)), jnp.float32
+        )
+
+    def loss(params, send, rec):
+        new_rec, new_edge = apply_interaction_net(
+            params, es, send, rec, edge, update_edges=True, **kw
+        )
+        valid = jnp.asarray(
+            (np.asarray(es.receivers) < es.num_rec), jnp.float32
+        )[:, None, None]
+        return jnp.sum(new_rec**2) + jnp.sum((new_edge * valid) ** 2)
+
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED", "auto")
+    if embed:
+        monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_EMBED", "on")
+
+    monkeypatch.setenv("NEURAL_LAM_TPU_CACHE_PRE", "off")
+    es.fn_cache.clear()
+    g_off = jax.grad(loss, argnums=(0, 1, 2))(params, send, rec)
+    monkeypatch.setenv("NEURAL_LAM_TPU_CACHE_PRE", "on")
+    es.fn_cache.clear()
+    g_on = jax.grad(loss, argnums=(0, 1, 2))(params, send, rec)
+    for a, b in zip(
+        jax.tree_util.tree_flatten(g_on)[0],
+        jax.tree_util.tree_flatten(g_off)[0],
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
