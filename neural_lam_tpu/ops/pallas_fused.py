@@ -1025,11 +1025,14 @@ def make_fused_interaction(
         # residual so the backward kernel skips their recompute (the
         # rec-projection, receiver-gather and first-layer matmuls).
         # Trades ~(E_blocked, lanes) f32 of HBM per edge set for the
-        # recompute FLOPs — NEURAL_LAM_TPU_CACHE_PRE selects it.
+        # recompute FLOPs — measured +3.6% on the MEPS step (the
+        # kernels are MXU-bound, so FLOPs beat bytes here). Default on;
+        # NEURAL_LAM_TPU_CACHE_PRE=off restores full recompute (lowest
+        # memory).
         import os as _os2
 
         save_pre = (
-            _os2.environ.get("NEURAL_LAM_TPU_CACHE_PRE", "off") != "off"
+            _os2.environ.get("NEURAL_LAM_TPU_CACHE_PRE", "on") != "off"
         )
 
         def _impl(wb, ew, e2d, s2d, r2d, with_pre=False):
