@@ -51,12 +51,21 @@ _LN_EPS = 1e-5  # matches ops.mlp._LN_EPS / torch LayerNorm
 
 def _stripe_groups(total_groups: int, feat_dim: int) -> int:
     """Groups per stripe: the largest divisor of ``total_groups`` whose
-    stripe width stays <= 256 lanes (one stripe if feat_dim >= 256)."""
+    stripe width stays <= 256 lanes (one stripe if feat_dim >= 256).
+
+    A partial stripe (stripe < total lanes) is a mid-array lane block,
+    which Mosaic only lowers when its width is a multiple of 128; a
+    single full-width stripe has no such constraint. When no aligned
+    divisor exists (e.g. batch 5 at hidden 64), fall back to one
+    full-width stripe rather than an unlowerable partial one.
+    """
     cap = max(1, 256 // feat_dim)
-    g = min(total_groups, cap)
-    while total_groups % g:
-        g -= 1
-    return g
+    if total_groups <= cap:
+        return total_groups
+    for g in range(cap, 0, -1):
+        if total_groups % g == 0 and (g * feat_dim) % 128 == 0:
+            return g
+    return total_groups
 
 
 def _block_diag(w: jax.Array, groups: int) -> jax.Array:
@@ -84,7 +93,7 @@ def _embed_forward(f, emb_refs, cdt=jnp.float32):
     (bf16 under mixed precision) with f32 accumulation."""
     ew1, eb1, ew2, eb2, eg, ebt, mmat_h = emb_refs
     c = lambda x: x.astype(cdt)  # noqa: E731
-    p1 = jnp.dot(f, ew1[:], preferred_element_type=jnp.float32) + eb1[:]
+    p1 = jnp.dot(c(f), ew1[:], preferred_element_type=jnp.float32) + eb1[:]
     a1 = jax.nn.silu(p1)
     ze = jnp.dot(c(a1), ew2[:], preferred_element_type=jnp.float32) + eb2[:]
     # LN statistics stay f32: ``z - mean(z)`` cancels catastrophically
@@ -113,7 +122,7 @@ def _embed_backward(f, d_emb, emb_refs, accum_refs, init, cdt=jnp.float32):
         deg[:] = jnp.zeros_like(deg)
         debt[:] = jnp.zeros_like(debt)
 
-    p1 = jnp.dot(f, ew1[:], preferred_element_type=jnp.float32) + eb1[:]
+    p1 = jnp.dot(c(f), ew1[:], preferred_element_type=jnp.float32) + eb1[:]
     a1 = jax.nn.silu(p1)
     ze = jnp.dot(c(a1), ew2[:], preferred_element_type=jnp.float32) + eb2[:]
     mu = jnp.dot(ze, mmat_h[:], preferred_element_type=jnp.float32)
@@ -144,7 +153,7 @@ def _embed_backward(f, d_emb, emb_refs, accum_refs, init, cdt=jnp.float32):
     sig = jax.nn.sigmoid(p1)
     d_p1 = d_a1 * (sig * (1.0 + p1 * (1.0 - sig)))
     dew1[:] += jax.lax.dot_general(
-        f, c(d_p1), (((0,), (0,)), ((), ())),
+        c(f), c(d_p1), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     deb1[:] += jnp.sum(d_p1, axis=0, keepdims=True)
@@ -220,7 +229,7 @@ def _fused_fwd_kernel(
     # rows (projection and selection commute; projecting first keeps the
     # matmul at block size, not chunk size).
     rec_proj = jnp.dot(
-        rec_ref[:], w1r_ref[:], preferred_element_type=jnp.float32
+        cv(rec_ref[:]), w1r_ref[:], preferred_element_type=jnp.float32
     )
     gathered = jax.lax.dot_general(
         one_hot_t,
@@ -231,13 +240,13 @@ def _fused_fwd_kernel(
 
     if embed_edges:
         edge_val = _embed_forward(edge_ref[:], emb_refs, cdt)
-        edge_dot = cv(edge_val)
     else:
         edge_val = edge_ref[:]
-        edge_dot = edge_val
     pre = (
-        jnp.dot(edge_dot, w1e_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(send_ref[:], w1s_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(cv(edge_val), w1e_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(
+            cv(send_ref[:]), w1s_ref[:], preferred_element_type=jnp.float32
+        )
         + gathered
         + b1_ref[:]
     )
@@ -377,7 +386,7 @@ def _fused_bwd_kernel(
         pre = pre_in_ref[:]
     else:
         rec_proj = jnp.dot(
-            rec_ref[:], w1r_ref[:], preferred_element_type=jnp.float32
+            cv(rec_ref[:]), w1r_ref[:], preferred_element_type=jnp.float32
         )
         gathered = jax.lax.dot_general(
             one_hot_t,
@@ -387,10 +396,11 @@ def _fused_bwd_kernel(
         )
         pre = (
             jnp.dot(
-                edge_val, w1e_ref[:], preferred_element_type=jnp.float32
+                cv(edge_val), w1e_ref[:],
+                preferred_element_type=jnp.float32,
             )
             + jnp.dot(
-                send_ref[:], w1s_ref[:],
+                cv(send_ref[:]), w1s_ref[:],
                 preferred_element_type=jnp.float32,
             )
             + gathered
@@ -405,7 +415,7 @@ def _fused_bwd_kernel(
     # --- message gradient -------------------------------------------------
     d_msg = jax.lax.dot_general(
         one_hot_t,
-        d_aggr_ref[:],
+        cv(d_aggr_ref[:]),
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -487,11 +497,11 @@ def _fused_bwd_kernel(
         d_edge_ref[:] = d_edge
 
     dw1e_ref[:] += jax.lax.dot_general(
-        edge_val, d_prec, (((0,), (0,)), ((), ())),
+        cv(edge_val), d_prec, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dw1s_ref[:] += jax.lax.dot_general(
-        send_ref[:], d_prec, (((0,), (0,)), ((), ())),
+        cv(send_ref[:]), d_prec, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     db1_ref[:] += jnp.sum(d_pre, axis=0, keepdims=True)
@@ -735,6 +745,7 @@ def _fused_bwd_impl(
     emb_weights=None,
     pre2d=None,
     cdt=jnp.float32,
+    io_dt=jnp.float32,
 ):
     embed_edges = emb_weights is not None
     lanes = send2d.shape[1]
@@ -743,10 +754,16 @@ def _fused_bwd_impl(
     n_stripes = lanes // stripe
     n_chunks = int(layout.chunk_block.shape[0])
     out_rows = layout.num_blocks * layout.block_rows
-    rec_pad = rec2d if rec2d.shape[0] == out_rows else _pad_rows(
-        rec2d, out_rows
-    )
-    d_aggr = d_aggr.astype(cdt)
+    if pre2d is not None:
+        # The kernel never reads the receiver block when the forward
+        # saved the pre-activations; a constant-indexed stub avoids
+        # streaming the whole block-padded node array once per stripe.
+        rec_pad = jnp.zeros((8, 128), rec2d.dtype)
+    elif rec2d.shape[0] == out_rows:
+        rec_pad = rec2d
+    else:
+        rec_pad = _pad_rows(rec2d, out_rows)
+    d_aggr = d_aggr.astype(io_dt)
     d_aggr_pad = d_aggr if d_aggr.shape[0] == out_rows else _pad_rows(
         d_aggr, out_rows
     )
@@ -796,12 +813,13 @@ def _fused_bwd_impl(
         dw1e_spec = wspec
         dw1e_shape = jax.ShapeDtypeStruct((stripe, stripe), jnp.float32)
 
+    rec_spec = cs((8, 128)) if pre2d is not None else bspec
     in_specs = [
         pl.BlockSpec((1, ce), lambda s, c, cb: (0, c),
                      memory_space=pltpu.VMEM),
         edge_spec,
         cspec,  # send
-        bspec,  # rec
+        rec_spec,  # rec (stub when the forward saved pre-activations)
         bspec,  # d_aggr
         w1e_spec,
         wspec,  # w1s
@@ -833,7 +851,7 @@ def _fused_bwd_impl(
         operands += list(emb_weights)
     if update_edges:
         in_specs.append(cspec)
-        operands.append(d_new_edge.astype(cdt))
+        operands.append(d_new_edge.astype(io_dt))
         if edge_unbatched:
             in_specs.append(cs((feat, stripe)))
             operands.append(wb["tile"])
@@ -985,21 +1003,20 @@ def make_fused_interaction(
         import os as _os
 
         from .segment import kernel_matmul_high as _mh
+        from .segment import matmul_high as _mh_full
 
-        cdt = (
-            jnp.bfloat16
-            if (
-                (
-                    in_dtype == jnp.bfloat16
-                    and _os.environ.get(
-                        "NEURAL_LAM_TPU_BF16_KERNELS", "auto"
-                    )
-                    != "off"
-                )
-                or _mh()
-            )
-            else jnp.float32
+        bf16_streams = (
+            in_dtype == jnp.bfloat16
+            and _os.environ.get("NEURAL_LAM_TPU_BF16_KERNELS", "auto")
+            != "off"
         )
+        # cdt: in-kernel matmul operand dtype. io_dt: the dtype the HBM
+        # streams are materialised in. Under ``high-kernels`` only cdt
+        # goes bf16 (the kernels cast operands in VMEM, IO stays exact
+        # f32); full ``high`` (and mixed precision) thins the streams
+        # themselves.
+        cdt = jnp.bfloat16 if (bf16_streams or _mh()) else jnp.float32
+        io_dt = jnp.bfloat16 if (bf16_streams or _mh_full()) else jnp.float32
         feat = x_send.shape[-1]
         if batched:
             b = x_send.shape[1]
@@ -1012,13 +1029,13 @@ def make_fused_interaction(
         n_stripes = (groups * feat) // stripe
 
         if embed:
-            e2 = feats2.astype(cdt)
+            e2 = feats2.astype(io_dt)
         elif edge_unbatched:
-            e2 = edge_rep.astype(cdt)
+            e2 = edge_rep.astype(io_dt)
         else:
-            e2 = fold(edge_rep).astype(cdt)
-        s2 = fold(x_send).astype(cdt)
-        r2 = fold(rec_rep).astype(cdt)
+            e2 = fold(edge_rep).astype(io_dt)
+        s2 = fold(x_send).astype(io_dt)
+        r2 = fold(rec_rep).astype(io_dt)
         ln = mlp_params["ln"] is not None
 
         # Save the per-edge first-layer pre-activations as a VJP
@@ -1082,6 +1099,7 @@ def make_fused_interaction(
                 emb_weights=ew,
                 pre2d=pre2d,
                 cdt=cdt,
+                io_dt=io_dt,
             )
             if embed:
                 (dew1, deb1, dew2, deb2, deg_e, debt_e,

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import warnings
 from typing import Any, Callable, Optional
 
 import jax
@@ -266,31 +267,58 @@ class Trainer:
 
         q: queue_mod.Queue = queue_mod.Queue(maxsize=depth)
         sentinel = object()
+        stop = threading.Event()
         err: list[BaseException] = []
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for batch in loader:
-                    q.put(self.device_put_batch(batch))
+                    if stop.is_set():
+                        return
+                    if not put(self.device_put_batch(batch)):
+                        return
             except BaseException as e:
                 err.append(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
-        t = threading.Thread(target=producer, daemon=True)
+        t = threading.Thread(
+            target=producer, daemon=True, name="neural-lam-prefetch"
+        )
         t.start()
         self.input_wait_seconds = 0.0
-        while True:
-            t0 = time.perf_counter()
-            item = q.get()
-            # time the consumer spent blocked on the input pipeline —
-            # when this grows, grid_points_per_s under-reports device
-            # throughput (the wall-clock counter includes host loading)
-            self.input_wait_seconds += time.perf_counter() - t0
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                t0 = time.perf_counter()
+                item = q.get()
+                # time the consumer spent blocked on the input pipeline —
+                # when this grows, grid_points_per_s under-reports device
+                # throughput (the wall-clock counter includes host loading)
+                self.input_wait_seconds += time.perf_counter() - t0
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # Also reached when the consumer abandons the generator
+            # early (preemption break, a raising train step): unblock
+            # the producer so queued device batches are released instead
+            # of staying pinned behind a forever-blocked q.put.
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue_mod.Empty:
+                pass
+            t.join(timeout=10.0)
         if err:
             raise err[0]
 
@@ -504,6 +532,22 @@ class Trainer:
             for step_idx, (device_batch, real) in enumerate(
                 self.device_prefetch(train_loader)
             ):
+                n_shards = max(
+                    self.num_data_shards // jax.process_count(), 1
+                )
+                if real % n_shards != 0 and not getattr(
+                    self, "_warned_padded_train", False
+                ):
+                    self._warned_padded_train = True
+                    warnings.warn(
+                        "Partial train batch padded by repeating the "
+                        "last sample, which then carries extra weight "
+                        "in that step's gradient (the reference's "
+                        "DistributedSampler duplicates samples the same "
+                        "way). Pass drop_last=True to the train loader "
+                        "to skip ragged tails instead.",
+                        stacklevel=2,
+                    )
                 if (
                     self.args.profile_dir
                     and epoch == start_epoch
@@ -531,8 +575,13 @@ class Trainer:
             if profiling:  # short epoch: close the trace cleanly
                 jax.profiler.stop_trace()
                 profiling = False
-            jax.block_until_ready(losses[-1] if losses else ())
-            train_loss = float(jnp.mean(jnp.stack(losses)))
+            if losses:
+                jax.block_until_ready(losses[-1])
+                train_loss = float(jnp.mean(jnp.stack(losses)))
+            else:
+                # zero-batch epoch (empty shard, drop_last on a tiny
+                # dataset): record NaN instead of crashing the run
+                train_loss = float("nan")
             epoch_seconds = time.perf_counter() - t0
             num_grid = getattr(
                 self.datastore, "num_grid_points", 0
@@ -636,9 +685,20 @@ class Trainer:
         (reference: models/module.py:806-817)."""
         out: dict = {}
         watch = {m.split("_")[-1] for m in self.args.metrics_watch}
+        unsupported = watch - {"rmse", "mse"}
+        if unsupported and not getattr(self, "_warned_watch", False):
+            self._warned_watch = True
+            warnings.warn(
+                f"metrics_watch entries {sorted(unsupported)} are not "
+                "promoted per epoch — only rmse/mse scalars are derived "
+                "from the per-(step, var) MSE table. Other metrics are "
+                "available from the full test-phase evaluation.",
+                stacklevel=2,
+            )
         var_names = list(self.datastore.get_vars_names("state"))
         state_std = np.asarray(self.state_std)
-        rmse_phys = np.sqrt(np.asarray(mse_table)) * state_std
+        mse_std = np.asarray(mse_table)
+        rmse_phys = np.sqrt(mse_std) * state_std
         var_leads = self.args.var_leads_metrics_watch or {}
         for var, leads in var_leads.items():
             if var not in var_names:
@@ -650,5 +710,9 @@ class Trainer:
                 if "rmse" in watch or not watch:
                     out[f"{prefix}_rmse_{var}_step{lead}"] = float(
                         rmse_phys[lead - 1, vi]
+                    )
+                if "mse" in watch:
+                    out[f"{prefix}_mse_{var}_step{lead}"] = float(
+                        mse_std[lead - 1, vi]
                     )
         return out

@@ -506,3 +506,61 @@ def test_cached_pre_gradients_match(monkeypatch, embed):
         jax.tree_util.tree_flatten(g_off)[0],
     ):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_stripe_groups_lane_alignment():
+    """Partial stripes are mid-array lane blocks, which Mosaic only
+    lowers at 128-lane multiples; odd group counts with no aligned
+    divisor must fall back to one full-width stripe (regression: batch
+    5 at hidden 64 previously picked an unlowerable 64-lane stripe)."""
+    from neural_lam_tpu.ops.pallas_fused import _stripe_groups
+
+    for feat in (8, 64, 128, 256):
+        for groups in range(1, 18):
+            g = _stripe_groups(groups, feat)
+            assert groups % g == 0
+            stripe = g * feat
+            assert stripe == groups * feat or stripe % 128 == 0, (
+                f"misaligned stripe {stripe} for groups={groups}, "
+                f"feat={feat}"
+            )
+    assert _stripe_groups(4, 64) == 4  # 256 lanes, the tuned default
+    assert _stripe_groups(6, 64) == 2  # 128-lane stripes
+    assert _stripe_groups(5, 64) == 5  # no aligned divisor: full width
+    assert _stripe_groups(16, 64) == 4
+
+
+@pytest.mark.parametrize("mode", ["high", "high-kernels"])
+def test_high_kernels_io_stream_dtype(monkeypatch, mode):
+    """``high-kernels`` rounds matmul operands inside the kernel only —
+    the HBM streams handed to the fused impl stay exact f32, while full
+    ``high`` thins them to bf16 (the documented contract of
+    segment.kernel_matmul_high)."""
+    import neural_lam_tpu.ops.pallas_fused as pf
+
+    rng = np.random.default_rng(7)
+    d = 8
+    es, _ = _random_edge_set(rng, n_send=13, n_rec=9, n_edges=48)
+    params = init_interaction_net(jax.random.PRNGKey(5), d)
+    edge = jnp.asarray(rng.normal(size=(es.num_padded, 2, d)), jnp.float32)
+    send = jnp.asarray(rng.normal(size=(13, 2, d)), jnp.float32)
+    rec = jnp.asarray(rng.normal(size=(9, 2, d)), jnp.float32)
+
+    seen = {}
+    orig = pf._fused_fwd_impl
+
+    def spy(layout, edge2d, send2d, rec2d, *a, **kw):
+        seen["dtypes"] = (edge2d.dtype, send2d.dtype, rec2d.dtype)
+        return orig(layout, edge2d, send2d, rec2d, *a, **kw)
+
+    monkeypatch.setattr(pf, "_fused_fwd_impl", spy)
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED", "auto")
+    monkeypatch.setenv("NEURAL_LAM_TPU_MATMUL_PRECISION", mode)
+    es.fn_cache.clear()
+    out = apply_interaction_net(
+        params, es, send, rec, edge, update_edges=False
+    )
+    assert out.dtype == jnp.float32
+    want = jnp.bfloat16 if mode == "high" else jnp.float32
+    assert seen["dtypes"] == (want, want, want)

@@ -490,3 +490,78 @@ def test_preemption_signal_stops_training(setup):
     assert trainer.preempt_event.is_set()
     assert len(history) < 50, "fit should stop at the preempted epoch"
     assert history[-1].get("preempted") is True
+
+
+def test_fit_zero_batch_epoch(setup):
+    """An epoch with no batches (empty shard / drop_last on a tiny
+    dataset) records NaN instead of crashing on jnp.stack([])."""
+    ds, fc, config = setup
+    trainer = Trainer(fc, config, ds, TrainingArgs(batch_size=2))
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+
+    class EmptyLoader:
+        def set_epoch(self, epoch):
+            pass
+
+        def __iter__(self):
+            return iter(())
+
+    params, opt_state, history = trainer.fit(
+        params, opt_state, EmptyLoader(), epochs=1
+    )
+    assert len(history) == 1
+    assert np.isnan(history[0]["train_loss"])
+
+
+def test_device_prefetch_early_exit_joins_producer(setup):
+    """Abandoning the prefetch generator early (preemption, a raising
+    step) must unblock and finish the producer thread instead of
+    leaving it pinned on a full queue."""
+    import threading
+
+    ds, fc, config = setup
+    trainer = Trainer(fc, config, ds, TrainingArgs(batch_size=2))
+    train_loader, _ = _loaders(ds, ar_steps=1)
+    train_loader.set_epoch(0)
+    gen = trainer.device_prefetch(train_loader, depth=1)
+    next(gen)  # producer is now running and blocked on the full queue
+    gen.close()  # early exit; must not hang and must join the producer
+    assert not any(
+        t.name == "neural-lam-prefetch" and t.is_alive()
+        for t in threading.enumerate()
+    )
+
+
+def test_metrics_watch_mse_and_unsupported_warning(tmp_path):
+    """metrics_watch: mse scalars promote alongside rmse; unsupported
+    metric names warn once instead of silently emitting nothing."""
+    ds = DummyDatastore(
+        n_grid_x=10, n_grid_y=10, n_timesteps=14, root_path=tmp_path
+    )
+    create_graph_from_datastore(
+        ds, ds.root_path / "graph" / "multiscale", hierarchical=False
+    )
+    model = GraphLAM(
+        ds, graph_name="multiscale", hidden_dim=8, processor_layers=2
+    )
+    fc = ARForecaster(model, ds)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path="")
+    )
+    args = TrainingArgs(
+        batch_size=2,
+        val_steps_to_log=(1,),
+        metrics_watch=("val_mse", "val_mae"),
+        var_leads_metrics_watch={"state_var_0": [1]},
+    )
+    trainer = Trainer(fc, config, ds, args)
+    params, _ = trainer.init_state(jax.random.PRNGKey(0))
+    loader = DataLoader(
+        WeatherDataset(ds, split="val", ar_steps=2),
+        batch_size=2, shuffle=False,
+    )
+    with pytest.warns(UserWarning, match="mae"):
+        metrics = trainer.evaluate(params, loader, "val")
+    assert "val_mse_state_var_0_step1" in metrics
+    assert np.isfinite(metrics["val_mse_state_var_0_step1"])
+    assert "val_rmse_state_var_0_step1" not in metrics
