@@ -142,7 +142,10 @@ class BaseDatastore(abc.ABC):
     def num_grid_points(self) -> int:
         """Number of grid points (after spatial stacking)."""
 
-    @functools.lru_cache
+    # NOTE: deliberately uncached — an ``lru_cache`` on an instance method
+    # would pin every datastore instance (and its in-memory data) in a
+    # module-global cache for the process lifetime, and the list build is
+    # trivially cheap.
     def expected_dim_order(
         self, category: Optional[str] = None
     ) -> tuple[str, ...]:

@@ -170,14 +170,18 @@ class DummyDatastore(BaseRegularGridDatastore):
         vals = self._values["train"].get(category)
         if vals is None or category == "static":
             vals = self._static[None]
-        mean = vals.mean(axis=(0, 1))
-        std = vals.std(axis=(0, 1))
+        # Reduce over every axis except the trailing feature axis, so
+        # ensemble stores with an extra member axis (T, M, grid, feat)
+        # still produce per-feature (feat,) stats.
+        red_axes = tuple(range(vals.ndim - 1))
+        mean = vals.mean(axis=red_axes)
+        std = vals.std(axis=red_axes)
         stats = {f"{category}_mean": mean, f"{category}_std": std}
         if category == "state":
             standardized = (vals - mean) / std
             diffs = np.diff(standardized, axis=0)
-            stats["state_diff_mean_standardized"] = diffs.mean(axis=(0, 1))
-            stats["state_diff_std_standardized"] = diffs.std(axis=(0, 1))
+            stats["state_diff_mean_standardized"] = diffs.mean(axis=red_axes)
+            stats["state_diff_std_standardized"] = diffs.std(axis=red_axes)
         return stats
 
     def get_dataarray(

@@ -131,6 +131,19 @@ class MDPDatastore(BaseRegularGridDatastore):
     def _feature_list(self, category: str, suffix: str = "") -> list[str]:
         name = f"{category}_feature{suffix}"
         if name not in self._store:
+            base_name = f"{category}_feature"
+            if suffix and base_name in self._store:
+                # Only the auxiliary metadata array (units/long names) is
+                # missing — the category itself exists. Return same-length
+                # placeholders so name/unit zips stay aligned.
+                n = len(self._read(base_name))
+                warnings.warn(
+                    f"datastore has no {name!r} array; using placeholder "
+                    f"{suffix.lstrip('_')} metadata for {n} "
+                    f"{category} features",
+                    stacklevel=2,
+                )
+                return ["unknown"] * n
             if category == "forcing":
                 warnings.warn(
                     "no forcing data found in datastore", stacklevel=2

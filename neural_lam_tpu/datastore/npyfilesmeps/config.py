@@ -9,6 +9,7 @@ hand-rolled YAML instead of dataclass_wizard.
 from __future__ import annotations
 
 import dataclasses
+import re
 from datetime import timedelta
 from pathlib import Path
 from typing import Any
@@ -57,13 +58,28 @@ class NpyDatastoreConfig:
         step_length = ds["step_length"]
         if not isinstance(step_length, timedelta):
             # Plain numbers mean hours (the reference YAML convention);
-            # ISO-8601 "PT3H" strings are also accepted.
-            if isinstance(step_length, str) and step_length.upper().startswith(
-                "PT"
-            ):
-                s = step_length.upper()
-                hours = float(s[2:-1]) if s.endswith("H") else 0.0
-                step_length = timedelta(hours=hours)
+            # ISO-8601 duration strings ("PT3H", "PT30M", "P1DT6H", ...)
+            # are also accepted and must parse fully — a silent
+            # timedelta(0) would corrupt every time coordinate downstream.
+            if isinstance(step_length, str):
+                m = re.fullmatch(
+                    r"P(?:(\d+(?:\.\d+)?)D)?"
+                    r"(?:T(?:(\d+(?:\.\d+)?)H)?"
+                    r"(?:(\d+(?:\.\d+)?)M)?"
+                    r"(?:(\d+(?:\.\d+)?)S)?)?",
+                    step_length.strip().upper(),
+                )
+                if m is None or not any(m.groups()):
+                    raise ValueError(
+                        f"Cannot parse step_length {step_length!r} as an "
+                        "ISO-8601 duration (expected e.g. 'PT3H', 'PT30M')"
+                    )
+                d, h, mi, sec = (
+                    float(g) if g else 0.0 for g in m.groups()
+                )
+                step_length = timedelta(
+                    days=d, hours=h, minutes=mi, seconds=sec
+                )
             else:
                 step_length = timedelta(hours=float(step_length))
         ds["step_length"] = step_length

@@ -305,6 +305,45 @@ class NpyFilesDatastoreMEPS(BaseRegularGridDatastore):
                         axis=1,
                     )  # (T, M, grid, d)
 
+                def pushdown(i, rest, _split=split, _times=analysis_times):
+                    # Selection over one analysis item's (T, M, grid, d)
+                    # axes. Members live in separate files, so resolve the
+                    # member key FIRST and read only the selected files —
+                    # isel(ensemble_member=m) costs one file per analysis
+                    # time instead of M.
+                    t_key = rest[0] if len(rest) >= 1 else slice(None)
+                    m_key = rest[1] if len(rest) >= 2 else slice(None)
+                    tail = rest[2:]
+                    n_adv = sum(
+                        not isinstance(k, (int, np.integer, slice))
+                        for k in rest
+                    )
+                    if n_adv > 1:
+                        # Multiple advanced indices reorder axes under
+                        # numpy semantics; take the simple (full) path.
+                        return loader(i)[rest]
+                    drop_m = isinstance(m_key, (int, np.integer))
+                    if drop_m:
+                        members = [int(m_key) % M]
+                    elif isinstance(m_key, slice):
+                        members = list(range(*m_key.indices(M)))
+                    else:
+                        members = [
+                            int(x) % M
+                            for x in np.asarray(m_key).reshape(-1)
+                        ]
+                    per_member_key = (t_key,) + tail
+                    subs = [
+                        self._load_state_file(_split, _times[i], m)[
+                            per_member_key
+                        ]
+                        for m in members
+                    ]
+                    if drop_m:
+                        return subs[0]
+                    m_axis = 0 if isinstance(t_key, (int, np.integer)) else 1
+                    return np.stack(subs, axis=m_axis)
+
                 item_shape = (T, M, n_grid, d)
                 dims = (
                     "analysis_time",
@@ -325,7 +364,12 @@ class NpyFilesDatastoreMEPS(BaseRegularGridDatastore):
                     "state_feature",
                 )
 
-            data = LazyTimeSeries(loader, len(analysis_times), item_shape)
+            data = LazyTimeSeries(
+                loader,
+                len(analysis_times),
+                item_shape,
+                pushdown=pushdown if self.is_ensemble else None,
+            )
             coords = {
                 "analysis_time": np.array(analysis_times),
                 "elapsed_forecast_duration": np.array(

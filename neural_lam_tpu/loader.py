@@ -65,7 +65,9 @@ class DataLoader:
             # DistributedSampler note, reference: README.md:528-530).
             pad = (-n) % self.num_shards
             if pad:
-                idxs = np.concatenate([idxs, idxs[:pad]])
+                # np.resize wraps as many times as needed — important when
+                # the dataset is smaller than the shard count (pad > n).
+                idxs = np.resize(idxs, n + pad)
         return idxs[self.shard_index :: self.num_shards]
 
     def __len__(self) -> int:
@@ -94,25 +96,51 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
         err: list[BaseException] = []
 
         def producer():
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    # Bounded put so an abandoned consumer (GeneratorExit
+                    # mid-epoch) cannot strand this thread on a full queue
+                    # holding assembled batches for the process lifetime.
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # surface worker errors to consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                # The sentinel must be delivered (the consumer blocks on it)
+                # unless the consumer already abandoned iteration.
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            stop.set()
+            try:  # unblock the producer if it is mid-put
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)
         if err:
             raise err[0]
 

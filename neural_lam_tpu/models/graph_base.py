@@ -84,6 +84,11 @@ class BaseGraphModel(StepPredictor):
         self.hidden_dim = hidden_dim
         self.hidden_layers = hidden_layers
         self.processor_layers = processor_layers
+        if mesh_aggr not in ("sum", "mean"):
+            # Fail at construction like the reference's InteractionNet
+            # (reference: neural_lam/gnn_layers.py:70-76), not at the
+            # first jitted apply.
+            raise ValueError(f"Unknown aggregation method: {mesh_aggr}")
         self.mesh_aggr = mesh_aggr
         self.g2m_propagation = is_propagation(g2m_gnn_type)
         self.m2g_propagation = is_propagation(m2g_gnn_type)

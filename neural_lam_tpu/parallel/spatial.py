@@ -478,11 +478,15 @@ class ShardedModel:
                 self.level_local[lev + 1], self.level_local[lev],
             ))
 
-        # node tables: (P, n_local, d) slabs
+        # node tables: (P, n_local, d) slabs. Keep the model's compute
+        # dtype (bf16 mixed precision would otherwise be silently promoted
+        # back to f32 through the concat with these slabs).
+        slab_dtype = np.dtype(model.compute_dtype)
+
         def slab(arr, n_local, n_global):
-            arr = np.asarray(arr, np.float32)
+            arr = np.asarray(arr).astype(slab_dtype)
             out = np.zeros(
-                (n_local * P_,) + arr.shape[1:], np.float32
+                (n_local * P_,) + arr.shape[1:], slab_dtype
             )
             out[:n_global] = arr
             return out.reshape((P_, n_local) + arr.shape[1:])
@@ -515,9 +519,14 @@ class ShardedModel:
         self.state_std = jnp.asarray(
             np.maximum(np.asarray(stats["state_std"], np.float32), eps)
         )
-        f_stats = datastore.get_standardization_dataarray(
-            category="forcing"
-        )
+        # Guard like the trainer: stores without a forcing category raise
+        # on the stats lookup (reference: module.py:183).
+        if datastore.get_num_data_vars("forcing") > 0:
+            f_stats = datastore.get_standardization_dataarray(
+                category="forcing"
+            )
+        else:
+            f_stats = {}
         self._forcing_mean_raw = np.asarray(
             f_stats.get("forcing_mean", np.zeros(0)), np.float32
         )

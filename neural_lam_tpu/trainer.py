@@ -149,7 +149,15 @@ class Trainer:
         self.state_std = jnp.asarray(
             np.maximum(np.asarray(stats["state_std"], np.float32), eps)
         )
-        f_stats = datastore.get_standardization_dataarray(category="forcing")
+        # Only request forcing stats when the datastore has forcing vars;
+        # stores without a forcing category raise on the lookup
+        # (reference guards identically, module.py:183).
+        if datastore.get_num_data_vars("forcing") > 0:
+            f_stats = datastore.get_standardization_dataarray(
+                category="forcing"
+            )
+        else:
+            f_stats = {}
         self._forcing_mean_raw = np.asarray(
             f_stats.get("forcing_mean", np.zeros(0)), np.float32
         )

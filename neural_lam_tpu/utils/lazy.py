@@ -11,7 +11,7 @@ file (via ``np.load(..., mmap_mode="r")`` inside the loader).
 
 from __future__ import annotations
 
-from typing import Callable, Sequence, Union
+from typing import Callable, Optional, Sequence, Union
 
 import numpy as np
 
@@ -35,11 +35,17 @@ class LazyTimeSeries:
         item_shape: tuple[int, ...],
         dtype=np.float32,
         cache_size: int = 2,
+        pushdown: Optional[Callable[[int, tuple], np.ndarray]] = None,
     ) -> None:
         self._loader = loader
         self._num_items = num_items
         self._item_shape = tuple(item_shape)
         self.dtype = np.dtype(dtype)
+        # Optional selection pushdown: ``pushdown(i, rest)`` returns the
+        # item ``i`` already indexed by ``rest`` — lets backends that store
+        # one file per sub-axis element (e.g. per ensemble member) read
+        # only the files the selection touches.
+        self._pushdown = pushdown
         # Tiny LRU so the common access pattern (same analysis time sliced
         # repeatedly while windowing) reads each file once.
         self._cache: dict[int, np.ndarray] = {}
@@ -85,6 +91,13 @@ class LazyTimeSeries:
         rest = key[1:]
 
         if isinstance(first, (int, np.integer)):
+            if rest and self._pushdown is not None:
+                i = int(first)
+                if i < 0:
+                    i += self._num_items
+                return np.asarray(
+                    self._pushdown(i, rest), dtype=self.dtype
+                )
             item = self._item(first)
             return item[rest] if rest else item
 
@@ -105,6 +118,8 @@ class LazyTimeSeries:
         )
 
         def sub_loader(j, _indices=indices, _rest=rest):
+            if _rest and self._pushdown is not None:
+                return self._pushdown(_indices[j], _rest)
             item = self._item(_indices[j])
             return item[_rest] if _rest else item
 

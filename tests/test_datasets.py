@@ -159,3 +159,63 @@ def test_loader_shard_disjointness(tmp_path):
     assert set(seen) == set(range(len(dataset)))  # full coverage
     pad = (-len(dataset)) % 3
     assert len(seen) == len(dataset) + pad  # only the wrap-pad repeats
+
+
+def test_dataloader_pad_exceeds_dataset_size():
+    """When there are fewer samples than shards the wrap-pad must cycle
+    the dataset as many times as needed — every shard still sees the
+    same number of indices (the multi-host lockstep requirement)."""
+    ds = DummyDatastore(n_grid_x=4, n_grid_y=4, n_timesteps=6)
+    dataset = WeatherDataset(ds, split="train", ar_steps=1)
+    n = len(dataset)
+    num_shards = n + 6  # force pad > n
+    lengths = set()
+    seen = []
+    for i in range(num_shards):
+        loader = DataLoader(
+            dataset, batch_size=1, shuffle=False, drop_last=False,
+            shard_index=i, num_shards=num_shards,
+        )
+        idxs = loader._epoch_indices()
+        lengths.add(len(idxs))
+        seen.extend(idxs.tolist())
+    assert lengths == {1}
+    assert set(seen) == set(range(n))  # coverage despite wrapping
+
+
+def test_dataloader_abandoned_iteration_stops_producer():
+    """Abandoning iteration mid-epoch must not strand the prefetch
+    thread blocked on a full queue."""
+    import threading
+    import time
+
+    ds = DummyDatastore(n_grid_x=4, n_grid_y=4, n_timesteps=40)
+    dataset = WeatherDataset(ds, split="train", ar_steps=1)
+    before = threading.active_count()
+    loader = DataLoader(dataset, batch_size=1, prefetch=1)
+    it = iter(loader)
+    next(it)  # producer now blocked on a full queue
+    it.close()  # abandon mid-epoch (GeneratorExit)
+    deadline = time.monotonic() + 5.0
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert threading.active_count() == before
+
+
+def test_ensemble_computed_stats_are_per_feature():
+    """Computed stats over a 4-d (T, member, grid, feat) ensemble store
+    must reduce to per-feature vectors, not (grid, feat) matrices."""
+    from neural_lam_tpu.datastore.dummy import EnsembleDummyDatastore
+
+    ds = EnsembleDummyDatastore(
+        n_grid_x=3, n_grid_y=3, n_timesteps=8, computed_stats=True
+    )
+    stats = ds.get_standardization_dataarray(category="state")
+    n_feat = ds.get_num_data_vars("state")
+    for key in (
+        "state_mean",
+        "state_std",
+        "state_diff_mean_standardized",
+        "state_diff_std_standardized",
+    ):
+        assert stats[key].shape == (n_feat,), (key, stats[key].shape)

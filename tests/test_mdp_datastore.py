@@ -337,3 +337,28 @@ def test_missing_zarr_without_mdp_package(tmp_path):
 
     with pytest.raises(FileNotFoundError, match="mllam-data-prep"):
         MDPDatastore(cfg)
+
+
+def test_missing_units_array_yields_placeholders(mdp_root, tmp_path):
+    """A zarr with 'forcing_feature' but no 'forcing_feature_units'
+    (mllam configs without units metadata) must keep names/units zips
+    aligned via placeholders — not claim 'no forcing data found'."""
+    import shutil
+    import warnings as _warnings
+
+    root = tmp_path / "mdp_nounits"
+    shutil.copytree(mdp_root, root)
+    shutil.rmtree(
+        root / "danra.datastore.zarr" / "forcing_feature_units"
+    )
+    store = MDPDatastore(
+        config_path=root / "danra.datastore.yaml", n_boundary_points=2
+    )
+    names = store.get_vars_names("forcing")
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        units = store.get_vars_units("forcing")
+    assert units == ["unknown"] * len(names)
+    assert any("placeholder" in str(x.message) for x in w)
+    # the category itself is intact
+    assert store.get_num_data_vars("forcing") == N_FORCING

@@ -238,14 +238,61 @@ def test_sharded_stats_merge_exact(meps_root):
 
 
 def test_lazy_member_selection(store):
-    """isel(ensemble_member=m) must not load any analysis-time files."""
+    """isel(ensemble_member=m) must read only that member's files —
+    one np.load per analysis time, not one per member (selection
+    pushdown through LazyTimeSeries)."""
     da = store.get_dataarray(category="state", split="train")
-    loads = []
-    orig_loader = da.data._loader
-    da.data._loader = lambda i: (loads.append(i), orig_loader(i))[1]
-    sub = da.isel(ensemble_member=1)
-    assert loads == []  # still lazy
-    one = sub.isel(analysis_time=2, elapsed_forecast_duration=slice(0, 3))
-    vals = np.asarray(one.data)
-    assert vals.shape == (3, N_GRID, N_STATE)
-    assert loads == [2]  # exactly one file group read
+    eager = np.asarray(
+        store.get_dataarray(category="state", split="train").data
+    )  # (A, T, M, grid, d)
+
+    calls = []
+    orig = store._load_state_file
+
+    def counting(split, atime, member):
+        calls.append(member)
+        return orig(split, atime, member)
+
+    store._load_state_file = counting
+    try:
+        sub = da.isel(ensemble_member=1)
+        assert calls == []  # still lazy
+        one = sub.isel(
+            analysis_time=2, elapsed_forecast_duration=slice(0, 3)
+        )
+        vals = np.asarray(one.data)
+        assert vals.shape == (3, N_GRID, N_STATE)
+        # exactly one file read, and it is member 1's
+        assert calls == [1]
+        np.testing.assert_array_equal(vals, eager[2, :3, 1])
+    finally:
+        store._load_state_file = orig
+
+
+def test_step_length_iso8601_parsing(meps_root, tmp_path):
+    """ISO-8601 durations must parse exactly — 'PT30M' is 30 minutes,
+    not a silent timedelta(0) — and garbage must raise."""
+    from neural_lam_tpu.datastore.npyfilesmeps.config import (
+        NpyDatastoreConfig,
+    )
+
+    base = yaml.safe_load(
+        (meps_root / "data_config.yaml").read_text(encoding="utf-8")
+    )
+
+    def parse(step_length):
+        cfg = dict(base)
+        cfg["dataset"] = dict(base["dataset"], step_length=step_length)
+        p = tmp_path / "cfg.yaml"
+        p.write_text(yaml.safe_dump(cfg), encoding="utf-8")
+        return NpyDatastoreConfig.from_yaml_file(p).dataset.step_length
+
+    assert parse(3) == timedelta(hours=3)
+    assert parse("PT3H") == timedelta(hours=3)
+    assert parse("PT30M") == timedelta(minutes=30)
+    assert parse("PT1H30M") == timedelta(hours=1, minutes=30)
+    assert parse("P1DT6H") == timedelta(days=1, hours=6)
+    with pytest.raises(ValueError):
+        parse("PTXH")
+    with pytest.raises(ValueError):
+        parse("P")  # no components at all

@@ -292,3 +292,22 @@ def test_sharded_eval_step(ds):
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(ref[k]), rtol=2e-4, atol=1e-5
         )
+
+
+def test_sharded_static_tables_keep_compute_dtype(ds):
+    """bf16 mixed precision must survive sharding: the static node
+    slabs take the model's compute dtype instead of silently promoting
+    every stream back to float32 through the input concat."""
+    import jax.numpy as jnp
+
+    model = _make_model(ds, "graph_lam", compute_dtype=jnp.bfloat16)
+    mesh = _mesh(1, 4)
+    sharded = ShardedModel(model, ds, mesh, all_gather_max_nodes=64)
+    tables = sharded._host_tables
+    assert tables["grid_static"].dtype == jnp.bfloat16
+    for k, v in tables.items():
+        if k.startswith("mesh_static"):
+            assert v.dtype == jnp.bfloat16, k
+    # masks stay f32 (they blend truth/pred exactly like the replicated
+    # forecaster, models/forecaster.py:39-42)
+    assert tables["boundary_mask"].dtype == np.float32
