@@ -55,6 +55,14 @@ def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
     return flat
 
 
+def _flat_keys(tree: Any) -> set[str]:
+    """Keystr set of a pytree without materialising its leaves."""
+    return {
+        jax.tree_util.keystr(path)
+        for path, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
 class CheckpointManager:
     """Save/restore train state under ``run_dir/checkpoints``."""
 
@@ -62,7 +70,20 @@ class CheckpointManager:
         self.ckpt_dir = Path(run_dir) / "checkpoints"
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
         self._ckptr = ocp.PyTreeCheckpointer()
+        # Resuming into an existing run dir must not clobber a better
+        # historical min_val_loss checkpoint (Lightning restores
+        # best_model_score across resume; we persist it in best.json).
         self.best_val_loss = float("inf")
+        best_path = self.ckpt_dir / "best.json"
+        if best_path.exists():
+            try:
+                self.best_val_loss = float(
+                    json.loads(best_path.read_text(encoding="utf-8"))[
+                        "val_loss"
+                    ]
+                )
+            except (ValueError, KeyError, json.JSONDecodeError):
+                pass
 
     def _path(self, name: str) -> Path:
         return self.ckpt_dir / name
@@ -109,6 +130,11 @@ class CheckpointManager:
         if val_loss < self.best_val_loss:
             self.best_val_loss = val_loss
             self.save("min_val_loss", params, opt_state, step, hparams)
+            if jax.process_index() == 0:
+                (self.ckpt_dir / "best.json").write_text(
+                    json.dumps({"val_loss": val_loss, "step": step}),
+                    encoding="utf-8",
+                )
             return True
         return False
 
@@ -133,32 +159,37 @@ class CheckpointManager:
 
     def restore_params_only(self, name: str, params_template: Any) -> Any:
         """Restore only model params (fresh optimizer — the reference's
-        default unless ``--restore_opt``, reference: module.py:1012-1014)."""
+        default unless ``--restore_opt``, reference: module.py:1012-1014).
+
+        Reads only the params subtree from disk: the opt_state (2x the
+        params in adamw moments) is never deserialised.
+        """
         path = self._path(name)
         if not path.exists():
             raise FileNotFoundError(f"No checkpoint at {path}")
-        state = self._ckptr.restore(path.resolve())
-        template_flat = _flatten(_to_host(params_template))
-        restored_flat = _flatten(state["params"])
-        if set(template_flat) != set(restored_flat):
-            missing = set(template_flat) - set(restored_flat)
-            extra = set(restored_flat) - set(template_flat)
+        host_template = _to_host(params_template)
+        # Validate key sets against on-disk metadata (cheap, no array IO)
+        # before the partial restore, for a readable error on mismatch.
+        on_disk = self._ckptr.metadata(path.resolve()).item_metadata.tree
+        template_keys = _flat_keys(host_template)
+        disk_keys = _flat_keys(on_disk.get("params", {}))
+        if template_keys != disk_keys:
+            missing = template_keys - disk_keys
+            extra = disk_keys - template_keys
             raise ValueError(
                 f"Checkpoint params mismatch: missing {sorted(missing)}, "
                 f"unexpected {sorted(extra)}"
             )
-        # Rebuild with the template's structure
-        leaves_paths = jax.tree_util.tree_flatten_with_path(
-            _to_host(params_template)
+        item = {"params": host_template}
+        state = self._ckptr.restore(
+            path.resolve(),
+            item=item,
+            transforms={},
+            restore_args=jax.tree_util.tree_map(
+                lambda _: ocp.RestoreArgs(), item
+            ),
         )
-        treedef = jax.tree_util.tree_structure(
-            _to_host(params_template)
-        )
-        new_leaves = [
-            restored_flat[jax.tree_util.keystr(path)]
-            for path, _ in leaves_paths[0]
-        ]
-        return jax.tree_util.tree_unflatten(treedef, new_leaves)
+        return state["params"]
 
     def load_hparams(self, name: str) -> Optional[dict]:
         path = self._path(name) / "hparams.json"

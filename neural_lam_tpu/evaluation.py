@@ -108,19 +108,28 @@ def run_test_evaluation(
         mae_sv = mae_metric(
             prediction, target_s, pred_std, mask=interior, sum_vars=False
         )
-        # Spatial loss: per grid node, summed over vars, averaged over
-        # batch (reference: module.py:571-582 with average_grid=False).
-        spatial = jnp.mean(
-            trainer.loss_fn(
-                prediction, target_s, pred_std,
-                mask=None, average_grid=False, sum_vars=True,
-            ),
-            axis=0,
-        )  # (T, N)
+        # Spatial loss: per grid node, summed over vars, kept per-sample
+        # so padded tail rows can be sliced off on the host
+        # (reference: module.py:571-582 with average_grid=False).
+        spatial = trainer.loss_fn(
+            prediction, target_s, pred_std,
+            mask=None, average_grid=False, sum_vars=True,
+        )  # (B, T, N)
         return loss, mse_sv, mae_sv, spatial, prediction
 
+    is_rank_zero = jax.process_index() == 0
     sums: dict[str, np.ndarray] = {}
     count = 0
+    if jax.process_count() > 1 and n_example_pred > 0:
+        # predictions are data-sharded across hosts; example plotting
+        # is a single-host feature (the reference likewise runs its
+        # example plots on rank 0 of single-device eval, README:528-530)
+        if is_rank_zero:
+            print(
+                "warning: example-prediction plots are skipped under "
+                "multi-host eval; rerun single-host for examples"
+            )
+        n_example_pred = 0
     example_plotted = 0
     pred_steps = None
     for batch in loader:
@@ -130,22 +139,45 @@ def run_test_evaluation(
         )
         if pred_steps is None:
             pred_steps = int(loss.shape[1])
-        bsz = real
-        for key, val in (
-            ("loss", np.asarray(loss)[:real].sum(axis=0)),
-            ("mse", np.asarray(mse_sv)[:real].sum(axis=0)),
-            ("mae", np.asarray(mae_sv)[:real].sum(axis=0)),
-            # spatial is already batch-averaged over padded rows; weight
-            # by real fraction for correctness on the unpadded tail
-            ("spatial", np.asarray(spatial) * bsz),
-        ):
-            sums[key] = sums.get(key, 0) + val
-        count += bsz
+        per_batch = (
+            ("loss", loss), ("mse", mse_sv), ("mae", mae_sv),
+            ("spatial", spatial),
+        )
+        if jax.process_count() > 1:
+            # Gather per-sample outputs and per-host real counts across
+            # hosts, masking each host's padded tail rows, so every
+            # process accumulates identical sums
+            # (reference metric sync: module.py:399-418).
+            from jax.experimental import multihost_utils
+
+            reals = np.asarray(
+                multihost_utils.process_allgather(np.int64(real))
+            ).reshape(-1)
+            gathered = {
+                k: np.asarray(
+                    multihost_utils.process_allgather(v, tiled=True)
+                )
+                for k, v in per_batch
+            }
+            per_host = gathered["loss"].shape[0] // len(reals)
+            keep = np.concatenate(
+                [np.arange(per_host) < r for r in reals]
+            )
+            for key, val in gathered.items():
+                sums[key] = sums.get(key, 0) + val[keep].sum(axis=0)
+            count += int(reals.sum())
+        else:
+            for key, val in per_batch:
+                sums[key] = sums.get(key, 0) + np.asarray(val)[
+                    :real
+                ].sum(axis=0)
+            count += real
 
         # Example prediction plots from the first batch(es)
         # (reference: module.py:584-768).
-        while example_plotted < n_example_pred and example_plotted < real:
-            i = example_plotted
+        n_plot = min(n_example_pred - example_plotted, real)
+        for i in range(n_plot):
+            ex = example_plotted + i  # global example index for naming
             pred_phys = (
                 np.asarray(prediction)[i] * state_std + state_mean
             )  # (T, N, d)
@@ -164,7 +196,7 @@ def run_test_evaluation(
                     ),
                 )
                 logger.log_image(
-                    f"{split}_example_{i}/{name}", fig, step=t_last + 1
+                    f"{split}_example_{ex}/{name}", fig, step=t_last + 1
                 )
                 vis.plt.close(fig)
                 if create_gif:
@@ -174,9 +206,9 @@ def run_test_evaluation(
                         datastore,
                         name,
                         run_dir
-                        / f"{split}_example_{i}_{name}.gif",
+                        / f"{split}_example_{ex}_{name}.gif",
                     )
-            example_plotted += 1
+        example_plotted += n_plot
 
     mean_loss_per_step = sums["loss"] / count  # (T,)
     mse_per_step_var = sums["mse"] / count  # (T, d)
@@ -214,7 +246,9 @@ def run_test_evaluation(
                             float(table[lead - 1, v])
                         )
 
-    # Artifacts
+    # Artifacts (rank-0 only: sums are identical on every process)
+    if not is_rank_zero:
+        return metrics
     vis.save_metrics_csv(rmse_phys, datastore, run_dir / f"{split}_rmse.csv")
     vis.save_metrics_csv(mae_phys, datastore, run_dir / f"{split}_mae.csv")
     for name, table in (("rmse", rmse_phys), ("mae", mae_phys)):

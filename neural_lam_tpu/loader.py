@@ -95,6 +95,10 @@ class DataLoader:
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        # Bind the exception classes into this generator frame: the
+        # cleanup `except` below can run at interpreter shutdown via
+        # generator GC, after module globals are torn down.
+        empty_exc, full_exc = queue.Empty, queue.Full
         sentinel = object()
         stop = threading.Event()
         err: list[BaseException] = []
@@ -109,7 +113,7 @@ class DataLoader:
                         try:
                             q.put(batch, timeout=0.1)
                             break
-                        except queue.Full:
+                        except full_exc:
                             continue
                     if stop.is_set():
                         return
@@ -122,7 +126,7 @@ class DataLoader:
                     try:
                         q.put(sentinel, timeout=0.1)
                         break
-                    except queue.Full:
+                    except full_exc:
                         continue
 
         t = threading.Thread(target=producer, daemon=True)
@@ -138,7 +142,7 @@ class DataLoader:
             try:  # unblock the producer if it is mid-put
                 while True:
                     q.get_nowait()
-            except queue.Empty:
+            except empty_exc:
                 pass
             t.join(timeout=5.0)
         if err:

@@ -188,14 +188,15 @@ def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     if args.config_path is None:
         raise SystemExit("--config_path is required")
-    # Validate eval step logging against rollout length
+    # Validate eval step logging against rollout length. Validation
+    # during training also unrolls ar_steps_eval steps, so the check is
+    # against ar_steps_eval in both modes
     # (reference: train_model.py:362-407).
-    eval_steps = args.ar_steps_eval if args.eval else args.ar_steps_train
-    invalid = [s for s in args.val_steps_to_log if s > eval_steps]
-    if invalid and args.eval:
+    invalid = [s for s in args.val_steps_to_log if s > args.ar_steps_eval]
+    if invalid:
         print(
             f"warning: val_steps_to_log {invalid} exceed rollout length "
-            f"{eval_steps}; they will be skipped",
+            f"{args.ar_steps_eval}; they will be skipped",
             file=sys.stderr,
         )
 
@@ -291,21 +292,34 @@ def main(argv=None) -> None:
     ckpt = CheckpointManager(run_dir)
     hparams = {k: v for k, v in vars(args).items()}
 
+    start_epoch = 0
     if args.load:
+        # --load accepts a run dir, its checkpoints/ dir, or a specific
+        # checkpoint (…/checkpoints/{latest,min_val_loss}).
         load_dir = Path(args.load)
-        src = CheckpointManager(
-            load_dir if (load_dir / "checkpoints").exists()
-            else load_dir.parent.parent
-        )
-        name = (
-            load_dir.name
-            if load_dir.name in ("latest", "min_val_loss")
-            else "latest"
-        )
+        if load_dir.name in ("latest", "min_val_loss"):
+            name, root = load_dir.name, load_dir.parent
+        else:
+            name, root = "latest", load_dir
+        if root.name == "checkpoints":
+            root = root.parent
+        if not (root / "checkpoints" / name).exists():
+            raise SystemExit(
+                f"--load: no checkpoint {name!r} under "
+                f"{root / 'checkpoints'}"
+            )
+        src = CheckpointManager(root)
         if args.restore_opt:
-            params, opt_state, _ = src.restore(name, params, opt_state)
+            params, opt_state, restored_step = src.restore(
+                name, params, opt_state
+            )
+            # Continue epoch numbering where the checkpoint left off
+            start_epoch = restored_step + 1
         else:
             params = src.restore_params_only(name, params)
+        # Restored trees are host numpy; re-place with the trainer's
+        # shardings (params replicated, opt moments ZeRO-1 sharded)
+        params, opt_state = trainer.place_state(params, opt_state)
         print(f"loaded checkpoint {name!r} from {src.ckpt_dir}")
 
     def make_loader(split, ar_steps, shuffle):
@@ -338,14 +352,24 @@ def main(argv=None) -> None:
             f"{args.logger!r}; the run id has no effect "
             "(reference: utils.py:754-757)"
         )
-    logger = setup_training_logger(
-        args.logger,
-        run_dir,
-        project=args.logger_project,
-        run_name=run_name,
-        run_id=args.logger_run_id,
-        config=hparams,
-    )
+    # Rank-zero-gated logging: only process 0 creates a real logger and
+    # writes history files; checkpoint saves stay collective (orbax
+    # coordinates across processes). Reference: Lightning rank_zero_only
+    # gating of all logger/console output.
+    is_rank_zero = jax.process_index() == 0
+    if is_rank_zero:
+        logger = setup_training_logger(
+            args.logger,
+            run_dir,
+            project=args.logger_project,
+            run_name=run_name,
+            run_id=args.logger_run_id,
+            config=hparams,
+        )
+    else:
+        from .loggers import NullLogger
+
+        logger = NullLogger()
     logger.log_hparams(hparams)
     # Run-level min summaries for the validation losses
     # (reference: neural_lam/utils.py:689-713)
@@ -400,10 +424,11 @@ def main(argv=None) -> None:
 
     def log_fn(record):
         step_counter["epoch"] = record["epoch"]
-        with open(history_path, "a", encoding="utf-8") as f:
-            f.write(json.dumps(record) + "\n")
-        print(json.dumps(record))
-        logger.log_metrics(record, step=record["epoch"])
+        if is_rank_zero:
+            with open(history_path, "a", encoding="utf-8") as f:
+                f.write(json.dumps(record) + "\n")
+            print(json.dumps(record))
+            logger.log_metrics(record, step=record["epoch"])
         ckpt.save_latest(
             log_fn.params, log_fn.opt_state, record["epoch"], hparams
         )
@@ -422,7 +447,7 @@ def main(argv=None) -> None:
     trainer.install_preemption_handler()
 
     # Run epoch-by-epoch so checkpoints always see the current state
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         params, opt_state, history = trainer.fit(
             params,
             opt_state,

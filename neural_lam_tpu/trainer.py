@@ -507,12 +507,23 @@ class Trainer:
         """Initialise params (replicated) and optimizer state
         (moments sharded over the data axis when enabled)."""
         params = self.forecaster.init_params(rng)
-        params = jax.device_put(params, self._replicated)
         opt_state = self.optimizer.init(params)
         self._opt_shardings = self._opt_state_sharding(opt_state)
-        opt_state = jax.tree_util.tree_map(
-            jax.device_put, opt_state, self._opt_shardings
-        )
+        return self.place_state(params, opt_state)
+
+    def place_state(self, params, opt_state) -> tuple[Any, Any]:
+        """Place (possibly checkpoint-restored host numpy) state on the
+        mesh with the trainer's shardings: params replicated, optimizer
+        moments data-axis sharded (ZeRO-1). Restored state MUST pass
+        through here before ``fit`` — the jitted step pins these
+        shardings on its donated buffers."""
+        params = jax.device_put(params, self._replicated)
+        if getattr(self, "_opt_shardings", None) is not None:
+            opt_state = jax.tree_util.tree_map(
+                jax.device_put, opt_state, self._opt_shardings
+            )
+        else:
+            opt_state = jax.device_put(opt_state, self._replicated)
         return params, opt_state
 
     def fit(

@@ -71,10 +71,24 @@ class FieldArray:
 
     # -- selection -----------------------------------------------------------
     def isel(self, **indexers: Index) -> "FieldArray":
-        """Integer/slice/fancy selection by dimension name."""
+        """Integer/slice/fancy selection by dimension name.
+
+        Semantics are xarray's (outer indexing): multiple array
+        indexers select the cross product, never numpy's pointwise
+        broadcast pairing.
+        """
         for dim in indexers:
             if dim not in self.dims:
                 raise KeyError(f"Unknown dim {dim!r}; have {self.dims}")
+
+        def _is_array(idx):
+            return not isinstance(
+                idx, (int, np.integer, slice)
+            )
+
+        n_array = sum(
+            1 for idx in indexers.values() if _is_array(idx)
+        )
         index: list[Any] = []
         new_dims: list[str] = []
         for dim in self.dims:
@@ -82,7 +96,29 @@ class FieldArray:
             index.append(idx)
             if not isinstance(idx, (int, np.integer)):
                 new_dims.append(dim)
-        data = self.data[tuple(index)]
+        if n_array <= 1:
+            # Single advanced index: numpy semantics coincide with
+            # outer indexing, and passing the whole tuple through keeps
+            # lazy backends (LazyTimeSeries pushdown) lazy.
+            data = self.data[tuple(index)]
+        else:
+            # Outer indexing: apply one indexer per axis sequentially.
+            data = np.asarray(self.data)
+            axis = 0
+            for idx in index:
+                if isinstance(idx, (int, np.integer)):
+                    data = np.take(data, int(idx), axis=axis)
+                    continue  # axis dropped
+                if isinstance(idx, slice):
+                    sl = [slice(None)] * data.ndim
+                    sl[axis] = idx
+                    data = data[tuple(sl)]
+                else:
+                    arr = np.asarray(idx)
+                    if arr.dtype == bool:
+                        arr = np.nonzero(arr)[0]
+                    data = np.take(data, arr, axis=axis)
+                axis += 1
         new_coords = {}
         for dim, coord in self.coords.items():
             if dim not in self.dims:

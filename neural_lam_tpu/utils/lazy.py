@@ -104,7 +104,16 @@ class LazyTimeSeries:
         if isinstance(first, slice):
             indices = list(range(*first.indices(self._num_items)))
         else:
-            indices = [int(i) for i in np.asarray(first).reshape(-1)]
+            arr = np.asarray(first).reshape(-1)
+            if arr.dtype == bool:
+                # numpy-style boolean mask selection along the first axis
+                if arr.size != self._num_items:
+                    raise IndexError(
+                        f"boolean index of length {arr.size} does not "
+                        f"match series length {self._num_items}"
+                    )
+                arr = np.nonzero(arr)[0]
+            indices = [int(i) for i in arr]
 
         # Multi-item selection stays LAZY: compose the per-item selection
         # into a new loader so e.g. ``isel(ensemble_member=m)`` over the

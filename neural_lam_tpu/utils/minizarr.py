@@ -277,8 +277,8 @@ class ZarrArray:
     def _decode(self, out: np.ndarray) -> np.ndarray:
         """Apply CF time decoding and fill-value masking (xarray conv.)."""
         units = self.attrs.get("units", "")
-        if isinstance(units, str) and " since " in units:
-            return _decode_cf_time(out, units)
+        # Mask float fill values to NaN BEFORE CF time decoding so a
+        # fill-valued time decodes to NaT, not a garbage timestamp.
         fill = self.attrs.get("_FillValue", self.fill_value)
         if (
             fill is not None
@@ -286,6 +286,8 @@ class ZarrArray:
             and not (isinstance(fill, float) and np.isnan(fill))
         ):
             out = np.where(out == fill, np.nan, out)
+        if isinstance(units, str) and " since " in units:
+            return _decode_cf_time(out, units)
         return out
 
 
@@ -307,8 +309,24 @@ def _decode_cf_time(values: np.ndarray, units: str) -> np.ndarray:
     if np_unit is None:
         return values
     epoch64 = np.datetime64(epoch.strip().replace(" ", "T"), "ns")
-    step = np.timedelta64(1, np_unit).astype("timedelta64[ns]")
-    return epoch64 + (values.astype("int64") * step)
+    step_ns = np.timedelta64(1, np_unit).astype("timedelta64[ns]")
+    values = np.asarray(values)
+    if np.issubdtype(values.dtype, np.floating):
+        # CF allows fractional offsets (xarray writes float64 for
+        # non-integral steps): split integer and fractional parts so
+        # large offsets keep exact ns precision; NaN (masked fill)
+        # decodes to NaT rather than a garbage timestamp.
+        nan = np.isnan(values)
+        safe = np.where(nan, 0.0, values)
+        whole = np.floor(safe)
+        frac = safe - whole
+        step_count = step_ns.astype("int64")
+        offs_ns = whole.astype("int64") * step_count + np.round(
+            frac * step_count
+        ).astype("int64")
+        out = epoch64 + offs_ns.astype("timedelta64[ns]")
+        return np.where(nan, np.datetime64("NaT"), out)
+    return epoch64 + (values.astype("int64") * step_ns)
 
 
 # -- groups -----------------------------------------------------------------

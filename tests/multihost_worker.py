@@ -109,6 +109,21 @@ def main() -> None:
     )
     metrics = trainer.evaluate(params, val_loader, "val")
 
+    # full artifact evaluation: cross-host metric gather + rank-0-only
+    # artifact writes (reference metric sync: module.py:399-418)
+    from neural_lam_tpu.evaluation import run_test_evaluation
+
+    eval_dir = os.path.join(workdir, "shared_eval")
+    test_metrics = run_test_evaluation(
+        trainer,
+        params,
+        val_loader,
+        ds,
+        eval_dir,
+        split="test",
+        n_example_pred=1,  # must be skipped (multi-host), not crash
+    )
+
     print(
         json.dumps(
             {
@@ -117,6 +132,7 @@ def main() -> None:
                 "restored_step": step_no,
                 "ckpt_max_diff": max_diff,
                 "val_loss": metrics["val_loss"],
+                "test_loss": test_metrics["test_loss"],
             }
         )
     )

@@ -229,3 +229,106 @@ def test_debug_nans_cli(config_path, tmp_path):
         assert jax.config.jax_debug_nans
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_load_accepts_checkpoints_dir_and_named_checkpoint(
+    config_path, tmp_path
+):
+    """--load resolves a run dir, its checkpoints/ dir, and a specific
+    checkpoint path to the same checkpoint."""
+    graph_dir = config_path.parent / "graph" / "1level"
+    if not (graph_dir / "graph.npz").exists():
+        create_graph.main(
+            ["--config_path", str(config_path), "--name", "1level",
+             "--levels", "1"]
+        )
+    runs_root = tmp_path / "runs"
+    common = [
+        "--config_path", str(config_path),
+        "--graph", "1level",
+        "--hidden_dim", "8",
+        "--processor_layers", "2",
+        "--batch_size", "2",
+        "--runs_root", str(runs_root),
+        "--val_steps_to_log", "1",
+    ]
+    train_model.main(
+        common + ["--epochs", "1", "--logger_run_name", "loadsrc"]
+    )
+    run_dir = runs_root / "loadsrc"
+    for i, load_path in enumerate(
+        (
+            run_dir / "checkpoints",
+            run_dir / "checkpoints" / "min_val_loss",
+        )
+    ):
+        train_model.main(
+            common
+            + [
+                "--eval", "test",
+                "--ar_steps_eval", "1",
+                "--load", str(load_path),
+                "--logger_run_name", f"loadeval{i}",
+            ]
+        )
+        metrics = json.loads(
+            (runs_root / f"loadeval{i}" / "test_metrics.json").read_text()
+        )
+        assert "test_loss" in metrics
+    # no spurious runs_root-level checkpoints dir was created
+    assert not (runs_root / "checkpoints").exists()
+    # missing checkpoint gives a clear error, not a FileNotFoundError
+    # deep inside orbax
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        train_model.main(
+            common
+            + [
+                "--eval", "test",
+                "--ar_steps_eval", "1",
+                "--load", str(runs_root / "nosuchrun"),
+                "--logger_run_name", "loadevalmissing",
+            ]
+        )
+
+
+def test_resume_continues_epochs_and_keeps_best(config_path, tmp_path):
+    """--load <run> --restore_opt into the same run dir continues epoch
+    numbering and must not clobber a better historical min_val_loss
+    checkpoint (Lightning restores best_model_score across resume)."""
+    graph_dir = config_path.parent / "graph" / "1level"
+    if not (graph_dir / "graph.npz").exists():
+        create_graph.main(
+            ["--config_path", str(config_path), "--name", "1level",
+             "--levels", "1"]
+        )
+    runs_root = tmp_path / "runs"
+    common = [
+        "--config_path", str(config_path),
+        "--graph", "1level",
+        "--hidden_dim", "8",
+        "--processor_layers", "2",
+        "--batch_size", "2",
+        "--runs_root", str(runs_root),
+        "--logger_run_name", "resumerun",
+        "--val_steps_to_log", "1",
+    ]
+    train_model.main(common + ["--epochs", "2"])
+    run_dir = runs_root / "resumerun"
+    best_meta = json.loads(
+        (run_dir / "checkpoints" / "best.json").read_text()
+    )
+
+    train_model.main(
+        common
+        + ["--epochs", "4", "--load", str(run_dir), "--restore_opt"]
+    )
+    history = [
+        json.loads(line)
+        for line in (run_dir / "history.jsonl").read_text().splitlines()
+    ]
+    # epochs 0,1 then resumed 2,3 — no restart at 0
+    assert [h["epoch"] for h in history] == [0, 1, 2, 3]
+    best_meta2 = json.loads(
+        (run_dir / "checkpoints" / "best.json").read_text()
+    )
+    assert best_meta2["val_loss"] <= best_meta["val_loss"]

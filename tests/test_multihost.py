@@ -65,3 +65,11 @@ def test_two_process_training(tmp_path):
     np.testing.assert_allclose(
         outs[0]["val_loss"], outs[1]["val_loss"], rtol=1e-6
     )
+    # artifact-evaluation metrics agreed across hosts too, and rank 0
+    # wrote the artifact set exactly once
+    np.testing.assert_allclose(
+        outs[0]["test_loss"], outs[1]["test_loss"], rtol=1e-6
+    )
+    eval_dir = tmp_path / "shared_eval"
+    assert (eval_dir / "test_metrics.json").exists()
+    assert (eval_dir / "mean_spatial_loss.npy").exists()
