@@ -99,7 +99,12 @@ def _parse_weighting(
             f"Unknown state_feature_weighting class {tag!r} "
             f"(expected one of {sorted(_WEIGHTING_CLASSES)})"
         ) from e
-    return cls(**data)
+    try:
+        return cls(**data)
+    except TypeError as e:
+        raise InvalidConfigError(
+            f"Invalid `state_feature_weighting` section for {tag}: {e}"
+        ) from e
 
 
 def config_from_dict(data: dict) -> NeuralLAMConfig:
@@ -122,7 +127,12 @@ def config_from_dict(data: dict) -> NeuralLAMConfig:
     if weighting_data is not None:
         training.state_feature_weighting = _parse_weighting(weighting_data)
     if clamping_data is not None:
-        training.output_clamping = OutputClamping(**clamping_data)
+        try:
+            training.output_clamping = OutputClamping(**clamping_data)
+        except TypeError as e:
+            raise InvalidConfigError(
+                f"Invalid `output_clamping` section: {e}"
+            ) from e
     return NeuralLAMConfig(datastore=ds, training=training)
 
 

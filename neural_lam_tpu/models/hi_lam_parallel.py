@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.interaction import EdgeSet
+from ..ops.interaction import EdgeSet, broadcast_to_batch
 from .hierarchical import BaseHiGraphModel
 
 
@@ -128,21 +128,15 @@ class HiLAMParallel(BaseHiGraphModel):
         all_reps = mesh_rep_levels + mesh_same_rep + mesh_up_rep + (
             mesh_down_rep
         )
-        batched = any(r.ndim == 3 for r in all_reps)
-        if batched:
-            b = next(r.shape[1] for r in all_reps if r.ndim == 3)
-
-            def bc(r):
-                if r.ndim == 2:
-                    return jnp.broadcast_to(
-                        r[:, None, :], (r.shape[0], b, r.shape[-1])
-                    )
-                return r
-
-            mesh_rep_levels = [bc(r) for r in mesh_rep_levels]
-            mesh_same_rep = [bc(r) for r in mesh_same_rep]
-            mesh_up_rep = [bc(r) for r in mesh_up_rep]
-            mesh_down_rep = [bc(r) for r in mesh_down_rep]
+        if any(r.ndim == 3 for r in all_reps):
+            mesh_rep_levels = broadcast_to_batch(
+                mesh_rep_levels, ref=all_reps
+            )
+            mesh_same_rep = broadcast_to_batch(mesh_same_rep, ref=all_reps)
+            mesh_up_rep = broadcast_to_batch(mesh_up_rep, ref=all_reps)
+            mesh_down_rep = broadcast_to_batch(
+                mesh_down_rep, ref=all_reps
+            )
         mesh_rep = jnp.concatenate(mesh_rep_levels, axis=0)
         mesh_edge_rep = jnp.concatenate(
             mesh_same_rep + mesh_up_rep + mesh_down_rep, axis=0

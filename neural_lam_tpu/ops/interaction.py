@@ -52,6 +52,25 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def broadcast_to_batch(arrs, ref=()):
+    """Broadcast unbatched ``(N, d)`` arrays in ``arrs`` to the common
+    node-major batched layout ``(N, B, d)``, with ``B`` detected from
+    any already-batched array in ``arrs`` or ``ref``. Returns ``arrs``
+    unchanged when nothing is batched."""
+    batched = [a for a in (*arrs, *ref) if a.ndim == 3]
+    if not batched:
+        return list(arrs)
+    b = batched[0].shape[1]
+    return [
+        (
+            jnp.broadcast_to(a[:, None, :], (a.shape[0], b, a.shape[-1]))
+            if a.ndim == 2
+            else a
+        )
+        for a in arrs
+    ]
+
+
 @dataclasses.dataclass(frozen=True, eq=False)
 class EdgeSet:
     """Static, padded edge connectivity in blocked-CSR order.

@@ -101,12 +101,9 @@ def apply_mlp_split_first(
     assert start == w0.shape[0], (
         f"parts widths {start} != first-layer input {w0.shape[0]}"
     )
-    n = len(layers)
-    for i, layer in enumerate(layers[1:], start=1):
+    for layer in layers[1:]:
         x = jax.nn.silu(x)
         x = x @ layer["w"] + layer["b"]
-    if n == 1:
-        pass  # single-layer MLP: no activation
     if params["ln"] is not None:
         x = _layer_norm(x, params["ln"]["scale"], params["ln"]["bias"])
     return x

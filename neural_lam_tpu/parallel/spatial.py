@@ -44,12 +44,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..metrics import get_metric_entry
 from ..models.graph_base import BaseGraphModel
-from ..ops.interaction import _apply_chunked
+from ..ops.interaction import (
+    _apply_chunked,
+    _round_up,
+    broadcast_to_batch,
+)
 from ..ops.mlp import apply_mlp, apply_mlp_split_first
-
-
-def _round_up(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
 
 
 # ---------------------------------------------------------------------------
@@ -265,19 +265,8 @@ def _exchange(x, pe: LocalPE, axis: str):
 
 def _bcast_batch(arrs):
     """Broadcast unbatched (N, d) arrays to the common (N, B, d) layout
-    (mirrors apply_interaction_net)."""
-    batched = any(a.ndim == 3 for a in arrs)
-    if not batched:
-        return arrs
-    b = next(a.shape[1] for a in arrs if a.ndim == 3)
-    return [
-        (
-            jnp.broadcast_to(a[:, None, :], (a.shape[0], b, a.shape[-1]))
-            if a.ndim == 2
-            else a
-        )
-        for a in arrs
-    ]
+    (shared with apply_interaction_net)."""
+    return broadcast_to_batch(arrs)
 
 
 def _seg_sum_local(messages, recv_local, n_rec_local):

@@ -28,9 +28,11 @@ _TICK_SIZE = 8
 def _grid_values(
     datastore: BaseRegularGridDatastore, values: np.ndarray
 ) -> np.ndarray:
-    """(num_grid_nodes,) -> (Nx, Ny) via the datastore's stacking order."""
-    shape = datastore.grid_shape_state
-    return np.asarray(values).reshape(shape.x, shape.y)
+    """(num_grid_nodes,) -> (Nx, Ny) via the datastore's stacking order.
+
+    Delegates to the datastore so y-major stores (MDPDatastore with
+    ``_x_major=False``) unstack correctly rather than scrambling."""
+    return datastore.unstack_grid_coords(np.asarray(values))
 
 
 def _make_axis(fig, datastore, index=(1, 1, 1)):
@@ -186,7 +188,7 @@ def plot_error_heatmap(
     lead_times = step_length_hours * np.arange(1, n_steps + 1)
     ax.set_xticks(np.arange(n_steps))
     ax.set_xticklabels(
-        [f"{int(t)}" for t in lead_times], size=_TICK_SIZE
+        [f"{t:g}" for t in lead_times], size=_TICK_SIZE
     )
     ax.set_xlabel("Lead time (h)", size=_TITLE_SIZE)
     ax.set_yticks(np.arange(n_vars))

@@ -117,6 +117,27 @@ def test_uniform_weighting_tag():
             },
             "NoSuchWeighting",
         ),
+        (
+            {
+                "datastore": {"kind": "mdp", "config_path": "x"},
+                "training": {
+                    "output_clamping": {"lower_lims": {"t2m": 230}}
+                },
+            },
+            "output_clamping",
+        ),
+        (
+            {
+                "datastore": {"kind": "mdp", "config_path": "x"},
+                "training": {
+                    "state_feature_weighting": {
+                        "__config_class__": "UniformFeatureWeighting",
+                        "stray_key": 1,
+                    }
+                },
+            },
+            "state_feature_weighting",
+        ),
     ],
 )
 def test_invalid_documents_raise(doc, match):

@@ -68,3 +68,44 @@ def test_plot_graph(tmp_path, hierarchical):
     fig.savefig(tmp_path / "graph.png", dpi=50)
     assert (tmp_path / "graph.png").exists()
     vis.plt.close(fig)
+
+
+def test_grid_values_respects_datastore_stacking(ds):
+    """_grid_values must delegate to the datastore's unstack rule so
+    y-major stores (reference: MDP auto-detected stacking) plot
+    correctly rather than scrambling node order."""
+
+    class YMajor(type(ds)):
+        # a store whose grid_index runs y-fastest
+        def unstack_grid_coords(self, field_grid):
+            shape = self.grid_shape_state
+            lead = field_grid.shape[:-1]
+            out = field_grid.reshape(lead + (shape.y, shape.x))
+            return np.swapaxes(out, -1, -2)
+
+    ym = ds
+    ym.__class__ = YMajor
+    try:
+        values = np.arange(ds.num_grid_points, dtype=np.float32)
+        got = vis._grid_values(ym, values)
+        shape = ds.grid_shape_state
+        want = np.swapaxes(
+            values.reshape(shape.y, shape.x), -1, -2
+        )
+        np.testing.assert_array_equal(got, want)
+    finally:
+        ym.__class__ = DummyDatastore
+
+
+def test_error_heatmap_fractional_lead_times(ds, tmp_path):
+    """Fractional step lengths must label lead times exactly, not
+    int-truncated."""
+    n_vars = len(ds.get_vars_names("state"))
+    errors = np.random.default_rng(0).random((3, n_vars))
+
+    fig = vis.plot_error_heatmap(
+        errors, ds, title="t", step_length_hours=1.5
+    )
+    labels = [t.get_text() for t in fig.axes[0].get_xticklabels()]
+    assert labels == ["1.5", "3", "4.5"]
+    vis.plt.close(fig)
