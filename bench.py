@@ -32,6 +32,27 @@ CACHE_DIR = Path(__file__).parent / ".bench_cache"
 def main() -> None:
     import jax
 
+    # Device-init watchdog: when the axon TPU tunnel is down, the first
+    # backend call blocks forever. Probe in a daemon thread and abort
+    # with a diagnostic instead of hanging the driver.
+    import os
+    import threading
+
+    found: list = []
+    probe = threading.Thread(
+        target=lambda: found.append(jax.devices()), daemon=True
+    )
+    probe.start()
+    probe.join(timeout=180)
+    if not found:
+        print(
+            "ERROR: jax device initialisation did not complete within "
+            "180 s (TPU backend/tunnel unavailable); aborting bench",
+            file=sys.stderr,
+        )
+        os._exit(3)
+    print(f"devices: {found[0]}", file=sys.stderr)
+
     # Persistent compilation cache: the fused Pallas kernel variants
     # compile slowly through the remote-compile helper (minutes per
     # variant); caching makes repeat benches start in seconds.
