@@ -147,3 +147,108 @@ def test_legacy_armodel_key_remap(setup):
         jax.tree_util.tree_leaves(restored),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_reference_ckpt_file_end_to_end(tmp_path):
+    """The VERDICT fixture: a Lightning-format ``.ckpt`` FILE from the
+    live reference model, driven through the converter CLI into an
+    orbax checkpoint, reconstructed via
+    ``load_forecaster_from_checkpoint``, and forward-parity-checked
+    against the reference (reference ckpt format:
+    neural_lam/train_model.py:41-72, module.py:964-1010)."""
+    import sys
+    from pathlib import Path
+
+    import torch
+    import yaml
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from reference_harness import (
+        RefDatastoreAdapter,
+        load_reference_module,
+        write_reference_graph_dir,
+    )
+
+    root = tmp_path / "cfg"
+    root.mkdir()
+    (root / "dummy.datastore.yaml").write_text(
+        yaml.safe_dump(
+            {"n_grid_x": 27, "n_grid_y": 27, "n_timesteps": 10, "seed": 7}
+        ),
+        encoding="utf-8",
+    )
+    (root / "config.yaml").write_text(
+        yaml.safe_dump(
+            {
+                "datastore": {
+                    "kind": "dummydata",
+                    "config_path": "dummy.datastore.yaml",
+                }
+            }
+        ),
+        encoding="utf-8",
+    )
+    ds = DummyDatastore(
+        n_grid_x=27, n_grid_y=27, n_timesteps=10, seed=7, root_path=root
+    )
+    create_graph_from_datastore(
+        ds, root / "graph" / "multiscale", hierarchical=False
+    )
+    write_reference_graph_dir(
+        root / "graph" / "multiscale",
+        root / "refgraphs" / "graph" / "multiscale",
+    )
+    adapter = RefDatastoreAdapter(ds, root / "refgraphs")
+    ref_cls = load_reference_module(
+        "models.step_predictors.graph.graph_lam"
+    ).GraphLAM
+    torch.manual_seed(0)
+    ref_model = ref_cls(
+        adapter, graph_name="multiscale", hidden_dim=8,
+        processor_layers=2,
+    ).float()
+
+    # Lightning-style checkpoint file: prefixed state_dict + hparams
+    sd = {
+        "forecaster.predictor." + k: v
+        for k, v in ref_model.state_dict().items()
+    }
+    ckpt_path = tmp_path / "ref.ckpt"
+    torch.save(
+        {"state_dict": sd, "hyper_parameters": {"args": {}}}, ckpt_path
+    )
+
+    from neural_lam_tpu import convert_checkpoint
+    from neural_lam_tpu.checkpoint import load_forecaster_from_checkpoint
+
+    out_dir = tmp_path / "converted"
+    convert_checkpoint.main([
+        "--ckpt", str(ckpt_path),
+        "--config_path", str(root / "config.yaml"),
+        "--model", "graph_lam",
+        "--graph", "multiscale",
+        "--hidden_dim", "8",
+        "--processor_layers", "2",
+        "--out", str(out_dir),
+    ])
+
+    fc, params, hparams = load_forecaster_from_checkpoint(out_dir, ds)
+    assert hparams["model"] == "graph_lam"
+
+    n = ds.num_grid_points
+    rng = np.random.default_rng(3)
+    prev_prev = rng.normal(size=(1, n, 3)).astype(np.float32)
+    prev = rng.normal(size=(1, n, 3)).astype(np.float32)
+    forcing = rng.normal(size=(1, n, 6)).astype(np.float32)
+
+    with torch.no_grad():
+        want, _ = ref_model(
+            torch.tensor(prev), torch.tensor(prev_prev),
+            torch.tensor(forcing),
+        )
+    got, _ = jax.vmap(
+        lambda a, b, c: fc.predictor.step(params, a, b, c)
+    )(prev, prev_prev, forcing)
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-4
+    )
