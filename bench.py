@@ -8,6 +8,10 @@ Config matches the reference's default MEPS training setup
 hidden_dim 64, processor_layers 4, ar_steps 1, float32. The reference
 publishes no numbers (BASELINE.json ``published: {}``), so
 ``vs_baseline`` is reported as 1.0.
+
+``init_devices_or_die`` and ``build_trainer`` are shared with
+``scripts/profile_step.py`` so the profiler always measures the exact
+bench configuration.
 """
 
 from __future__ import annotations
@@ -29,29 +33,51 @@ WARMUP, ITERS = 2, 10
 CACHE_DIR = Path(__file__).parent / ".bench_cache"
 
 
-def main() -> None:
-    import jax
-
-    # Device-init watchdog: when the axon TPU tunnel is down, the first
-    # backend call blocks forever. Probe in a daemon thread and abort
-    # with a diagnostic instead of hanging the driver.
+def init_devices_or_die(timeout: float = 180.0) -> None:
+    """Device-init watchdog: when the axon TPU tunnel is down, the first
+    backend call blocks forever. Probe in a daemon thread and abort with
+    a diagnostic (distinguishing a hang from a fast init failure)
+    instead of hanging the driver."""
     import os
     import threading
 
+    import jax
+
     found: list = []
-    probe = threading.Thread(
-        target=lambda: found.append(jax.devices()), daemon=True
-    )
-    probe.start()
-    probe.join(timeout=180)
+    error: list = []
+
+    def probe() -> None:
+        try:
+            found.append(jax.devices())
+        except BaseException as e:  # noqa: BLE001 - reported below
+            error.append(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout=timeout)
+    if error:
+        print(
+            f"ERROR: jax device initialisation failed: {error[0]!r}",
+            file=sys.stderr,
+        )
+        os._exit(3)
     if not found:
         print(
-            "ERROR: jax device initialisation did not complete within "
-            "180 s (TPU backend/tunnel unavailable); aborting bench",
+            f"ERROR: jax device initialisation did not complete within "
+            f"{timeout:.0f} s (TPU backend/tunnel unavailable); aborting",
             file=sys.stderr,
         )
         os._exit(3)
     print(f"devices: {found[0]}", file=sys.stderr)
+
+
+def build_trainer():
+    """Construct the bench configuration: MEPS-size DummyDatastore,
+    multiscale graph (cached under ``.bench_cache``), GraphLAM, Trainer.
+
+    Returns ``(trainer, datastore)``.
+    """
+    import jax
 
     # Persistent compilation cache: the fused Pallas kernel variants
     # compile slowly through the remote-compile helper (minutes per
@@ -68,7 +94,6 @@ def main() -> None:
     from neural_lam_tpu.models import ARForecaster, GraphLAM
     from neural_lam_tpu.trainer import Trainer, TrainingArgs
 
-    CACHE_DIR.mkdir(exist_ok=True)
     ds = DummyDatastore(
         n_grid_x=GRID_X,
         n_grid_y=GRID_Y,
@@ -94,14 +119,11 @@ def main() -> None:
         datastore=DatastoreSelection(kind="dummydata", config_path="")
     )
     args = TrainingArgs(batch_size=BATCH, ar_steps_train=AR_STEPS)
-    trainer = Trainer(forecaster, config, ds, args)
-    params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
-    # In-graph multi-step training (lax.scan over a batch stack): one
-    # dispatch covers ITERS optimizer steps, so the per-program launch
-    # overhead of the dispatch path is off the measured step time (and
-    # off real training loops that use the same path).
-    train_step = trainer.make_train_step(scan_steps=ITERS)
+    return Trainer(forecaster, config, ds, args), ds
 
+
+def make_bench_batch(ds, iters: int = ITERS):
+    """The random MEPS-size batch stack the bench times."""
     n = ds.num_grid_points
     f_dim = N_FORCING * 3
     rng = np.random.default_rng(0)
@@ -110,10 +132,24 @@ def main() -> None:
         rng.normal(size=(BATCH, AR_STEPS, n, N_STATE)).astype(np.float32),
         rng.normal(size=(BATCH, AR_STEPS, n, f_dim)).astype(np.float32),
     )
-    stacked = tuple(
-        np.broadcast_to(a, (ITERS,) + a.shape).copy() for a in batch
+    return tuple(
+        np.broadcast_to(a, (iters,) + a.shape).copy() for a in batch
     )
-    device_batch = tuple(jax.device_put(a) for a in stacked)
+
+
+def main() -> None:
+    import jax
+
+    init_devices_or_die()
+    trainer, ds = build_trainer()
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+    # In-graph multi-step training (lax.scan over a batch stack): one
+    # dispatch covers ITERS optimizer steps, so the per-program launch
+    # overhead of the dispatch path is off the measured step time (and
+    # off real training loops that use the same path).
+    train_step = trainer.make_train_step(scan_steps=ITERS)
+
+    device_batch = tuple(jax.device_put(a) for a in make_bench_batch(ds))
 
     for _ in range(WARMUP):
         params, opt_state, losses = train_step(
@@ -129,7 +165,7 @@ def main() -> None:
         )
     jax.block_until_ready((params, losses))
     step_time = (time.perf_counter() - t0) / (reps * ITERS)
-    grid_points_per_s = BATCH * n * AR_STEPS / step_time
+    grid_points_per_s = BATCH * ds.num_grid_points * AR_STEPS / step_time
     print(
         json.dumps(
             {

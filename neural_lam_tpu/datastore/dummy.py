@@ -62,6 +62,23 @@ class DummyDatastore(BaseRegularGridDatastore):
             n_static_features = cfg.get("n_static_features", n_static_features)
             n_boundary = cfg.get("n_boundary", n_boundary)
             seed = cfg.get("seed", seed)
+            step_length_hours = cfg.get(
+                "step_length_hours", step_length_hours
+            )
+            computed_stats = cfg.get("computed_stats", computed_stats)
+            known = {
+                "n_grid_x", "n_grid_y", "n_timesteps",
+                "n_state_features", "n_forcing_features",
+                "n_static_features", "n_boundary", "seed",
+                "step_length_hours", "computed_stats",
+            }
+            unknown = set(cfg) - known
+            if unknown:
+                raise ValueError(
+                    f"Unknown keys in dummydata config {config_path}: "
+                    f"{sorted(unknown)} (expected a subset of "
+                    f"{sorted(known)})"
+                )
         else:
             self._config = {
                 "n_grid_x": n_grid_x,
@@ -181,7 +198,13 @@ class DummyDatastore(BaseRegularGridDatastore):
             standardized = (vals - mean) / std
             diffs = np.diff(standardized, axis=0)
             stats["state_diff_mean_standardized"] = diffs.mean(axis=red_axes)
-            stats["state_diff_std_standardized"] = diffs.std(axis=red_axes)
+            # Clamp away from zero: deterministic-value fixtures (the
+            # ensemble store's t*100+m encoding) have constant diffs,
+            # and a zero diff-std would silently zero model outputs
+            # through the diff-stat rescaling (graph_base).
+            stats["state_diff_std_standardized"] = np.maximum(
+                diffs.std(axis=red_axes), np.finfo(np.float32).eps
+            )
         return stats
 
     def get_dataarray(
@@ -274,6 +297,7 @@ class EnsembleDummyDatastore(DummyDatastore):
     def get_dataarray(self, category, split, standardize=False):
         if category != "state":
             return super().get_dataarray(category, split, standardize)
+        assert split in SPLITS, f"Unknown split {split!r} (not in {SPLITS})"
         da = FieldArray(
             data=self._values[split]["state"],
             dims=(

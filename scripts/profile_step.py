@@ -22,46 +22,11 @@ sys.path.insert(0, str(REPO))
 
 
 def build_trainer():
-    import jax
-
-    cache = REPO / ".bench_cache"
-    jax.config.update("jax_compilation_cache_dir", str(cache / "jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+    """The exact bench configuration (shared with bench.py)."""
     import bench
 
-    ds = bench.__dict__  # reuse bench's constants
-    from neural_lam_tpu.config import DatastoreSelection, NeuralLAMConfig
-    from neural_lam_tpu.datastore.dummy import DummyDatastore
-    from neural_lam_tpu.graphs import create_graph_from_datastore
-    from neural_lam_tpu.models import ARForecaster, GraphLAM
-    from neural_lam_tpu.trainer import Trainer, TrainingArgs
-
-    dstore = DummyDatastore(
-        n_grid_x=ds["GRID_X"],
-        n_grid_y=ds["GRID_Y"],
-        n_timesteps=8,
-        n_state_features=ds["N_STATE"],
-        n_forcing_features=ds["N_FORCING"],
-        n_static_features=4,
-        root_path=cache,
-    )
-    graph_dir = dstore.root_path / "graph" / "multiscale"
-    if not (graph_dir / "graph.npz").exists():
-        create_graph_from_datastore(dstore, graph_dir, hierarchical=False)
-    model = GraphLAM(
-        dstore,
-        graph_name="multiscale",
-        hidden_dim=ds["HIDDEN_DIM"],
-        processor_layers=ds["PROC_LAYERS"],
-    )
-    forecaster = ARForecaster(model, dstore)
-    config = NeuralLAMConfig(
-        datastore=DatastoreSelection(kind="dummydata", config_path="")
-    )
-    args = TrainingArgs(batch_size=ds["BATCH"], ar_steps_train=ds["AR_STEPS"])
-    trainer = Trainer(forecaster, config, dstore, args)
-    return trainer, dstore, ds
+    trainer, dstore = bench.build_trainer()
+    return trainer, dstore, bench.__dict__
 
 
 def main() -> None:
@@ -74,6 +39,9 @@ def main() -> None:
     import jax
     import numpy as np
 
+    import bench
+
+    bench.init_devices_or_die()
     trainer, dstore, C = build_trainer()
     params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
     train_step = trainer.make_train_step()

@@ -104,7 +104,6 @@ class PygSequentialShim(nn.Module):
         super().__init__()
         self._input_names = [s.strip() for s in input_sig.split(",")]
         self._steps = []
-        self._n_mods = len(steps)
         for i, (mod, sig) in enumerate(steps):
             ins, outs = sig.split("->")
             self._steps.append(
@@ -119,7 +118,7 @@ class PygSequentialShim(nn.Module):
 
     def forward(self, *args):
         env = dict(zip(self._input_names, args))
-        outs = args
+        outs = args  # returned as-is only for the empty-steps case
         for i, (ins, out_names) in enumerate(self._steps):
             mod = getattr(self, f"module_{i}")
             outs = mod(*[env[n] for n in ins])
