@@ -565,3 +565,40 @@ def test_metrics_watch_mse_and_unsupported_warning(tmp_path):
     assert "val_mse_state_var_0_step1" in metrics
     assert np.isfinite(metrics["val_mse_state_var_0_step1"])
     assert "val_rmse_state_var_0_step1" not in metrics
+
+
+def test_probabilistic_training_crps_hi_lam_parallel(tmp_path):
+    """hi_lam_parallel with a probabilistic objective trains
+    (BASELINE config 5: hierarchical parallel model + CRPS)."""
+    from neural_lam_tpu.models import HiLAMParallel
+
+    ds = DummyDatastore(
+        n_grid_x=30, n_grid_y=30, n_timesteps=14, root_path=tmp_path
+    )
+    create_graph_from_datastore(
+        ds, ds.root_path / "graph" / "hierarchical", hierarchical=True
+    )
+    model = HiLAMParallel(
+        ds, graph_name="hierarchical", hidden_dim=8,
+        processor_layers=2, output_std=True,
+    )
+    fc = ARForecaster(model, ds)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path="")
+    )
+    trainer = Trainer(
+        fc, config, ds,
+        TrainingArgs(batch_size=2, loss="crps_gauss", val_steps_to_log=(1,)),
+    )
+    assert trainer.per_var_std is None
+    params, opt_state = trainer.init_state(jax.random.PRNGKey(11))
+    loader = DataLoader(
+        WeatherDataset(ds, split="train", ar_steps=1),
+        batch_size=2, shuffle=True, seed=0,
+    )
+    params, opt_state, history = trainer.fit(
+        params, opt_state, loader, epochs=4
+    )
+    losses = [h["train_loss"] for h in history]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"CRPS did not decrease: {losses}"
