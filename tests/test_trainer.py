@@ -602,3 +602,47 @@ def test_probabilistic_training_crps_hi_lam_parallel(tmp_path):
     losses = [h["train_loss"] for h in history]
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0], f"CRPS did not decrease: {losses}"
+
+
+def test_on_device_standardization_once_and_std_clamped(setup):
+    """Counterpart of the reference's on_after_batch_transfer tests
+    (reference: tests/test_gpu_normalization.py): the loader yields RAW
+    tensors, standardization is applied exactly once inside the step,
+    and a near-zero std is clamped so it cannot produce inf/NaN."""
+    ds, fc, config = setup
+    trainer = Trainer(fc, config, ds, TrainingArgs(batch_size=2))
+
+    # raw loader output: matches the datastore's unstandardized values
+    loader = DataLoader(
+        WeatherDataset(ds, split="train", ar_steps=1), batch_size=2
+    )
+    init, target, forcing, _ = next(iter(loader))
+    raw_state = np.asarray(
+        ds.get_dataarray("state", "train", standardize=False).data
+    )
+    # every init-state row must appear verbatim in the raw data
+    assert np.isin(
+        np.asarray(init)[:, 0].round(5), raw_state.round(5)
+    ).mean() > 0.99
+
+    # standardize_batch == the formula, applied once
+    stats = ds.get_standardization_dataarray("state")
+    mean = np.asarray(stats["state_mean"], np.float32)
+    std = np.asarray(stats["state_std"], np.float32)
+    init_s, target_s, _ = trainer.standardize_batch(
+        np.asarray(init), np.asarray(target), np.asarray(forcing)
+    )
+    np.testing.assert_allclose(
+        np.asarray(init_s), (np.asarray(init) - mean) / std, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(target_s),
+        (np.asarray(target) - mean) / std,
+        rtol=1e-5,
+    )
+
+    # clamped stds: never below float32 eps, so standardization of a
+    # constant feature stays finite
+    eps = np.finfo(np.float32).eps
+    assert np.all(np.asarray(trainer.state_std) >= eps)
+    assert np.all(np.isfinite(np.asarray(init_s)))
