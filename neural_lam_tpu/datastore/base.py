@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import abc
 import dataclasses
-import functools
 from datetime import timedelta
 from pathlib import Path
 from typing import Mapping, Optional
