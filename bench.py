@@ -33,14 +33,84 @@ WARMUP, ITERS = 2, 10
 CACHE_DIR = Path(__file__).parent / ".bench_cache"
 
 
-def init_devices_or_die(timeout: float = 180.0) -> None:
-    """Device-init watchdog: when the axon TPU tunnel is down, the first
-    backend call blocks forever. Probe in a daemon thread and abort with
-    a diagnostic (distinguishing a hang from a fast init failure)
-    instead of hanging the driver."""
+def _probe_devices_subprocess(timeout: float) -> tuple[bool, str]:
+    """Probe jax device init in a SUBPROCESS so a hung or error-poisoned
+    backend never contaminates this process (a failed in-process init
+    cannot be retried). The probe process exits before we return, so it
+    never holds the single-user TPU when the real init starts."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"device init did not complete within {timeout:.0f} s"
+    if r.returncode == 0:
+        return True, ""
+    tail = (r.stderr or "").strip().splitlines()
+    return False, (tail[-1] if tail else f"probe exited rc={r.returncode}")
+
+
+def init_devices_or_die(
+    probe_timeout: float = 180.0, retry_every: float = 150.0
+) -> None:
+    """Outage-resilient device init.
+
+    The axon TPU tunnel goes UNAVAILABLE for ~1h stretches (environment
+    flakiness, not a code fault). Instead of aborting on the first
+    failed probe, retry with a fixed interval inside a bounded window
+    (``NEURAL_LAM_TPU_BENCH_WAIT`` seconds, default 45 min; set 0 to
+    fail fast). On exhaustion, print a structured "backend unavailable"
+    JSON line so the driver can distinguish an outage from a perf
+    regression, and exit rc=3.
+    """
     import os
     import threading
 
+    budget = float(os.environ.get("NEURAL_LAM_TPU_BENCH_WAIT", "2700"))
+    deadline = time.monotonic() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        ok, err = _probe_devices_subprocess(probe_timeout)
+        if ok:
+            break
+        now = time.monotonic()
+        if now >= deadline:
+            print(
+                f"ERROR: device probe {attempt} failed and the retry "
+                f"window ({budget:.0f} s) is exhausted: {err}",
+                file=sys.stderr,
+            )
+            print(
+                json.dumps(
+                    {
+                        "metric": (
+                            "MEPS grid-points/s per chip (1-step fwd+bwd)"
+                        ),
+                        "value": None,
+                        "unit": "grid-points/s",
+                        "vs_baseline": None,
+                        "error": f"TPU backend unavailable: {err}",
+                        "probe_attempts": attempt,
+                    }
+                )
+            )
+            sys.exit(3)
+        wait = min(retry_every, deadline - now)
+        print(
+            f"device probe {attempt} failed ({err}); retrying in "
+            f"{wait:.0f} s ({deadline - now:.0f} s left in window)",
+            file=sys.stderr,
+        )
+        time.sleep(wait)
+
+    # Probe succeeded; init in-process, still under a watchdog (the
+    # tunnel can drop between the probe and the real init).
     import jax
 
     found: list = []
@@ -54,18 +124,29 @@ def init_devices_or_die(timeout: float = 180.0) -> None:
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(timeout=timeout)
-    if error:
-        print(
-            f"ERROR: jax device initialisation failed: {error[0]!r}",
-            file=sys.stderr,
+    t.join(timeout=probe_timeout)
+    if error or not found:
+        detail = (
+            repr(error[0])
+            if error
+            else f"in-process init did not complete within "
+            f"{probe_timeout:.0f} s"
         )
-        os._exit(3)
-    if not found:
+        print(f"ERROR: jax device initialisation failed: {detail}",
+              file=sys.stderr)
         print(
-            f"ERROR: jax device initialisation did not complete within "
-            f"{timeout:.0f} s (TPU backend/tunnel unavailable); aborting",
-            file=sys.stderr,
+            json.dumps(
+                {
+                    "metric": (
+                        "MEPS grid-points/s per chip (1-step fwd+bwd)"
+                    ),
+                    "value": None,
+                    "unit": "grid-points/s",
+                    "vs_baseline": None,
+                    "error": f"TPU backend unavailable: {detail}",
+                    "probe_attempts": attempt,
+                }
+            )
         )
         os._exit(3)
     print(f"devices: {found[0]}", file=sys.stderr)
