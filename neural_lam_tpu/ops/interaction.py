@@ -21,7 +21,9 @@ gather -> MLP -> segment-sum chain.
 from __future__ import annotations
 
 import dataclasses
+import math
 import os
+import warnings
 from typing import Any, Optional, Sequence
 
 import jax
@@ -29,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mlp import MLPParams, apply_mlp, apply_mlp_split_first, init_mlp
-from .pallas_fused import fusable, make_fused_interaction
+from .pallas_fused import fusable, make_fused_interaction, stripe_fits
 from .pallas_segment import (
     BandedLayout,
     BlockedLayout,
@@ -372,11 +374,24 @@ def _use_fused(params, edge_set, send_rep, rec_rep, edge_rep) -> bool:
     if not fusable(params["edge"][0]):
         return False
     h = params["edge"][0]["layers"][1]["w"].shape[1]
-    return (
+    if not (
         send_rep.shape[-1] == h
         and rec_rep.shape[-1] == h
         and (edge_rep is None or edge_rep.shape[-1] == h)
-    )
+    ):
+        return False
+    groups = send_rep.shape[1] if send_rep.ndim == 3 else 1
+    if not stripe_fits(groups, h):
+        warnings.warn(
+            f"fused interaction kernel disabled for batch {groups} at "
+            f"hidden {h}: no 128-aligned stripe divisor and the "
+            f"full-width stripe ({groups * h} lanes) exceeds the VMEM "
+            f"cap; using the unfused path (pad the batch to a multiple "
+            f"of {128 // math.gcd(h, 128)} to re-enable)",
+            stacklevel=3,
+        )
+        return False
+    return True
 
 
 def apply_interaction_net(

@@ -49,6 +49,21 @@ from .pallas_segment import BlockedLayout
 _LN_EPS = 1e-5  # matches ops.mlp._LN_EPS / torch LayerNorm
 
 
+_MAX_STRIPE_LANES = 512
+
+
+def stripe_fits(groups: int, feat_dim: int) -> bool:
+    """True when the stripe decomposition bounds per-stripe lane width.
+
+    ``_stripe_groups`` falls back to ONE full-width stripe when no
+    128-aligned divisor of ``groups`` exists; at large odd batches that
+    stripe has no VMEM bound (e.g. batch 25 at hidden 64 = 1600 lanes:
+    >3 MB per edge block plus a 1600x1600 block-diagonal weight).
+    Callers must route such shapes to the unfused path instead.
+    """
+    return _stripe_groups(groups, feat_dim) * feat_dim <= _MAX_STRIPE_LANES
+
+
 def _stripe_groups(total_groups: int, feat_dim: int) -> int:
     """Groups per stripe: the largest divisor of ``total_groups`` whose
     stripe width stays <= 256 lanes (one stripe if feat_dim >= 256).

@@ -564,3 +564,50 @@ def test_high_kernels_io_stream_dtype(monkeypatch, mode):
     assert out.dtype == jnp.float32
     want = jnp.bfloat16 if mode == "high" else jnp.float32
     assert seen["dtypes"] == (want, want, want)
+
+
+def test_stripe_cap_guard(monkeypatch):
+    """Full-width stripe fallback is bounded: a batch with no
+    128-aligned divisor stays fused while its full-width stripe fits
+    the lane cap (B=5 at hidden 64 = 320 lanes) but falls back to the
+    unfused path with a warning beyond it (B=9 = 576 lanes), producing
+    identical values either way (VERDICT r2: no silent VMEM blow-up)."""
+    import warnings as _warnings
+
+    from neural_lam_tpu.ops.interaction import _use_fused
+    from neural_lam_tpu.ops.pallas_fused import stripe_fits
+
+    assert stripe_fits(5, 64)  # 320-lane full-width stripe: allowed
+    assert stripe_fits(20, 64)  # aligned divisor exists (4 x 256)
+    assert not stripe_fits(9, 64)  # 576 lanes: over the cap
+    assert not stripe_fits(25, 64)
+
+    rng = np.random.default_rng(11)
+    d = 64
+    es, _ = _random_edge_set(rng, n_send=13, n_rec=9, n_edges=48)
+    params = init_interaction_net(jax.random.PRNGKey(2), d)
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED", "auto")
+
+    for b, fused_expected in ((5, True), (9, False)):
+        send = jnp.asarray(rng.normal(size=(13, b, d)), jnp.float32)
+        rec = jnp.asarray(rng.normal(size=(9, b, d)), jnp.float32)
+        edge = jnp.asarray(
+            rng.normal(size=(es.num_padded, b, d)), jnp.float32
+        )
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            routed = _use_fused(params, es, send, rec, edge)
+        assert routed == fused_expected
+        assert any("unfused path" in str(w.message) for w in caught) == (
+            not fused_expected
+        )
+        out = apply_interaction_net(
+            params, es, send, rec, edge, update_edges=False
+        )
+        monkeypatch.setenv("NEURAL_LAM_TPU_FUSED", "off")
+        ref = apply_interaction_net(
+            params, es, send, rec, edge, update_edges=False
+        )
+        monkeypatch.setenv("NEURAL_LAM_TPU_FUSED", "auto")
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
