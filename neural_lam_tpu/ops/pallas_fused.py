@@ -620,7 +620,11 @@ def _fused_fwd_impl(
     emb_weights=None,
     save_pre: bool = False,
     cdt=jnp.float32,
+    dyn=None,
 ):
+    from .pallas_segment import _dyn_or_static
+
+    cb, ids = _dyn_or_static(layout, dyn)
     embed_edges = emb_weights is not None
     lanes = send2d.shape[1]
     in_feat = edge2d.shape[1] if edge_unbatched else None
@@ -674,8 +678,8 @@ def _fused_fwd_impl(
         cs((stripe, stripe)),
     ]
     operands = [
-        layout.chunk_block,
-        layout.local_ids,
+        cb,
+        ids,
         edge2d,
         send2d,
         rec_pad,
@@ -761,7 +765,11 @@ def _fused_bwd_impl(
     pre2d=None,
     cdt=jnp.float32,
     io_dt=jnp.float32,
+    dyn=None,
 ):
+    from .pallas_segment import _dyn_or_static
+
+    cb, ids = _dyn_or_static(layout, dyn)
     embed_edges = emb_weights is not None
     lanes = send2d.shape[1]
     in_feat = edge2d.shape[1] if edge_unbatched else None
@@ -846,8 +854,8 @@ def _fused_bwd_impl(
         wspec,  # mmat
     ]
     operands = [
-        layout.chunk_block,
-        layout.local_ids,
+        cb,
+        ids,
         edge2d,
         send2d,
         rec_pad,
@@ -989,8 +997,16 @@ def make_fused_interaction(
 
     def run(
         mlp_params, edge_rep, x_send, rec_rep,
-        emb_params=None, edge_feats=None,
+        emb_params=None, edge_feats=None, dyn_layout=None,
     ):
+        # Per-call (possibly traced) layout index arrays: the sharded
+        # executor threads per-shard layouts through one traced body
+        # (shapes/tiling static from ``layout``, values as data).
+        cb0, ids0 = (
+            dyn_layout
+            if dyn_layout is not None
+            else (layout.chunk_block, layout.local_ids)
+        )
         batched = x_send.ndim == 3
         embed = emb_params is not None
         if embed:
@@ -1067,7 +1083,7 @@ def make_fused_interaction(
             _os2.environ.get("NEURAL_LAM_TPU_CACHE_PRE", "on") != "off"
         )
 
-        def _impl(wb, ew, e2d, s2d, r2d, with_pre=False):
+        def _impl(wb, ew, e2d, s2d, r2d, cb, ids, with_pre=False):
             return _fused_fwd_impl(
                 layout, e2d, s2d, r2d, wb, stripe,
                 layer_norm=ln,
@@ -1078,15 +1094,16 @@ def make_fused_interaction(
                 emb_weights=ew,
                 save_pre=with_pre,
                 cdt=cdt,
+                dyn=(cb, ids),
             )
 
         @jax.custom_vjp
-        def fused(params, eparams, e2d, s2d, r2d):
+        def fused(params, eparams, e2d, s2d, r2d, cb, ids):
             wb = _prep_weights(params, stripe_g, feat, edge_unbatched, cdt)
             ew = _prep_embedder_weights(eparams, cdt) if embed else None
-            return _impl(wb, ew, e2d, s2d, r2d)[:2]
+            return _impl(wb, ew, e2d, s2d, r2d, cb, ids)[:2]
 
-        def fwd(params, eparams, e2d, s2d, r2d):
+        def fwd(params, eparams, e2d, s2d, r2d, cb, ids):
             # The kernel-layout weights (kron-striped blocks, tiled
             # rows) are saved as residuals so the backward reuses them:
             # rebuilding them per call is a storm of tiny ops (the
@@ -1094,15 +1111,15 @@ def make_fused_interaction(
             wb = _prep_weights(params, stripe_g, feat, edge_unbatched, cdt)
             ew = _prep_embedder_weights(eparams, cdt) if embed else None
             aggregated, new_edge, pre2d = _impl(
-                wb, ew, e2d, s2d, r2d, with_pre=save_pre
+                wb, ew, e2d, s2d, r2d, cb, ids, with_pre=save_pre
             )
             return (
                 (aggregated, new_edge),
-                (params, eparams, wb, ew, e2d, s2d, r2d, pre2d),
+                (params, eparams, wb, ew, e2d, s2d, r2d, pre2d, cb, ids),
             )
 
         def bwd(res, grads):
-            params, eparams, wb, ew, e2d, s2d, r2d, pre2d = res
+            params, eparams, wb, ew, e2d, s2d, r2d, pre2d, cb, ids = res
             d_aggr, d_new_edge = grads
             outs = _fused_bwd_impl(
                 layout, e2d, s2d, r2d, wb, d_aggr, d_new_edge, stripe,
@@ -1115,6 +1132,7 @@ def make_fused_interaction(
                 pre2d=pre2d,
                 cdt=cdt,
                 io_dt=io_dt,
+                dyn=(cb, ids),
             )
             if embed:
                 (dew1, deb1, dew2, deb2, deg_e, debt_e,
@@ -1183,17 +1201,24 @@ def make_fused_interaction(
             else:
                 d_eparams = None
                 d_e2d = d_edge.astype(e2d.dtype)
+            f0 = lambda a: np.zeros(  # noqa: E731
+                a.shape, dtype=jax.dtypes.float0
+            )
             return (
                 d_params,
                 d_eparams,
                 d_e2d,
                 d_send.astype(s2d.dtype),
                 d_rec.astype(r2d.dtype),
+                f0(cb),
+                f0(ids),
             )
 
         fused.defvjp(fwd, bwd)
 
-        aggregated, new_edge = fused(mlp_params, emb_params, e2, s2, r2)
+        aggregated, new_edge = fused(
+            mlp_params, emb_params, e2, s2, r2, cb0, ids0
+        )
         unfold = (
             (lambda x: x.reshape(x.shape[0], groups, feat))
             if batched

@@ -85,7 +85,13 @@ def build_blocked_layout(
     chunk_block = np.concatenate(chunk_block_parts)
 
     dead = perm < 0
-    recv_of_slot = np.where(dead, num_rec, receivers_sorted[np.where(dead, 0, perm)])
+    if receivers_sorted.shape[0] == 0:
+        # all-dead layout (a spatial shard can own zero edges of a set)
+        recv_of_slot = np.full(perm.shape, num_rec, dtype=np.int64)
+    else:
+        recv_of_slot = np.where(
+            dead, num_rec, receivers_sorted[np.where(dead, 0, perm)]
+        )
     block_of_slot = np.repeat(chunk_block, chunk_edges).astype(np.int64)
     local = np.where(dead, -1, recv_of_slot - block_of_slot * block_rows)
 
@@ -97,6 +103,50 @@ def build_blocked_layout(
         num_rec=num_rec,
         block_rows=block_rows,
         chunk_edges=chunk_edges,
+    )
+
+
+def pad_blocked_layout(layout: BlockedLayout, n_chunks: int) -> BlockedLayout:
+    """Append all-dead chunks so per-shard layouts share one static
+    chunk count (the spatially sharded executor pads every shard's
+    layout to the max, then threads the index arrays dynamically).
+
+    Pad chunks target the final output block: ``chunk_block`` stays
+    non-decreasing (the last real chunk already points there) and their
+    all-dead ids contribute exact zeros.
+    """
+    cur = int(layout.chunk_block.shape[0])
+    assert n_chunks >= cur, (n_chunks, cur)
+    if n_chunks == cur:
+        return layout
+    extra = n_chunks - cur
+    ce = layout.chunk_edges
+    cb = np.concatenate(
+        [
+            np.asarray(layout.chunk_block),
+            np.full(extra, layout.num_blocks - 1, np.int32),
+        ]
+    )
+    ids = np.concatenate(
+        [np.asarray(layout.local_ids)[0], np.full(extra * ce, -1, np.int32)]
+    )
+    return BlockedLayout(
+        perm=np.concatenate(
+            [layout.perm, np.full(extra * ce, -1, np.int64)]
+        ),
+        local_ids=jnp.asarray(ids[None, :]),
+        gather_ids=jnp.asarray(
+            np.concatenate(
+                [
+                    np.asarray(layout.gather_ids),
+                    np.full(extra * ce, layout.num_rec, np.int32),
+                ]
+            )
+        ),
+        chunk_block=jnp.asarray(cb),
+        num_rec=layout.num_rec,
+        block_rows=layout.block_rows,
+        chunk_edges=ce,
     )
 
 
@@ -121,12 +171,32 @@ def _segsum_kernel(
     ).astype(out_ref.dtype)
 
 
+def _dyn_or_static(layout: BlockedLayout, dyn):
+    """Layout index arrays for a kernel call: the layout's own constants
+    or per-call (possibly traced) overrides with the same static shapes.
+
+    Dynamic overrides let one traced program (e.g. a ``shard_map`` body)
+    run the kernel over per-shard layouts: the shapes/tiling are common
+    and static, while ``chunk_block``/``local_ids`` arrive as data.
+    """
+    if dyn is None:
+        return layout.chunk_block, layout.local_ids
+    cb, ids = dyn
+    assert cb.shape == layout.chunk_block.shape, (
+        f"dynamic chunk_block shape {cb.shape} != layout "
+        f"{layout.chunk_block.shape}"
+    )
+    assert ids.shape == layout.local_ids.shape
+    return cb, ids
+
+
 def _blocked_segment_sum_fwd_impl(
     messages: jax.Array,
     layout: BlockedLayout,
     interpret: bool,
     out_dtype=None,
     keep_padded: bool = False,
+    dyn=None,
 ) -> jax.Array:
     """(E_blocked, D) messages (blocked order) -> (num_rec, D) sums.
 
@@ -138,6 +208,7 @@ def _blocked_segment_sum_fwd_impl(
     keep node arrays block-padded resident.
     """
     out_dtype = out_dtype or messages.dtype
+    cb, ids = _dyn_or_static(layout, dyn)
     d = messages.shape[-1]
     n_chunks = int(layout.chunk_block.shape[0])
     out_rows = layout.num_blocks * layout.block_rows
@@ -173,7 +244,7 @@ def _blocked_segment_sum_fwd_impl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((out_rows, d), out_dtype),
         interpret=interpret,
-    )(layout.chunk_block, layout.local_ids, messages)
+    )(cb, ids, messages)
     return out if keep_padded else out[: layout.num_rec]
 
 
@@ -196,8 +267,9 @@ def _expand_kernel(
 
 
 def _blocked_segment_sum_bwd_impl(
-    grad_out: jax.Array, layout: BlockedLayout, interpret: bool
+    grad_out: jax.Array, layout: BlockedLayout, interpret: bool, dyn=None
 ) -> jax.Array:
+    cb, ids = _dyn_or_static(layout, dyn)
     d = grad_out.shape[-1]
     n_chunks = int(layout.chunk_block.shape[0])
     out_rows = layout.num_blocks * layout.block_rows
@@ -240,7 +312,7 @@ def _blocked_segment_sum_bwd_impl(
             (layout.num_blocked, d), grad_out.dtype
         ),
         interpret=interpret,
-    )(layout.chunk_block, layout.local_ids, grad_out)
+    )(cb, ids, grad_out)
 
 
 def blocked_segment_sum_nondiff(
@@ -249,15 +321,19 @@ def blocked_segment_sum_nondiff(
     interpret: bool = False,
     out_dtype=None,
     keep_padded: bool = False,
+    dyn=None,
 ) -> jax.Array:
     """Raw (non-differentiable) kernel entry for custom VJPs elsewhere."""
     return _blocked_segment_sum_fwd_impl(
-        messages, layout, interpret, out_dtype, keep_padded
+        messages, layout, interpret, out_dtype, keep_padded, dyn
     )
 
 
 def blocked_expand_nondiff(
-    node_rep: jax.Array, layout: BlockedLayout, interpret: bool = False
+    node_rep: jax.Array,
+    layout: BlockedLayout,
+    interpret: bool = False,
+    dyn=None,
 ) -> jax.Array:
     """Raw expansion ``node_rep[receiver[e]]`` in blocked edge order.
 
@@ -265,7 +341,7 @@ def blocked_expand_nondiff(
     segment sum and streams each receiver block once instead of doing a
     per-row XLA gather.
     """
-    return _blocked_segment_sum_bwd_impl(node_rep, layout, interpret)
+    return _blocked_segment_sum_bwd_impl(node_rep, layout, interpret, dyn)
 
 
 def make_blocked_segment_sum(layout: BlockedLayout, interpret: bool = False):

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import copy
 import dataclasses
+import os
 from functools import partial
 from typing import Optional, Sequence
 
@@ -50,6 +51,18 @@ from ..ops.interaction import (
     broadcast_to_batch,
 )
 from ..ops.mlp import apply_mlp, apply_mlp_split_first
+from ..ops.pallas_fused import (
+    fusable,
+    make_fused_interaction,
+    stripe_fits,
+)
+from ..ops.pallas_segment import (
+    BlockedLayout,
+    blocked_segment_sum_nondiff,
+    build_blocked_layout,
+    pad_blocked_layout,
+)
+from ..ops.segment import _interpret_mode, _pallas_enabled
 
 
 # ---------------------------------------------------------------------------
@@ -57,7 +70,13 @@ from ..ops.mlp import apply_mlp, apply_mlp_split_first
 # ---------------------------------------------------------------------------
 @dataclasses.dataclass(frozen=True)
 class EdgeMeta:
-    """Static (trace-time) description of one sharded edge set."""
+    """Static (trace-time) description of one sharded edge set.
+
+    ``layout``/``send_layout`` are REPRESENTATIVE blocked layouts (all
+    shards share their static shape/tiling after padding to the max
+    chunk count); the per-shard index arrays live in the edge tables
+    and are threaded into the kernels dynamically.
+    """
 
     name: str
     n_shards: int
@@ -66,7 +85,9 @@ class EdgeMeta:
     strategy: str  # "halo" | "all_gather"
     offsets: tuple[int, ...]  # source-shard offsets, halo strategy only
     halo_sizes: tuple[int, ...]  # padded row count per offset
-    e_max: int
+    e_max: int  # blocked-padded edge slots per shard
+    layout: Optional[BlockedLayout] = None  # receiver-sorted blocking
+    send_layout: Optional[BlockedLayout] = None  # sender-sorted (grads)
 
     @property
     def ext_size(self) -> int:
@@ -88,14 +109,14 @@ def _build_edge_table(
     all_gather_max_nodes: int,
     max_halo_offsets: int,
 ) -> tuple[EdgeMeta, dict]:
-    """Shard edges by receiver; build halo row tables and extended ids."""
+    """Shard edges by receiver; build halo row tables and per-shard
+    blocked-CSR layouts with extended-space sender ids."""
     senders = np.asarray(senders, dtype=np.int64)
     receivers = np.asarray(receivers, dtype=np.int64)
     P_ = n_shards
     shard_of_edge = receivers // n_rec_local
     shard_of_sender = senders // n_send_local
     per_shard = [np.nonzero(shard_of_edge == s)[0] for s in range(P_)]
-    e_max = _round_up(max(max(len(p) for p in per_shard), 1), 8)
 
     # Remote-sender needs per (receiver shard, source offset)
     needs: dict[tuple[int, int], np.ndarray] = {}
@@ -132,33 +153,22 @@ def _build_edge_table(
         for d in offsets
     )
 
-    meta = EdgeMeta(
-        name=name,
-        n_shards=P_,
-        n_rec_local=n_rec_local,
-        n_send_local=n_send_local,
-        strategy="all_gather" if use_all_gather else "halo",
-        offsets=offsets,
-        halo_sizes=halo_sizes,
-        e_max=e_max,
+    strategy = "all_gather" if use_all_gather else "halo"
+    ext_size = (
+        n_send_local * P_
+        if use_all_gather
+        else n_send_local + sum(halo_sizes)
     )
 
-    # Extended-space id of each remote sender, per receiver shard
+    # Extended-space id of each sender + local receiver, receiver-sorted
+    # per shard (blocked-CSR order requires sorted receivers).
     base = {
         d: n_send_local + sum(halo_sizes[:i])
         for i, d in enumerate(offsets)
     }
-    snd = np.zeros((P_, e_max), dtype=np.int32)
-    rcv = np.full((P_, e_max), n_rec_local, dtype=np.int32)
-    fts = None
-    if features is not None:
-        fts = np.zeros(
-            (P_, e_max) + features.shape[1:], dtype=np.float32
-        )
-    counts = np.zeros((P_, n_rec_local), dtype=np.int32)
+    shard_edges: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
     for s in range(P_):
         sel = per_shard[s]
-        k = len(sel)
         u = senders[sel]
         t = shard_of_sender[sel]
         local_ids = (u - t * n_send_local).astype(np.int64)
@@ -175,17 +185,105 @@ def _build_edge_table(
                 ext_d = base[d] + pos
                 ext[in_d] = ext_d
             assert (ext >= 0).all(), f"unmapped sender in {name}"
-        snd[s, :k] = ext
         local_r = (receivers[sel] - s * n_rec_local).astype(np.int64)
-        rcv[s, :k] = local_r
-        if fts is not None:
-            fts[s, :k] = features[sel]
-        counts[s] = np.bincount(local_r, minlength=n_rec_local)
+        order = np.argsort(local_r, kind="stable")
+        shard_edges.append(
+            (
+                ext[order],
+                local_r[order],
+                features[sel][order] if features is not None else None,
+            )
+        )
+
+    # Per-shard receiver-sorted blocked layouts, padded to one static
+    # chunk count so a single traced program serves every shard.
+    layouts = [
+        build_blocked_layout(locr, n_rec_local)
+        for _, locr, _ in shard_edges
+    ]
+    n_chunks = max(int(l.chunk_block.shape[0]) for l in layouts)
+    layouts = [pad_blocked_layout(l, n_chunks) for l in layouts]
+    e_blocked = layouts[0].num_blocked
+
+    snd = np.zeros((P_, e_blocked), dtype=np.int32)
+    rcv = np.full((P_, e_blocked), n_rec_local, dtype=np.int32)
+    local_ids_tbl = np.full((P_, 1, e_blocked), -1, dtype=np.int32)
+    chunk_block_tbl = np.zeros((P_, n_chunks), dtype=np.int32)
+    fts = None
+    if features is not None:
+        fts = np.zeros(
+            (P_, e_blocked) + features.shape[1:], dtype=np.float32
+        )
+    counts = np.zeros((P_, n_rec_local), dtype=np.int32)
+    for s in range(P_):
+        lay = layouts[s]
+        ext_s, locr_s, f_s = shard_edges[s]
+        dead = lay.perm < 0
+        safe = np.where(dead, 0, lay.perm)
+        if len(ext_s):
+            snd[s] = np.where(dead, 0, ext_s[safe]).astype(np.int32)
+            rcv[s] = np.where(dead, n_rec_local, locr_s[safe]).astype(
+                np.int32
+            )
+            if fts is not None:
+                fts[s][~dead] = f_s[lay.perm[~dead]]
+        local_ids_tbl[s, 0] = np.asarray(lay.local_ids)[0]
+        chunk_block_tbl[s] = np.asarray(lay.chunk_block)
+        counts[s] = np.bincount(locr_s, minlength=n_rec_local)
+
+    # Sender-sorted layouts over valid slots: the gradient of the
+    # sender gather is a scatter-add, which runs through the blocked
+    # segment-sum kernel (XLA lowers scatter to a serial loop on TPU).
+    send_layouts = []
+    valid_sorted = []
+    for s in range(P_):
+        dead = layouts[s].perm < 0
+        valid_slots = np.nonzero(~dead)[0]
+        sv = snd[s][valid_slots].astype(np.int64)
+        ssort = np.argsort(sv, kind="stable")
+        send_layouts.append(build_blocked_layout(sv[ssort], ext_size))
+        valid_sorted.append(valid_slots[ssort])
+    n_schunks = max(int(l.chunk_block.shape[0]) for l in send_layouts)
+    send_layouts = [
+        pad_blocked_layout(l, n_schunks) for l in send_layouts
+    ]
+    e_sblocked = send_layouts[0].num_blocked
+    rslot = np.full((P_, e_sblocked), e_blocked, dtype=np.int32)
+    s_local_ids = np.full((P_, 1, e_sblocked), -1, dtype=np.int32)
+    s_chunk_block = np.zeros((P_, n_schunks), dtype=np.int32)
+    for s in range(P_):
+        sl = send_layouts[s]
+        sdead = sl.perm < 0
+        ssafe = np.where(sdead, 0, sl.perm)
+        if len(valid_sorted[s]):
+            rslot[s] = np.where(
+                sdead, e_blocked, valid_sorted[s][ssafe]
+            ).astype(np.int32)
+        s_local_ids[s, 0] = np.asarray(sl.local_ids)[0]
+        s_chunk_block[s] = np.asarray(sl.chunk_block)
+
+    meta = EdgeMeta(
+        name=name,
+        n_shards=P_,
+        n_rec_local=n_rec_local,
+        n_send_local=n_send_local,
+        strategy=strategy,
+        offsets=offsets,
+        halo_sizes=halo_sizes,
+        e_max=e_blocked,
+        layout=layouts[0],
+        send_layout=send_layouts[0],
+    )
 
     tbl = {
         "senders": snd,
         "recv_local": rcv,
         "counts": counts,
+        "chunk_block": chunk_block_tbl,
+        "local_ids": local_ids_tbl,
+        "rslot": rslot,
+        "s_chunk_block": s_chunk_block,
+        "s_local_ids": s_local_ids,
     }
     if fts is not None:
         tbl["features"] = fts
@@ -276,6 +374,70 @@ def _seg_sum_local(messages, recv_local, n_rec_local):
     return out[:n_rec_local]
 
 
+def _make_sharded_sender_gather(meta: EdgeMeta):
+    """Differentiable ``x_ext[senders]`` whose backward runs the blocked
+    segment-sum kernel over the (dynamically threaded) per-shard
+    sender-sorted layout — XLA would lower the scatter-add of the plain
+    gather's VJP to a serial update loop. The per-shard index arrays
+    are primal args (float0 cotangents); created fresh per trace, never
+    cached across jits."""
+    send_layout = meta.send_layout
+    interpret = _interpret_mode()
+
+    @jax.custom_vjp
+    def gather(x, senders, rslot, s_cb, s_ids):
+        return x[senders]
+
+    def fwd(x, senders, rslot, s_cb, s_ids):
+        return x[senders], (x.shape[0], rslot, s_cb, s_ids)
+
+    def bwd(res, g):
+        rows, rslot, s_cb, s_ids = res
+        g2d = g.reshape(g.shape[0], -1)
+        # Dead sender-sorted slots map one past the end; clamp — their
+        # one-hot (s_ids == -1) drops them in the kernel anyway.
+        safe = jnp.minimum(rslot, g2d.shape[0] - 1)
+        grad_sorted = g2d[safe]
+        d_nodes = blocked_segment_sum_nondiff(
+            grad_sorted,
+            send_layout,
+            interpret,
+            out_dtype=jnp.float32,
+            dyn=(s_cb, s_ids),
+        )[:rows]
+        d_nodes = d_nodes.reshape((rows,) + g.shape[1:]).astype(g.dtype)
+        f0 = lambda a: np.zeros(  # noqa: E731
+            a.shape, dtype=jax.dtypes.float0
+        )
+        return d_nodes, f0(safe), f0(rslot), f0(s_cb), f0(s_ids)
+
+    gather.defvjp(fwd, bwd)
+    return gather
+
+
+def _use_fused_sharded(net_params, meta, send_rep, rec_rep, edge_rep):
+    """Mirror of ``ops.interaction._use_fused`` for shard-local tables:
+    route through the fused Pallas edge kernel when the configuration
+    matches what it implements."""
+    if os.environ.get("NEURAL_LAM_TPU_FUSED", "auto") == "off":
+        return False
+    if meta.layout is None or not _pallas_enabled():
+        return False
+    if len(net_params["edge"]) != 1 or len(net_params["aggr"]) != 1:
+        return False
+    if not fusable(net_params["edge"][0]):
+        return False
+    h = net_params["edge"][0]["layers"][1]["w"].shape[1]
+    if not (
+        send_rep.shape[-1] == h
+        and rec_rep.shape[-1] == h
+        and (edge_rep is None or edge_rep.shape[-1] == h)
+    ):
+        return False
+    groups = send_rep.shape[1] if send_rep.ndim == 3 else 1
+    return stripe_fits(groups, h)
+
+
 def _sharded_interaction(
     pe: LocalPE,
     net_params: dict,
@@ -291,11 +453,62 @@ def _sharded_interaction(
 ):
     """One message-passing step on shard-local slabs; semantics identical
     to ``apply_interaction_net`` (reference: neural_lam/gnn_layers.py:
-    15-250), with a halo exchange delivering cross-shard senders."""
+    15-250), with a halo exchange delivering cross-shard senders.
+
+    When the configuration matches the fused Pallas kernel (single
+    2-layer edge MLP at uniform hidden width), the edge phase runs
+    through the SAME ``make_fused_interaction`` kernel as the replicated
+    model, with the per-shard blocked-layout index arrays threaded in
+    dynamically — so sharded grid-points/s rides the fused step, not the
+    segment-sum fallback."""
     if propagation:
         aggr = "mean"
     meta = pe.meta
+    tbl = pe.tbl
     x_ext = _exchange(send_rep, pe, axis)
+
+    if _use_fused_sharded(net_params, meta, send_rep, rec_rep, edge_rep):
+        # broadcast at node level (local + halo rows), not edge level
+        ref = [edge_rep] if edge_rep is not None else []
+        x_ext, rec_rep = _bcast_batch([x_ext, rec_rep] + ref)[:2]
+        gather = _make_sharded_sender_gather(meta)
+        x_send = gather(
+            x_ext,
+            tbl["senders"],
+            tbl["rslot"],
+            tbl["s_chunk_block"],
+            tbl["s_local_ids"],
+        )
+        fused = make_fused_interaction(
+            meta.layout,
+            update_edges=update_edges,
+            propagation=propagation,
+            interpret=_interpret_mode(),
+        )
+        aggregated, new_edge = fused(
+            net_params["edge"][0],
+            edge_rep,
+            x_send,
+            rec_rep,
+            dyn_layout=(tbl["chunk_block"], tbl["local_ids"]),
+        )
+        if aggr == "mean":
+            counts = jnp.maximum(tbl["counts"], 1).astype(
+                aggregated.dtype
+            )
+            aggregated = aggregated / counts.reshape(
+                (-1,) + (1,) * (aggregated.ndim - 1)
+            )
+        rec_rep_b, _ = _bcast_batch([rec_rep, aggregated])
+        rec_diff = apply_mlp_split_first(
+            net_params["aggr"][0], (rec_rep_b, aggregated)
+        )
+        residual_base = aggregated if propagation else rec_rep_b
+        new_rec = residual_base + rec_diff
+        if update_edges:
+            return new_rec, new_edge
+        return new_rec
+
     x_send = x_ext[pe.tbl["senders"]]
     x_rec = rec_rep[jnp.minimum(pe.tbl["recv_local"], meta.n_rec_local - 1)]
     x_send, x_rec, edge_rep_b = _bcast_batch([x_send, x_rec, edge_rep])
@@ -681,10 +894,18 @@ class ShardedModel:
         optimizer,
         per_var_std: Optional[jax.Array],
         loss_name: str = "wmse",
+        scan_steps: Optional[int] = None,
+        precision: str = "32",
     ):
         """Jitted sharded train step ``(params, opt_state, init, target,
         forcing) -> (params, opt_state, loss)``; batch arrays arrive
-        grid-padded and sharded via :meth:`node_sharding`."""
+        grid-padded and sharded via :meth:`node_sharding`.
+
+        ``scan_steps=k`` consumes a k-stack of batches and runs k
+        sequential optimizer steps inside one executable (same contract
+        as ``Trainer.make_train_step``). ``precision="bf16"`` mirrors
+        the replicated step: f32 master params, bf16 compute copies
+        inside the step (build the model with ``compute_dtype=bf16``)."""
         tables = self.tables()
         entry_fn = get_metric_entry(loss_name)
 
@@ -692,10 +913,15 @@ class ShardedModel:
             init, target_s, forcing = self._standardize(
                 init, target, forcing
             )
+            if precision == "bf16":
+                params = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16), params
+                )
             local_fc = self._local_forecaster(forecaster, tbl)
             prediction, pred_std = local_fc.forward(
                 params, init, forcing, target_s
             )
+            prediction = prediction.astype(jnp.float32)
             std = self._pred_std_or(pred_std, per_var_std)
             loss = jnp.mean(
                 self._masked_metric(
@@ -736,6 +962,24 @@ class ShardedModel:
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
+
+        if scan_steps:
+
+            def train_steps(params, opt_state, init_k, target_k,
+                            forcing_k):
+                def body(carry, batch):
+                    p, o = carry
+                    p, o, loss = train_step(p, o, *batch)
+                    return (p, o), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    body,
+                    (params, opt_state),
+                    (init_k, target_k, forcing_k),
+                )
+                return params, opt_state, losses
+
+            return jax.jit(train_steps, donate_argnums=(0, 1))
 
         return jax.jit(train_step, donate_argnums=(0, 1))
 

@@ -108,11 +108,6 @@ class Trainer:
             # sharded executor (parallel/spatial.py); loops/eval reuse.
             from .parallel.spatial import ShardedModel
 
-            if args.precision == "bf16":
-                raise NotImplementedError(
-                    "spatial sharding currently trains fp32; drop "
-                    "--precision bf16 or --spatial_shards"
-                )
             self.spatial = ShardedModel(
                 forecaster.predictor, datastore, mesh
             )
@@ -370,15 +365,13 @@ class Trainer:
         program launch; see docs/performance.md).
         """
         if self.spatial is not None:
-            if scan_steps:
-                raise NotImplementedError(
-                    "scan_steps is not supported with spatial sharding"
-                )
             return self.spatial.make_train_step(
                 self.forecaster,
                 self.optimizer,
                 self.per_var_std,
                 loss_name=self.args.loss,
+                scan_steps=scan_steps,
+                precision=self.args.precision,
             )
 
         def train_step(params, opt_state, init, target, forcing):
