@@ -119,16 +119,6 @@ def run_test_evaluation(
     is_rank_zero = jax.process_index() == 0
     sums: dict[str, np.ndarray] = {}
     count = 0
-    if jax.process_count() > 1 and n_example_pred > 0:
-        # predictions are data-sharded across hosts; example plotting
-        # is a single-host feature (the reference likewise runs its
-        # example plots on rank 0 of single-device eval, README:528-530)
-        if is_rank_zero:
-            print(
-                "warning: example-prediction plots are skipped under "
-                "multi-host eval; rerun single-host for examples"
-            )
-        n_example_pred = 0
     example_plotted = 0
     pred_steps = None
     for batch in loader:
@@ -142,43 +132,36 @@ def run_test_evaluation(
             ("loss", loss), ("mse", mse_sv), ("mae", mae_sv),
             ("spatial", spatial),
         )
-        if jax.process_count() > 1:
-            # Gather per-sample outputs and per-host real counts across
-            # hosts, masking each host's padded tail rows, so every
-            # process accumulates identical sums
-            # (reference metric sync: module.py:399-418).
-            from jax.experimental import multihost_utils
-
-            reals = np.asarray(
-                multihost_utils.process_allgather(np.int64(real))
-            ).reshape(-1)
-            gathered = {
-                k: np.asarray(
-                    multihost_utils.process_allgather(v, tiled=True)
-                )
-                for k, v in per_batch
-            }
-            per_host = gathered["loss"].shape[0] // len(reals)
-            keep = np.concatenate(
-                [np.arange(per_host) < r for r in reals]
-            )
-            for key, val in gathered.items():
-                sums[key] = sums.get(key, 0) + val[keep].sum(axis=0)
-            count += int(reals.sum())
-        else:
-            for key, val in per_batch:
-                sums[key] = sums.get(key, 0) + np.asarray(val)[
-                    :real
-                ].sum(axis=0)
-            count += real
+        # Each host accumulates its OWN (addressable) rows, masked to
+        # its real count — NO collective in the loop; one
+        # process_allgather below merges per-host sums
+        # (reference metric sync: module.py:399-418, batched).
+        for key, val in per_batch:
+            rows = trainer._local_batch_rows(val)[:real]
+            sums[key] = sums.get(key, 0) + rows.sum(axis=0)
+        count += real
 
         # Example prediction plots from the first batch(es)
-        # (reference: module.py:584-768).
-        n_plot = min(n_example_pred - example_plotted, real)
+        # (reference: module.py:584-768). Multi-host: the global batch
+        # leads with host 0's block, so the globally-first samples ARE
+        # rank 0's addressable rows — plot on rank 0 from its own
+        # shard, no gather needed. batch[1] (targets) is host-local and
+        # row-aligned with those rows.
+        plot_here = n_example_pred > 0 and (
+            jax.process_count() == 1 or is_rank_zero
+        )
+        pred_local = (
+            trainer._local_batch_rows(prediction) if plot_here else None
+        )
+        n_plot = (
+            min(n_example_pred - example_plotted, real)
+            if plot_here
+            else 0
+        )
         for i in range(n_plot):
             ex = example_plotted + i  # global example index for naming
             pred_phys = (
-                np.asarray(prediction)[i] * state_std + state_mean
+                pred_local[i] * state_std + state_mean
             )  # (T, N, d)
             target_phys = np.asarray(batch[1])[i]
             t_last = pred_steps - 1
@@ -208,6 +191,29 @@ def run_test_evaluation(
                         / f"{split}_example_{ex}_{name}.gif",
                     )
         example_plotted += n_plot
+
+    if jax.process_count() > 1 and sums:
+        # ONE collective per eval pass: flatten per-host sums + count,
+        # allgather, sum over hosts — every process ends with identical
+        # totals (artifacts stay rank-0-only below).
+        from jax.experimental import multihost_utils
+
+        keys = sorted(sums)
+        shapes = {k: np.shape(sums[k]) for k in keys}
+        flat = np.concatenate(
+            [np.ravel(np.asarray(sums[k], np.float64)) for k in keys]
+            + [np.array([count], np.float64)]
+        )
+        gathered = np.asarray(
+            multihost_utils.process_allgather(flat)
+        ).reshape(jax.process_count(), -1)
+        total = gathered.sum(axis=0)
+        off = 0
+        for k in keys:
+            size = int(np.prod(shapes[k])) if shapes[k] else 1
+            sums[k] = total[off : off + size].reshape(shapes[k])
+            off += size
+        count = int(round(total[-1]))
 
     mean_loss_per_step = sums["loss"] / count  # (T,)
     mse_per_step_var = sums["mse"] / count  # (T, d)

@@ -68,6 +68,12 @@ class TrainingArgs:
     # TensorBoard/XProf.
     profile_dir: Optional[str] = None
     profile_steps: int = 5
+    # Multi-host: allreduce the preemption flag every k steps so a
+    # SIGTERM drains within k steps instead of a whole epoch (MEPS-size
+    # epochs run thousands of steps — a SLURM grace window can expire
+    # first). All hosts check at the same step index, so nobody leaves
+    # peers mid-collective. 0 disables (epoch-boundary drain only).
+    preempt_check_every: int = 50
 
 
 class Trainer:
@@ -180,11 +186,13 @@ class Trainer:
     def install_preemption_handler(self, signals=None) -> None:
         """Install SIGTERM/SIGUSR1 handlers that request a graceful stop.
 
-        Single-host, the training loop stops at the next step; multi-host
-        it stops at the epoch boundary only — a per-step break would
-        deadlock the SPMD peers mid-collective if the signal lands at
-        different step indices on different hosts (SLURM delivers to all
-        tasks, but not atomically).
+        Single-host, the training loop stops at the next step. Multi-host
+        it stops within ``preempt_check_every`` steps: an uncoordinated
+        per-step break would deadlock the SPMD peers mid-collective when
+        the signal lands at different step indices on different hosts
+        (SLURM delivers to all tasks, but not atomically), so the loop
+        allreduces the flag at fixed step indices and every host breaks
+        at the same point.
         """
         import signal as signal_mod
 
@@ -584,6 +592,27 @@ class Trainer:
                     and jax.process_count() == 1
                 ):
                     break
+                k = self.args.preempt_check_every
+                if (
+                    jax.process_count() > 1
+                    and k > 0
+                    and step_idx % k == k - 1
+                ):
+                    # Coordinated drain: every host contributes its
+                    # local flag at the same step index; if ANY host was
+                    # signalled, all break together (no peer is left
+                    # blocked in a collective). Loaders yield the same
+                    # batch count per host, so the check points line up.
+                    from jax.experimental import multihost_utils
+
+                    flags = np.asarray(
+                        multihost_utils.process_allgather(
+                            np.int32(self.preempt_event.is_set())
+                        )
+                    )
+                    if flags.any():
+                        self.preempt_event.set()
+                        break
             if profiling:  # short epoch: close the trace cleanly
                 jax.profiler.stop_trace()
                 profiling = False
@@ -631,10 +660,37 @@ class Trainer:
                 break
         return params, opt_state, history
 
+    @staticmethod
+    def _local_batch_rows(arr) -> np.ndarray:
+        """This process's rows of a batch-sharded per-sample array, in
+        batch order. Under multi-host the global batch is assembled from
+        contiguous per-host blocks (``make_array_from_process_local_data``),
+        so the addressable shards ARE this host's samples; duplicates
+        from replicating mesh axes (e.g. the spatial axis) are dropped
+        by shard index."""
+        if jax.process_count() == 1:
+            return np.asarray(arr)
+        seen: dict[int, np.ndarray] = {}
+        for s in arr.addressable_shards:
+            start = s.index[0].start or 0
+            if start not in seen:
+                seen[start] = np.asarray(s.data)
+        return np.concatenate(
+            [seen[k] for k in sorted(seen)], axis=0
+        )
+
     def evaluate(self, params, loader, prefix: str = "val") -> dict:
-        """Mean eval metrics over a loader."""
+        """Mean eval metrics over a loader.
+
+        Multi-host: per-batch sums accumulate from each host's OWN
+        (addressable) rows with no collective in the loop; one
+        ``process_allgather`` per eval pass merges the per-host
+        sums+counts, so every process computes identical means
+        (reference metric sync: module.py:399-418, minus its per-step
+        gather round-trips).
+        """
         pred_steps = None
-        sums: dict[str, float] = {}
+        sums: dict[str, np.ndarray] = {}
         count = 0
         for batch in loader:
             device_batch, real = self.device_put_batch(batch)
@@ -645,39 +701,31 @@ class Trainer:
                         pred_steps
                     )
             out = self._eval_step[pred_steps](params, *device_batch)
-            if jax.process_count() > 1:
-                # Per-sample outputs are data-sharded across hosts;
-                # gather them and the per-host real counts, and mask
-                # each host's padded tail rows, so every process
-                # computes identical means
-                # (reference metric sync: module.py:399-418).
-                from jax.experimental import multihost_utils
+            for k, v in out.items():
+                # padded tail rows (repeated last sample) sit at the
+                # end of this host's block; mask by the real count
+                rows = self._local_batch_rows(v)[:real]
+                sums[k] = sums.get(k, 0.0) + rows.sum(axis=0)
+            count += real
+        if jax.process_count() > 1 and sums:
+            from jax.experimental import multihost_utils
 
-                reals = np.asarray(
-                    multihost_utils.process_allgather(np.int64(real))
-                ).reshape(-1)
-                out = {
-                    k: np.asarray(
-                        multihost_utils.process_allgather(v, tiled=True)
-                    )
-                    for k, v in out.items()
-                }
-                any_v = next(iter(out.values()))
-                per_host = any_v.shape[0] // len(reals)
-                keep = np.concatenate(
-                    [
-                        np.arange(per_host) < r
-                        for r in reals
-                    ]
-                )
-                for k, v in out.items():
-                    sums[k] = sums.get(k, 0.0) + v[keep].sum(axis=0)
-                count += int(reals.sum())
-            else:
-                for k, v in out.items():
-                    v = np.asarray(v)[:real]
-                    sums[k] = sums.get(k, 0.0) + v.sum(axis=0)
-                count += real
+            keys = sorted(sums)
+            shapes = {k: np.shape(sums[k]) for k in keys}
+            flat = np.concatenate(
+                [np.ravel(np.asarray(sums[k], np.float64)) for k in keys]
+                + [np.array([count], np.float64)]
+            )
+            gathered = np.asarray(
+                multihost_utils.process_allgather(flat)
+            ).reshape(jax.process_count(), -1)
+            total = gathered.sum(axis=0)
+            off = 0
+            for k in keys:
+                size = int(np.prod(shapes[k])) if shapes[k] else 1
+                sums[k] = total[off : off + size].reshape(shapes[k])
+                off += size
+            count = int(round(total[-1]))
         means = {k: v / max(count, 1) for k, v in sums.items()}
         mse_table = means.pop("mse_table", None)
         result = {

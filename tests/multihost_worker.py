@@ -121,8 +121,37 @@ def main() -> None:
         ds,
         eval_dir,
         split="test",
-        n_example_pred=1,  # must be skipped (multi-host), not crash
+        # example plots come from rank 0's own shard rows (the
+        # globally-first samples); the gif below proves they were drawn
+        n_example_pred=1,
+        create_gif=True,
     )
+
+    # mid-epoch coordinated preemption: SIGTERM lands on process 0 only,
+    # partway through a long fit; the step-interval flag allreduce
+    # (preempt_check_every) must drain BOTH processes at the same step
+    # index (no peer left mid-collective), and a coordinated rescue
+    # checkpoint must still commit afterwards.
+    import signal
+    import threading
+
+    pre_args = TrainingArgs(
+        batch_size=2,
+        epochs=500,
+        preempt_check_every=2,
+        val_interval=10**9,
+    )
+    pre_trainer = Trainer(forecaster, config, ds, pre_args)
+    pre_trainer.install_preemption_handler()
+    if proc_id == 0:
+        threading.Timer(
+            1.0, lambda: signal.raise_signal(signal.SIGTERM)
+        ).start()
+    pp, oo = pre_trainer.init_state(jax.random.PRNGKey(2))
+    pp, oo, history = pre_trainer.fit(pp, oo, loader)
+    preempted = bool(history and history[-1].get("preempted"))
+    rescue = CheckpointManager(os.path.join(workdir, "shared_rescue"))
+    rescue.save("latest", pp, oo, step=len(history))
 
     print(
         json.dumps(
@@ -133,6 +162,8 @@ def main() -> None:
                 "ckpt_max_diff": max_diff,
                 "val_loss": metrics["val_loss"],
                 "test_loss": test_metrics["test_loss"],
+                "preempted": preempted,
+                "preempt_epochs": len(history),
             }
         )
     )

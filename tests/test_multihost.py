@@ -73,3 +73,14 @@ def test_two_process_training(tmp_path):
     eval_dir = tmp_path / "shared_eval"
     assert (eval_dir / "test_metrics.json").exists()
     assert (eval_dir / "mean_spatial_loss.npy").exists()
+    # example plots are no longer skipped multi-host: rank 0 plotted
+    # its own shard's globally-first sample (gif artifact written once)
+    gifs = list(eval_dir.glob("test_example_0_*.gif"))
+    assert gifs, "rank 0 should write example gifs under multi-host eval"
+    # mid-epoch SIGTERM on process 0 only: the coordinated step-interval
+    # flag check drained BOTH processes (same epoch count, no deadlock —
+    # a hang here would trip the communicate() timeout), and the rescue
+    # checkpoint committed after the drain
+    assert outs[0]["preempted"] and outs[1]["preempted"]
+    assert outs[0]["preempt_epochs"] == outs[1]["preempt_epochs"]
+    assert (tmp_path / "shared_rescue").exists()
