@@ -152,9 +152,10 @@ def init_devices_or_die(
     print(f"devices: {found[0]}", file=sys.stderr)
 
 
-def build_trainer():
+def build_trainer(model_name: str = "graph_lam"):
     """Construct the bench configuration: MEPS-size DummyDatastore,
-    multiscale graph (cached under ``.bench_cache``), GraphLAM, Trainer.
+    multiscale (or hierarchical) graph cached under ``.bench_cache``,
+    the requested model family, Trainer.
 
     Returns ``(trainer, datastore)``.
     """
@@ -172,7 +173,12 @@ def build_trainer():
     from neural_lam_tpu.config import DatastoreSelection, NeuralLAMConfig
     from neural_lam_tpu.datastore.dummy import DummyDatastore
     from neural_lam_tpu.graphs import create_graph_from_datastore
-    from neural_lam_tpu.models import ARForecaster, GraphLAM
+    from neural_lam_tpu.models import (
+        ARForecaster,
+        GraphLAM,
+        HiLAM,
+        HiLAMParallel,
+    )
     from neural_lam_tpu.trainer import Trainer, TrainingArgs
 
     ds = DummyDatastore(
@@ -184,14 +190,21 @@ def build_trainer():
         n_static_features=4,
         root_path=CACHE_DIR,
     )
-    graph_dir = ds.root_path / "graph" / "multiscale"
+    hierarchical = model_name != "graph_lam"
+    graph_name = "hierarchical" if hierarchical else "multiscale"
+    graph_dir = ds.root_path / "graph" / graph_name
     if not (graph_dir / "graph.npz").exists():
         print("building graph...", file=sys.stderr)
-        create_graph_from_datastore(ds, graph_dir, hierarchical=False)
+        create_graph_from_datastore(ds, graph_dir, hierarchical=hierarchical)
 
-    model = GraphLAM(
+    cls = {
+        "graph_lam": GraphLAM,
+        "hi_lam": HiLAM,
+        "hi_lam_parallel": HiLAMParallel,
+    }[model_name]
+    model = cls(
         ds,
-        graph_name="multiscale",
+        graph_name=graph_name,
         hidden_dim=HIDDEN_DIM,
         processor_layers=PROC_LAYERS,
     )
@@ -219,10 +232,22 @@ def make_bench_batch(ds, iters: int = ITERS):
 
 
 def main() -> None:
+    import argparse
+
     import jax
 
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--model",
+        default="graph_lam",
+        choices=("graph_lam", "hi_lam", "hi_lam_parallel"),
+        help="model family to bench (default: the GraphLAM headline; "
+        "scripts/bench_family.py sweeps all three, one process each)",
+    )
+    cli = parser.parse_args()
+
     init_devices_or_die()
-    trainer, ds = build_trainer()
+    trainer, ds = build_trainer(cli.model)
     params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
     # In-graph multi-step training (lax.scan over a batch stack): one
     # dispatch covers ITERS optimizer steps, so the per-program launch
@@ -247,10 +272,14 @@ def main() -> None:
     jax.block_until_ready((params, losses))
     step_time = (time.perf_counter() - t0) / (reps * ITERS)
     grid_points_per_s = BATCH * ds.num_grid_points * AR_STEPS / step_time
+    suffix = "" if cli.model == "graph_lam" else f", {cli.model}"
     print(
         json.dumps(
             {
-                "metric": "MEPS grid-points/s per chip (1-step fwd+bwd)",
+                "metric": (
+                    "MEPS grid-points/s per chip "
+                    f"(1-step fwd+bwd{suffix})"
+                ),
                 "value": round(grid_points_per_s, 1),
                 "unit": "grid-points/s",
                 "vs_baseline": 1.0,
