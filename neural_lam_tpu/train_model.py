@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -90,6 +91,74 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="Capture a jax.profiler trace of a few training steps "
         "into this directory (view with TensorBoard/XProf)",
+    )
+
+    kernels = parser.add_argument_group(
+        "TPU Kernel Tuning",
+        "Each flag maps to a NEURAL_LAM_TPU_* env var (the env var, when "
+        "set explicitly, wins — an escape hatch for sweeps). Defaults "
+        "are the measured-fastest configuration; see "
+        "docs/performance.md.",
+    )
+    kernels.add_argument(
+        "--pallas",
+        choices=["auto", "off", "interpret"],
+        default=None,
+        help="Pallas aggregation kernels: auto (on for TPU backends), "
+        "off (XLA segment_sum fallback), interpret (kernel interpreter, "
+        "for CPU debugging). [NEURAL_LAM_TPU_PALLAS]",
+    )
+    kernels.add_argument(
+        "--fused_embed",
+        choices=["on", "off"],
+        default=None,
+        help="Run the static edge-feature embedder INSIDE the fused "
+        "kernel (fastest, but cold-compiles in tens of minutes through "
+        "the remote helper; amortised by the persistent cache). "
+        "[NEURAL_LAM_TPU_FUSED_EMBED]",
+    )
+    kernels.add_argument(
+        "--cache_pre",
+        choices=["on", "off"],
+        default=None,
+        help="Save the fused kernels' per-edge first-layer "
+        "pre-activations as a VJP residual (+3.6%% step time for "
+        "~(E x lanes) f32 of HBM per edge set). [NEURAL_LAM_TPU_CACHE_PRE]",
+    )
+    kernels.add_argument(
+        "--bf16_kernels",
+        choices=["auto", "off"],
+        default=None,
+        help="Under --precision bf16, let bf16 streams reach into the "
+        "kernels' matmul operands; off keeps kernels f32 with boundary "
+        "casts. [NEURAL_LAM_TPU_BF16_KERNELS]",
+    )
+    kernels.add_argument(
+        "--matmul_precision",
+        choices=["highest", "high", "high-kernels"],
+        default=None,
+        help="f32 matmul operand rounding: highest = exact f32 (parity "
+        "default), high = bf16 operands everywhere (the TF32-equivalent "
+        "of the reference's CUDA default, measured SLOWER here), "
+        "high-kernels = bf16 operands inside the Pallas kernels only. "
+        "[NEURAL_LAM_TPU_MATMUL_PRECISION]",
+    )
+    kernels.add_argument(
+        "--kernel_tiling",
+        choices=["default", "sweep"],
+        default=None,
+        help="Per-edge-set kernel tiling: default = the (256, 512) "
+        "tiling tuned for the embed-fused step; sweep = per-set "
+        "measured tilings (faster for the non-embed-fused variant). "
+        "[NEURAL_LAM_TPU_TILING]",
+    )
+    kernels.add_argument(
+        "--banded_gather",
+        choices=["auto", "off"],
+        default=None,
+        help="Banded sender gather/scatter visit tables; off falls back "
+        "to the sender-sorted layout + slot permutation. "
+        "[NEURAL_LAM_TPU_BANDED]",
     )
 
     arch = parser.add_argument_group("Model Architecture")
@@ -184,10 +253,32 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
+_KERNEL_FLAG_ENV = {
+    "pallas": "NEURAL_LAM_TPU_PALLAS",
+    "fused_embed": "NEURAL_LAM_TPU_FUSED_EMBED",
+    "cache_pre": "NEURAL_LAM_TPU_CACHE_PRE",
+    "bf16_kernels": "NEURAL_LAM_TPU_BF16_KERNELS",
+    "matmul_precision": "NEURAL_LAM_TPU_MATMUL_PRECISION",
+    "kernel_tiling": "NEURAL_LAM_TPU_TILING",
+    "banded_gather": "NEURAL_LAM_TPU_BANDED",
+}
+
+
+def apply_kernel_flags(args) -> None:
+    """Propagate the kernel-tuning CLI flags to their env vars (the ops
+    layer reads env at call time). An env var already set in the
+    environment wins over the flag — the documented escape hatch."""
+    for flag, env in _KERNEL_FLAG_ENV.items():
+        value = getattr(args, flag, None)
+        if value is not None and env not in os.environ:
+            os.environ[env] = value
+
+
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     if args.config_path is None:
         raise SystemExit("--config_path is required")
+    apply_kernel_flags(args)
     # Validate eval step logging against rollout length. Validation
     # during training also unrolls ar_steps_eval steps, so the check is
     # against ar_steps_eval in both modes
