@@ -47,6 +47,7 @@ from ..metrics import get_metric_entry
 from ..models.graph_base import BaseGraphModel
 from ..ops.interaction import (
     _apply_chunked,
+    _embedder_fusable,
     _round_up,
     broadcast_to_batch,
 )
@@ -450,6 +451,7 @@ def _sharded_interaction(
     propagation: bool = False,
     edge_chunk_sizes=None,
     aggr_chunk_sizes=None,
+    edge_embedder=None,
 ):
     """One message-passing step on shard-local slabs; semantics identical
     to ``apply_interaction_net`` (reference: neural_lam/gnn_layers.py:
@@ -460,14 +462,33 @@ def _sharded_interaction(
     through the SAME ``make_fused_interaction`` kernel as the replicated
     model, with the per-shard blocked-layout index arrays threaded in
     dynamically — so sharded grid-points/s rides the fused step, not the
-    segment-sum fallback."""
+    segment-sum fallback. ``edge_embedder`` (with ``edge_rep=None``)
+    runs the static edge-feature embedder inside the kernel on the
+    shard-local features when fusable, exactly like the replicated
+    default path; otherwise it is applied up-front — identical math."""
     if propagation:
         aggr = "mean"
     meta = pe.meta
     tbl = pe.tbl
     x_ext = _exchange(send_rep, pe, axis)
 
-    if _use_fused_sharded(net_params, meta, send_rep, rec_rep, edge_rep):
+    use_fused = _use_fused_sharded(
+        net_params, meta, send_rep, rec_rep, edge_rep
+    )
+    embed_in_kernel = False
+    if edge_embedder is not None:
+        assert edge_rep is None
+        hidden = send_rep.shape[-1]
+        embed_in_kernel = (
+            use_fused
+            and os.environ.get("NEURAL_LAM_TPU_FUSED_EMBED", "on")
+            != "off"
+            and _embedder_fusable(edge_embedder, hidden)
+        )
+        if not embed_in_kernel:
+            edge_rep = apply_mlp(edge_embedder, pe.features)
+
+    if use_fused:
         # broadcast at node level (local + halo rows), not edge level
         ref = [edge_rep] if edge_rep is not None else []
         x_ext, rec_rep = _bcast_batch([x_ext, rec_rep] + ref)[:2]
@@ -490,6 +511,8 @@ def _sharded_interaction(
             edge_rep,
             x_send,
             rec_rep,
+            emb_params=(edge_embedder if embed_in_kernel else None),
+            edge_feats=(pe.features if embed_in_kernel else None),
             dyn_layout=(tbl["chunk_block"], tbl["local_ids"]),
         )
         if aggr == "mean":
@@ -801,21 +824,23 @@ class ShardedModel:
                       aggr="sum", update_edges=True, propagation=False,
                       edge_chunk_sizes=None, aggr_chunk_sizes=None,
                       edge_embedder=None):
-            if edge_embedder is not None:
-                # sharded path embeds the (local) static edge features
-                # up-front; math identical to the fused in-kernel path
-                edge_rep = apply_mlp(edge_embedder, pe.features)
             if isinstance(pe, LocalCombinedPE):
+                if edge_embedder is not None:
+                    edge_rep = apply_mlp(edge_embedder, pe.features)
                 return _sharded_combined(
                     pe, net_params, send_rep, edge_rep, axis,
                     aggr, update_edges, edge_chunk_sizes,
                 )
+            # edge_embedder defers to _sharded_interaction, which runs
+            # it inside the fused kernel when possible (identical math
+            # to embedding up-front)
             return _sharded_interaction(
                 pe, net_params, send_rep, rec_rep, edge_rep, axis,
                 aggr=aggr, update_edges=update_edges,
                 propagation=propagation,
                 edge_chunk_sizes=edge_chunk_sizes,
                 aggr_chunk_sizes=aggr_chunk_sizes,
+                edge_embedder=edge_embedder,
             )
 
         local.gnn_apply = gnn_apply
