@@ -14,6 +14,17 @@ are stubbed minimally:
   ``aggregate`` -> ``update``, ``node_dim=-2``, scatter sum/mean with
   count-clamped mean). The reference's overrides — which ARE the
   behaviour under test — run verbatim on top of it.
+
+  TEST-PLAN CAVEAT (stated plainly): this shim is the one
+  builder-authored link in the golden-parity chain. Every reference
+  override (message/aggregate/update bodies, edge offsets, chunk
+  routing) executes verbatim, so the residual risk is confined to the
+  PyG BASE contract re-implemented above — dispatch order, node_dim,
+  scatter-add/mean semantics. Those are pinned by PyG 2.3.1's docs and
+  cross-checked by the framework-side float64 numpy oracles
+  (tests/test_forward_parity.py), which derive the same semantics
+  independently of torch; a mistake would have to be made twice, in
+  two different formulations, to go unseen.
 - The logging/plotting libraries are inert attribute bags; only the
   modules under test (gnn_layers, utils.make_mlp and the numerics
   helpers, metrics) exercise real code paths.
