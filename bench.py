@@ -152,10 +152,15 @@ def init_devices_or_die(
     print(f"devices: {found[0]}", file=sys.stderr)
 
 
-def build_trainer(model_name: str = "graph_lam"):
+def build_trainer(model_name: str = "graph_lam", spatial_shards: int = 0):
     """Construct the bench configuration: MEPS-size DummyDatastore,
     multiscale (or hierarchical) graph cached under ``.bench_cache``,
     the requested model family, Trainer.
+
+    ``spatial_shards >= 1`` builds a (data=1, spatial=N) mesh so the
+    step runs through the spatially sharded executor — N=1 on a single
+    chip measures the executor's overhead vs the replicated path
+    (the <10% acceptance bar for the sharded fused kernels).
 
     Returns ``(trainer, datastore)``.
     """
@@ -213,7 +218,16 @@ def build_trainer(model_name: str = "graph_lam"):
         datastore=DatastoreSelection(kind="dummydata", config_path="")
     )
     args = TrainingArgs(batch_size=BATCH, ar_steps_train=AR_STEPS)
-    return Trainer(forecaster, config, ds, args), ds
+    mesh = None
+    if spatial_shards:
+        from jax.sharding import Mesh
+
+        devices = np.array(jax.devices()[:spatial_shards])
+        mesh = Mesh(
+            devices.reshape(1, spatial_shards),
+            axis_names=("data", "spatial"),
+        )
+    return Trainer(forecaster, config, ds, args, mesh=mesh), ds
 
 
 def make_bench_batch(ds, iters: int = ITERS):
@@ -244,10 +258,18 @@ def main() -> None:
         help="model family to bench (default: the GraphLAM headline; "
         "scripts/bench_family.py sweeps all three, one process each)",
     )
+    parser.add_argument(
+        "--spatial_shards",
+        type=int,
+        default=0,
+        help="run the step through the spatially sharded executor over "
+        "this many devices (1 on a single chip measures the executor's "
+        "overhead vs the replicated path); 0 = replicated (default)",
+    )
     cli = parser.parse_args()
 
     init_devices_or_die()
-    trainer, ds = build_trainer(cli.model)
+    trainer, ds = build_trainer(cli.model, cli.spatial_shards)
     params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
     # In-graph multi-step training (lax.scan over a batch stack): one
     # dispatch covers ITERS optimizer steps, so the per-program launch
@@ -255,7 +277,13 @@ def main() -> None:
     # off real training loops that use the same path).
     train_step = trainer.make_train_step(scan_steps=ITERS)
 
-    device_batch = tuple(jax.device_put(a) for a in make_bench_batch(ds))
+    host_batch = make_bench_batch(ds)
+    if trainer.spatial is not None:
+        # sharded steps consume grid-padded node arrays (no-op at P=1)
+        host_batch = tuple(
+            trainer.spatial.pad_grid(a) for a in host_batch
+        )
+    device_batch = tuple(jax.device_put(a) for a in host_batch)
 
     for _ in range(WARMUP):
         params, opt_state, losses = train_step(
@@ -273,6 +301,8 @@ def main() -> None:
     step_time = (time.perf_counter() - t0) / (reps * ITERS)
     grid_points_per_s = BATCH * ds.num_grid_points * AR_STEPS / step_time
     suffix = "" if cli.model == "graph_lam" else f", {cli.model}"
+    if cli.spatial_shards:
+        suffix += f", spatial={cli.spatial_shards}"
     print(
         json.dumps(
             {

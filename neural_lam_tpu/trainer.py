@@ -109,7 +109,11 @@ class Trainer:
             mesh = Mesh(np.array(devices[:n]), axis_names=("data",))
         self.mesh = mesh
         self.spatial = None
-        if "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1:
+        # A "spatial" axis only exists when the caller asked for spatial
+        # sharding (train_model builds it for --spatial_shards > 1;
+        # bench.py also for N=1, to measure the executor's single-chip
+        # overhead vs the replicated path).
+        if "spatial" in mesh.axis_names:
             # Spatial graph partitioning: swap the step builders for the
             # sharded executor (parallel/spatial.py); loops/eval reuse.
             from .parallel.spatial import ShardedModel

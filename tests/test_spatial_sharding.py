@@ -476,3 +476,38 @@ def test_sharded_scan_steps_equivalence(ds):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )
+
+
+def test_single_shard_executor_matches_replicated(ds):
+    """A (data=1, spatial=1) mesh engages the sharded executor (bench.py
+    --spatial_shards 1 measures its single-chip overhead vs the
+    replicated path); its loss must equal the replicated loss."""
+    from neural_lam_tpu.config import DatastoreSelection, NeuralLAMConfig
+    from neural_lam_tpu.trainer import Trainer, TrainingArgs
+
+    model = _make_model(ds, "graph_lam")
+    fc = ARForecaster(model, ds)
+    params = model.init_params(jax.random.PRNGKey(12))
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path="")
+    )
+    args = TrainingArgs(batch_size=2)
+
+    ref_trainer = Trainer(fc, config, ds, args)
+    init, forcing, target = _batch(ds, B=2, T=1, seed=31)
+    ref_loss = float(
+        ref_trainer._loss(
+            params, jnp.asarray(init), jnp.asarray(target),
+            jnp.asarray(forcing),
+        )
+    )
+
+    trainer = Trainer(fc, config, ds, args, mesh=_mesh(1, 1))
+    assert trainer.spatial is not None
+    assert trainer.spatial.n_grid_pad == ds.num_grid_points  # no pad
+    step = trainer.make_train_step()
+    _, _, loss = step(
+        params, trainer.optimizer.init(params),
+        jnp.asarray(init), jnp.asarray(target), jnp.asarray(forcing),
+    )
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=2e-5)
