@@ -213,3 +213,89 @@ def test_banded_layout_rejects_nonlocal_senders():
     assert (
         build_banded_layout(slots, num_send, chunk_edges=512) is None
     )
+
+
+def test_dynamic_layout_arrays_match_static():
+    """Kernels accept per-call (traced) chunk_block/local_ids with the
+    same static shape: results must equal the layout's own constants —
+    the contract the spatially sharded executor builds on (one traced
+    body, per-shard index arrays as data)."""
+    import jax
+
+    from neural_lam_tpu.ops.pallas_segment import (
+        blocked_expand_nondiff,
+        blocked_segment_sum_nondiff,
+        build_blocked_layout,
+        pad_blocked_layout,
+    )
+
+    rng = np.random.default_rng(5)
+    num_rec = 40
+    layouts = []
+    for seed in (0, 1):
+        r = np.sort(
+            np.random.default_rng(seed).integers(0, num_rec, 90 + seed * 40)
+        )
+        layouts.append(
+            build_blocked_layout(r, num_rec, block_rows=16, chunk_edges=32)
+        )
+    n_chunks = max(int(l.chunk_block.shape[0]) for l in layouts)
+    layouts = [pad_blocked_layout(l, n_chunks) for l in layouts]
+    rep = layouts[0]  # representative: static shapes only
+
+    for lay in layouts:
+        msgs = jnp.asarray(
+            rng.normal(size=(lay.num_blocked, 8)), jnp.float32
+        )
+        nodes = jnp.asarray(rng.normal(size=(num_rec, 8)), jnp.float32)
+        want_sum = blocked_segment_sum_nondiff(msgs, lay, interpret=True)
+        want_exp = blocked_expand_nondiff(nodes, lay, interpret=True)
+
+        # same results through the representative layout + dynamic
+        # arrays, traced under jit (arrays arrive as tracers)
+        got_sum, got_exp = jax.jit(
+            lambda m, x, cb, ids: (
+                blocked_segment_sum_nondiff(
+                    m, rep, interpret=True, dyn=(cb, ids)
+                ),
+                blocked_expand_nondiff(
+                    x, rep, interpret=True, dyn=(cb, ids)
+                ),
+            )
+        )(msgs, nodes, lay.chunk_block, lay.local_ids)
+        np.testing.assert_allclose(got_sum, want_sum, rtol=1e-6)
+        np.testing.assert_allclose(got_exp, want_exp, rtol=1e-6)
+
+
+def test_pad_blocked_layout_appends_dead_chunks():
+    """Padded chunks are all-dead, target the final block, and keep
+    chunk_block non-decreasing; sums are unchanged."""
+    from neural_lam_tpu.ops.pallas_segment import (
+        blocked_segment_sum_nondiff,
+        build_blocked_layout,
+        pad_blocked_layout,
+    )
+
+    r = np.sort(np.random.default_rng(2).integers(0, 30, 70))
+    lay = build_blocked_layout(r, 30, block_rows=16, chunk_edges=32)
+    padded = pad_blocked_layout(lay, int(lay.chunk_block.shape[0]) + 3)
+    cb = np.asarray(padded.chunk_block)
+    assert (np.diff(cb) >= 0).all()
+    assert (cb[-3:] == padded.num_blocks - 1).all()
+    extra = np.asarray(padded.local_ids)[0, lay.num_blocked:]
+    assert (extra == -1).all()
+
+    msgs = np.random.default_rng(3).normal(
+        size=(lay.num_blocked, 8)
+    ).astype(np.float32)
+    msgs_p = np.zeros((padded.num_blocked, 8), np.float32)
+    msgs_p[: lay.num_blocked] = msgs
+    np.testing.assert_allclose(
+        blocked_segment_sum_nondiff(
+            jnp.asarray(msgs_p), padded, interpret=True
+        ),
+        blocked_segment_sum_nondiff(
+            jnp.asarray(msgs), lay, interpret=True
+        ),
+        rtol=1e-6,
+    )
