@@ -362,10 +362,11 @@ def _exchange(x, pe: LocalPE, axis: str):
     return jnp.concatenate(parts, axis=0)
 
 
-def _bcast_batch(arrs):
+def _bcast_batch(arrs, ref=()):
     """Broadcast unbatched (N, d) arrays to the common (N, B, d) layout
-    (shared with apply_interaction_net)."""
-    return broadcast_to_batch(arrs)
+    (shared with apply_interaction_net); ``ref`` arrays only contribute
+    batch-size detection."""
+    return broadcast_to_batch(arrs, ref=ref)
 
 
 def _seg_sum_local(messages, recv_local, n_rec_local):
@@ -416,19 +417,16 @@ def _make_sharded_sender_gather(meta: EdgeMeta):
     return gather
 
 
-def _use_fused_sharded(net_params, meta, send_rep, rec_rep, edge_rep):
-    """Mirror of ``ops.interaction._use_fused`` for shard-local tables:
-    route through the fused Pallas edge kernel when the configuration
-    matches what it implements."""
+def _fusable_section(mlp, meta, send_rep, rec_rep, edge_rep):
+    """Can ONE edge MLP over one shard-local edge set ride the fused
+    Pallas kernel? (Mirror of ``ops.interaction._use_fused``.)"""
     if os.environ.get("NEURAL_LAM_TPU_FUSED", "auto") == "off":
         return False
     if meta.layout is None or not _pallas_enabled():
         return False
-    if len(net_params["edge"]) != 1 or len(net_params["aggr"]) != 1:
+    if not fusable(mlp):
         return False
-    if not fusable(net_params["edge"][0]):
-        return False
-    h = net_params["edge"][0]["layers"][1]["w"].shape[1]
+    h = mlp["layers"][1]["w"].shape[1]
     if not (
         send_rep.shape[-1] == h
         and rec_rep.shape[-1] == h
@@ -437,6 +435,16 @@ def _use_fused_sharded(net_params, meta, send_rep, rec_rep, edge_rep):
         return False
     groups = send_rep.shape[1] if send_rep.ndim == 3 else 1
     return stripe_fits(groups, h)
+
+
+def _use_fused_sharded(net_params, meta, send_rep, rec_rep, edge_rep):
+    """Route a whole interaction step through the fused kernel when the
+    configuration matches what it implements."""
+    if len(net_params["edge"]) != 1 or len(net_params["aggr"]) != 1:
+        return False
+    return _fusable_section(
+        net_params["edge"][0], meta, send_rep, rec_rep, edge_rep
+    )
 
 
 def _sharded_interaction(
@@ -491,7 +499,7 @@ def _sharded_interaction(
     if use_fused:
         # broadcast at node level (local + halo rows), not edge level
         ref = [edge_rep] if edge_rep is not None else []
-        x_ext, rec_rep = _bcast_batch([x_ext, rec_rep] + ref)[:2]
+        x_ext, rec_rep = _bcast_batch([x_ext, rec_rep], ref=ref)
         gather = _make_sharded_sender_gather(meta)
         x_send = gather(
             x_ext,
@@ -582,7 +590,11 @@ def _sharded_combined(
     """HiLAMParallel's fused multi-level step on local slabs: one
     chunked edge MLP per section, aggregation summed into the local
     flattened node space, chunked per-level node MLPs
-    (reference: hi_lam_parallel.py:147-209 + gnn_layers.py:275-325)."""
+    (reference: hi_lam_parallel.py:147-209 + gnn_layers.py:275-325).
+
+    Every section owns exactly one edge MLP, so each section's edge
+    phase rides the fused Pallas kernel independently when eligible
+    (same routing as ``_sharded_interaction``)."""
     assert aggr == "sum", "combined mesh processing uses sum aggregation"
     level_sizes = pe.level_sizes_local
     level_offsets = np.concatenate([[0], np.cumsum(level_sizes)])
@@ -598,23 +610,54 @@ def _sharded_combined(
         send = level_slice(mesh_rep, pe.sender_levels[k])
         rec = level_slice(mesh_rep, pe.recv_levels[k])
         x_ext = _exchange(send, sec, axis)
-        x_send = x_ext[sec.tbl["senders"]]
-        x_rec = rec[
-            jnp.minimum(sec.tbl["recv_local"], sec.meta.n_rec_local - 1)
-        ]
-        x_send, x_rec, e_rep = _bcast_batch([x_send, x_rec, e_rep])
-        messages = apply_mlp_split_first(
-            net_params["edge"][k], (e_rep, x_send, x_rec)
-        )
-        agg = _seg_sum_local(
-            messages, sec.tbl["recv_local"], sec.meta.n_rec_local
-        )
+        if _fusable_section(
+            net_params["edge"][k], sec.meta, send, rec, e_rep
+        ):
+            tbl = sec.tbl
+            x_ext, rec_b = _bcast_batch([x_ext, rec], ref=[e_rep])
+            gather = _make_sharded_sender_gather(sec.meta)
+            x_send = gather(
+                x_ext,
+                tbl["senders"],
+                tbl["rslot"],
+                tbl["s_chunk_block"],
+                tbl["s_local_ids"],
+            )
+            fused = make_fused_interaction(
+                sec.meta.layout,
+                update_edges=update_edges,
+                propagation=False,
+                interpret=_interpret_mode(),
+            )
+            agg, new_e = fused(
+                net_params["edge"][k],
+                e_rep,
+                x_send,
+                rec_b,
+                dyn_layout=(tbl["chunk_block"], tbl["local_ids"]),
+            )
+            if update_edges:
+                new_edge_secs.append(new_e)
+        else:
+            x_send = x_ext[sec.tbl["senders"]]
+            x_rec = rec[
+                jnp.minimum(
+                    sec.tbl["recv_local"], sec.meta.n_rec_local - 1
+                )
+            ]
+            x_send, x_rec, e_rep = _bcast_batch([x_send, x_rec, e_rep])
+            messages = apply_mlp_split_first(
+                net_params["edge"][k], (e_rep, x_send, x_rec)
+            )
+            agg = _seg_sum_local(
+                messages, sec.tbl["recv_local"], sec.meta.n_rec_local
+            )
+            if update_edges:
+                new_edge_secs.append(e_rep + messages)
         lev = pe.recv_levels[k]
         agg_levels[lev] = (
             agg if agg_levels[lev] is None else agg_levels[lev] + agg
         )
-        if update_edges:
-            new_edge_secs.append(e_rep + messages)
     aggregated = jnp.concatenate(agg_levels, axis=0)
     rec_diff = _apply_chunked(
         net_params["aggr"],

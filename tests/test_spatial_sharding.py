@@ -185,6 +185,7 @@ def test_sharded_forward_with_forced_halos(ds):
         ("graph_lam", "nll", {"output_std": True}, "off"),
         ("hi_lam", "wmse", {}, "off"),
         ("hi_lam", "wmse", {}, "interpret"),
+        ("hi_lam_parallel", "wmse", {}, "interpret"),
     ],
 )
 def test_sharded_loss_matches_replicated(ds, model_name, loss_name,
