@@ -18,7 +18,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.interaction import EdgeSet, broadcast_to_batch
+from ..ops.interaction import (
+    EdgeSet,
+    broadcast_to_batch,
+    fused_edge_phase,
+    fused_edge_phase_supported,
+)
+from ..ops.mlp import apply_mlp_split_first
 from .hierarchical import BaseHiGraphModel
 
 
@@ -105,6 +111,13 @@ class HiLAMParallel(BaseHiGraphModel):
         self.edge_split_sections = [
             pe.edges.num_padded for pe in self._sections
         ]
+        # Per-section (sender level, receiver level), same order
+        self._section_send_levels = (
+            list(range(L)) + list(range(L - 1)) + [l + 1 for l in range(L - 1)]
+        )
+        self._section_recv_levels = (
+            list(range(L)) + [l + 1 for l in range(L - 1)] + list(range(L - 1))
+        )
 
     def _init_subclass_params(self, rng: jax.Array) -> dict:
         k_hier, k_proc = jax.random.split(rng)
@@ -117,12 +130,82 @@ class HiLAMParallel(BaseHiGraphModel):
         )
         return params
 
+    def _fused_sections_step(
+        self, net_params, mesh_rep_levels, edge_reps
+    ):
+        """One processor layer as per-section fused Pallas edge phases.
+
+        Mathematically identical to the combined chunked step: every
+        section has its own edge MLP (SplitMLPs), the per-level
+        aggregate is the sum of its incoming sections' segment sums,
+        and one per-level node MLP applies after — but each section's
+        gather+MLP+LN+aggregate runs as ONE kernel over its own
+        per-level edge set (which carries a blocked layout, unlike the
+        synthesized combined set), instead of XLA scatter/gather over
+        the concatenated node space."""
+        L = self.num_levels
+        agg = [None] * L
+        new_edges = []
+        for k, pe in enumerate(self._sections):
+            a, ne = fused_edge_phase(
+                net_params["edge"][k],
+                pe.edges,
+                mesh_rep_levels[self._section_send_levels[k]],
+                mesh_rep_levels[self._section_recv_levels[k]],
+                edge_reps[k],
+                update_edges=True,
+            )
+            rl = self._section_recv_levels[k]
+            agg[rl] = a if agg[rl] is None else agg[rl] + a
+            new_edges.append(ne)
+        new_levels = []
+        for lev in range(L):
+            rep_b, agg_b = broadcast_to_batch(
+                [mesh_rep_levels[lev], agg[lev]]
+            )
+            diff = apply_mlp_split_first(
+                net_params["aggr"][lev], (rep_b, agg_b)
+            )
+            new_levels.append(rep_b + diff)
+        return new_levels, new_edges
+
     def hi_processor_step(
         self, params, mesh_rep_levels, mesh_same_rep, mesh_up_rep,
         mesh_down_rep,
     ):
         """Fused processing of all levels and edge sets at once
         (reference: hi_lam_parallel.py:147-209)."""
+        L = self.num_levels
+        # Per-section fused kernels on the replicated path (the sharded
+        # local view routes through its own gnn_apply/_sharded_combined
+        # instead, hence the _sharded_view guard).
+        use_fused = not getattr(self, "_sharded_view", False) and all(
+            fused_edge_phase_supported(
+                net_params["edge"][k],
+                pe.edges,
+                mesh_rep_levels[self._section_send_levels[k]],
+                mesh_rep_levels[self._section_recv_levels[k]],
+                (mesh_same_rep + mesh_up_rep + mesh_down_rep)[k],
+            )
+            for net_params in params["processor"]
+            for k, pe in enumerate(self._sections)
+        )
+        if use_fused:
+            for net_params in params["processor"]:
+                edge_reps = mesh_same_rep + mesh_up_rep + mesh_down_rep
+                mesh_rep_levels, new_edges = self._fused_sections_step(
+                    net_params, mesh_rep_levels, edge_reps
+                )
+                mesh_same_rep = new_edges[:L]
+                mesh_up_rep = new_edges[L : L + (L - 1)]
+                mesh_down_rep = new_edges[L + (L - 1) :]
+            return (
+                list(mesh_rep_levels),
+                list(mesh_same_rep),
+                list(mesh_up_rep),
+                list(mesh_down_rep),
+            )
+
         # Broadcast unbatched (static-embedded) lists to the common
         # layout before concatenation along the node/edge (leading) axis
         all_reps = mesh_rep_levels + mesh_same_rep + mesh_up_rep + (
@@ -161,7 +244,6 @@ class HiLAMParallel(BaseHiGraphModel):
         )
         edge_splits = np.cumsum(self.edge_split_sections[:-1]).tolist()
         sections = jnp.split(mesh_edge_rep, edge_splits, axis=0)
-        L = self.num_levels
         mesh_same_rep = list(sections[:L])
         mesh_up_rep = list(sections[L : L + (L - 1)])
         mesh_down_rep = list(sections[L + (L - 1) :])

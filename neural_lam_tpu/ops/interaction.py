@@ -360,20 +360,20 @@ def _embedder_fusable(emb_params, hidden: int) -> bool:
     )
 
 
-def _use_fused(params, edge_set, send_rep, rec_rep, edge_rep) -> bool:
-    """Route through the fused Pallas edge kernel when the configuration
-    matches what it implements (blocked layout, single 2-layer edge MLP,
-    uniform feature width). ``NEURAL_LAM_TPU_FUSED=off`` forces the
-    separate-kernel path (used by equivalence tests)."""
+def fused_edge_phase_supported(
+    mlp, edge_set, send_rep, rec_rep, edge_rep
+) -> bool:
+    """Can ONE edge MLP over this edge set ride the fused Pallas kernel?
+    (blocked layout, 2-layer edge MLP, uniform feature width, bounded
+    stripe). ``NEURAL_LAM_TPU_FUSED=off`` forces the separate-kernel
+    path (used by equivalence tests)."""
     if os.environ.get("NEURAL_LAM_TPU_FUSED", "auto") == "off":
         return False
     if edge_set.layout is None or not _pallas_enabled():
         return False
-    if len(params["edge"]) != 1 or len(params["aggr"]) != 1:
+    if not fusable(mlp):
         return False
-    if not fusable(params["edge"][0]):
-        return False
-    h = params["edge"][0]["layers"][1]["w"].shape[1]
+    h = mlp["layers"][1]["w"].shape[1]
     if not (
         send_rep.shape[-1] == h
         and rec_rep.shape[-1] == h
@@ -392,6 +392,57 @@ def _use_fused(params, edge_set, send_rep, rec_rep, edge_rep) -> bool:
         )
         return False
     return True
+
+
+def _use_fused(params, edge_set, send_rep, rec_rep, edge_rep) -> bool:
+    """Route a whole interaction step through the fused kernel when the
+    configuration matches what it implements."""
+    if len(params["edge"]) != 1 or len(params["aggr"]) != 1:
+        return False
+    return fused_edge_phase_supported(
+        params["edge"][0], edge_set, send_rep, rec_rep, edge_rep
+    )
+
+
+def fused_edge_phase(
+    mlp,
+    edge_set: EdgeSet,
+    send_rep: jax.Array,
+    rec_rep: jax.Array,
+    edge_rep: jax.Array,
+    update_edges: bool = True,
+    propagation: bool = False,
+):
+    """The fused gather -> edge-MLP -> sum-aggregate phase for ONE edge
+    MLP, exposed for callers that compose multi-section steps from
+    per-section phases (HiLAMParallel's combined processing,
+    reference: hi_lam_parallel.py:147-209): per-level aggregates are
+    summed across sections BEFORE one chunked node update, so the node
+    MLP/residual stays with the caller. Returns
+    ``(aggregated_sum, new_edge | None)``; mean division (propagation)
+    is also the caller's.
+
+    Node reps broadcast to the common batched layout; an unbatched
+    ``edge_rep`` stays 2-D (the kernel's shared-edge fast path).
+    """
+    batched = any(
+        a is not None and a.ndim == 3 for a in (send_rep, rec_rep, edge_rep)
+    )
+    if batched:
+        ref = (edge_rep,) if edge_rep is not None else ()
+        send_rep, rec_rep = broadcast_to_batch(
+            [send_rep, rec_rep], ref=ref
+        )
+    x_send = gather_senders(edge_set, send_rep)
+    key = ("fused", update_edges, propagation, _interpret_mode(), False)
+    if key not in edge_set.fn_cache:
+        edge_set.fn_cache[key] = make_fused_interaction(
+            edge_set.layout,
+            update_edges=update_edges,
+            propagation=propagation,
+            interpret=_interpret_mode(),
+        )
+    return edge_set.fn_cache[key](mlp, edge_rep, x_send, rec_rep)
 
 
 def apply_interaction_net(

@@ -862,6 +862,9 @@ class ShardedModel:
         # the sharded executors index local node arrays by exact local
         # row counts — block-padded residency must stay off here
         local.padded_residency = False
+        # model-level fused fast paths (HiLAMParallel per-section step)
+        # must defer to the sharded gnn_apply below
+        local._sharded_view = True
 
         def gnn_apply(net_params, pe, send_rep, rec_rep, edge_rep,
                       aggr="sum", update_edges=True, propagation=False,

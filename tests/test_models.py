@@ -237,3 +237,55 @@ def test_padded_residency_equivalence(datastore, monkeypatch, model_name):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5
         )
+
+
+def test_hi_lam_parallel_fused_sections_match_combined(
+    datastore, monkeypatch
+):
+    """HiLAMParallel's per-section fused processor (each section's edge
+    phase as one Pallas kernel over its own per-level edge set) must
+    reproduce the combined chunked-edge-set path — values AND
+    gradients."""
+    import neural_lam_tpu.models.hi_lam_parallel as hlp
+
+    model = _build("hi_lam_parallel", datastore)
+    params = model.init_params(jax.random.PRNGKey(7))
+    n = datastore.num_grid_points
+    d = datastore.get_num_data_vars("state")
+    f = datastore.get_num_data_vars("forcing") * 3
+    rng = np.random.default_rng(13)
+    prev = jnp.asarray(rng.normal(size=(n, 2, d)), jnp.float32)
+    prev_prev = jnp.asarray(rng.normal(size=(n, 2, d)), jnp.float32)
+    forcing = jnp.asarray(rng.normal(size=(n, 2, f)), jnp.float32)
+
+    def run(p):
+        out, _ = model.step(p, prev, prev_prev, forcing)
+        return out
+
+    calls = {"fused": 0}
+    orig = hlp.fused_edge_phase
+
+    def spy(*a, **kw):
+        calls["fused"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(hlp, "fused_edge_phase", spy)
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    fused_out = run(params)
+    assert calls["fused"] > 0, "per-section fused path was not routed"
+    g_fused = jax.grad(lambda p: jnp.sum(run(p) ** 2))(params)
+
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "off")
+    plain_out = run(params)
+    g_plain = jax.grad(lambda p: jnp.sum(run(p) ** 2))(params)
+
+    np.testing.assert_allclose(
+        np.asarray(fused_out), np.asarray(plain_out), rtol=1e-4, atol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_fused),
+        jax.tree_util.tree_leaves(g_plain),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-4
+        )
