@@ -152,7 +152,11 @@ def init_devices_or_die(
     print(f"devices: {found[0]}", file=sys.stderr)
 
 
-def build_trainer(model_name: str = "graph_lam", spatial_shards: int = 0):
+def build_trainer(
+    model_name: str = "graph_lam",
+    spatial_shards: int = 0,
+    precision: str = "32",
+):
     """Construct the bench configuration: MEPS-size DummyDatastore,
     multiscale (or hierarchical) graph cached under ``.bench_cache``,
     the requested model family, Trainer.
@@ -207,17 +211,24 @@ def build_trainer(model_name: str = "graph_lam", spatial_shards: int = 0):
         "hi_lam": HiLAM,
         "hi_lam_parallel": HiLAMParallel,
     }[model_name]
+    import jax.numpy as jnp
+
     model = cls(
         ds,
         graph_name=graph_name,
         hidden_dim=HIDDEN_DIM,
         processor_layers=PROC_LAYERS,
+        compute_dtype=(
+            jnp.bfloat16 if precision == "bf16" else jnp.float32
+        ),
     )
     forecaster = ARForecaster(model, ds)
     config = NeuralLAMConfig(
         datastore=DatastoreSelection(kind="dummydata", config_path="")
     )
-    args = TrainingArgs(batch_size=BATCH, ar_steps_train=AR_STEPS)
+    args = TrainingArgs(
+        batch_size=BATCH, ar_steps_train=AR_STEPS, precision=precision
+    )
     mesh = None
     if spatial_shards:
         from jax.sharding import Mesh
@@ -266,10 +277,20 @@ def main() -> None:
         "this many devices (1 on a single chip measures the executor's "
         "overhead vs the replicated path); 0 = replicated (default)",
     )
+    parser.add_argument(
+        "--precision",
+        default="32",
+        choices=("32", "bf16"),
+        help="32 = exact fp32 (the headline/default, matching the "
+        "reference's precision contract); bf16 = mixed precision "
+        "(f32 master params, bf16 compute — the fastest configuration)",
+    )
     cli = parser.parse_args()
 
     init_devices_or_die()
-    trainer, ds = build_trainer(cli.model, cli.spatial_shards)
+    trainer, ds = build_trainer(
+        cli.model, cli.spatial_shards, cli.precision
+    )
     params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
     # In-graph multi-step training (lax.scan over a batch stack): one
     # dispatch covers ITERS optimizer steps, so the per-program launch
@@ -303,6 +324,8 @@ def main() -> None:
     suffix = "" if cli.model == "graph_lam" else f", {cli.model}"
     if cli.spatial_shards:
         suffix += f", spatial={cli.spatial_shards}"
+    if cli.precision != "32":
+        suffix += f", {cli.precision}"
     print(
         json.dumps(
             {
