@@ -55,6 +55,23 @@ def _probe_devices_subprocess(timeout: float) -> tuple[bool, str]:
     return False, (tail[-1] if tail else f"probe exited rc={r.returncode}")
 
 
+def _print_unavailable_json(detail: str, attempts: int) -> None:
+    """The structured 'backend unavailable' record (one schema for both
+    failure modes, distinguishable from a perf regression)."""
+    print(
+        json.dumps(
+            {
+                "metric": "MEPS grid-points/s per chip (1-step fwd+bwd)",
+                "value": None,
+                "unit": "grid-points/s",
+                "vs_baseline": None,
+                "error": f"TPU backend unavailable: {detail}",
+                "probe_attempts": attempts,
+            }
+        )
+    )
+
+
 def init_devices_or_die(
     probe_timeout: float = 180.0, retry_every: float = 150.0
 ) -> None:
@@ -86,20 +103,7 @@ def init_devices_or_die(
                 f"window ({budget:.0f} s) is exhausted: {err}",
                 file=sys.stderr,
             )
-            print(
-                json.dumps(
-                    {
-                        "metric": (
-                            "MEPS grid-points/s per chip (1-step fwd+bwd)"
-                        ),
-                        "value": None,
-                        "unit": "grid-points/s",
-                        "vs_baseline": None,
-                        "error": f"TPU backend unavailable: {err}",
-                        "probe_attempts": attempt,
-                    }
-                )
-            )
+            _print_unavailable_json(err, attempt)
             sys.exit(3)
         wait = min(retry_every, deadline - now)
         print(
@@ -134,20 +138,7 @@ def init_devices_or_die(
         )
         print(f"ERROR: jax device initialisation failed: {detail}",
               file=sys.stderr)
-        print(
-            json.dumps(
-                {
-                    "metric": (
-                        "MEPS grid-points/s per chip (1-step fwd+bwd)"
-                    ),
-                    "value": None,
-                    "unit": "grid-points/s",
-                    "vs_baseline": None,
-                    "error": f"TPU backend unavailable: {detail}",
-                    "probe_attempts": attempt,
-                }
-            )
-        )
+        _print_unavailable_json(detail, attempt)
         os._exit(3)
     print(f"devices: {found[0]}", file=sys.stderr)
 

@@ -192,28 +192,9 @@ def run_test_evaluation(
                     )
         example_plotted += n_plot
 
-    if jax.process_count() > 1 and sums:
-        # ONE collective per eval pass: flatten per-host sums + count,
-        # allgather, sum over hosts — every process ends with identical
-        # totals (artifacts stay rank-0-only below).
-        from jax.experimental import multihost_utils
-
-        keys = sorted(sums)
-        shapes = {k: np.shape(sums[k]) for k in keys}
-        flat = np.concatenate(
-            [np.ravel(np.asarray(sums[k], np.float64)) for k in keys]
-            + [np.array([count], np.float64)]
-        )
-        gathered = np.asarray(
-            multihost_utils.process_allgather(flat)
-        ).reshape(jax.process_count(), -1)
-        total = gathered.sum(axis=0)
-        off = 0
-        for k in keys:
-            size = int(np.prod(shapes[k])) if shapes[k] else 1
-            sums[k] = total[off : off + size].reshape(shapes[k])
-            off += size
-        count = int(round(total[-1]))
+    # ONE collective per eval pass merges per-host sums + counts
+    # (artifacts stay rank-0-only below).
+    sums, count = trainer._merge_host_sums(sums, count)
 
     mean_loss_per_step = sums["loss"] / count  # (T,)
     mse_per_step_var = sums["mse"] / count  # (T, d)

@@ -179,15 +179,17 @@ class HiLAMParallel(BaseHiGraphModel):
         # Per-section fused kernels on the replicated path (the sharded
         # local view routes through its own gnn_apply/_sharded_combined
         # instead, hence the _sharded_view guard).
+        # Every processor layer has identically shaped MLPs, so checking
+        # the first layer's sections decides for all of them.
+        first = params["processor"][0]
         use_fused = not getattr(self, "_sharded_view", False) and all(
             fused_edge_phase_supported(
-                net_params["edge"][k],
+                first["edge"][k],
                 pe.edges,
                 mesh_rep_levels[self._section_send_levels[k]],
                 mesh_rep_levels[self._section_recv_levels[k]],
                 (mesh_same_rep + mesh_up_rep + mesh_down_rep)[k],
             )
-            for net_params in params["processor"]
             for k, pe in enumerate(self._sections)
         )
         if use_fused:

@@ -382,16 +382,23 @@ def fused_edge_phase_supported(
         return False
     groups = send_rep.shape[1] if send_rep.ndim == 3 else 1
     if not stripe_fits(groups, h):
-        warnings.warn(
-            f"fused interaction kernel disabled for batch {groups} at "
-            f"hidden {h}: no 128-aligned stripe divisor and the "
-            f"full-width stripe ({groups * h} lanes) exceeds the VMEM "
-            f"cap; using the unfused path (pad the batch to a multiple "
-            f"of {128 // math.gcd(h, 128)} to re-enable)",
-            stacklevel=3,
-        )
+        # the predicate runs several times per trace (embed check +
+        # routing, per section/layer); warn once per (groups, hidden)
+        if (groups, h) not in _stripe_warned:
+            _stripe_warned.add((groups, h))
+            warnings.warn(
+                f"fused interaction kernel disabled for batch {groups} "
+                f"at hidden {h}: no 128-aligned stripe divisor and the "
+                f"full-width stripe ({groups * h} lanes) exceeds the "
+                f"VMEM cap; using the unfused path (pad the batch to a "
+                f"multiple of {128 // math.gcd(h, 128)} to re-enable)",
+                stacklevel=3,
+            )
         return False
     return True
+
+
+_stripe_warned: set = set()
 
 
 def _use_fused(params, edge_set, send_rep, rec_rep, edge_rep) -> bool:

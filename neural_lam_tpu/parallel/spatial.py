@@ -50,13 +50,10 @@ from ..ops.interaction import (
     _embedder_fusable,
     _round_up,
     broadcast_to_batch,
+    fused_edge_phase_supported,
 )
 from ..ops.mlp import apply_mlp, apply_mlp_split_first
-from ..ops.pallas_fused import (
-    fusable,
-    make_fused_interaction,
-    stripe_fits,
-)
+from ..ops.pallas_fused import make_fused_interaction
 from ..ops.pallas_segment import (
     BlockedLayout,
     blocked_segment_sum_nondiff,
@@ -391,10 +388,10 @@ def _make_sharded_sender_gather(meta: EdgeMeta):
         return x[senders]
 
     def fwd(x, senders, rslot, s_cb, s_ids):
-        return x[senders], (x.shape[0], rslot, s_cb, s_ids)
+        return x[senders], (x.shape[0], senders, rslot, s_cb, s_ids)
 
     def bwd(res, g):
-        rows, rslot, s_cb, s_ids = res
+        rows, senders, rslot, s_cb, s_ids = res
         g2d = g.reshape(g.shape[0], -1)
         # Dead sender-sorted slots map one past the end; clamp — their
         # one-hot (s_ids == -1) drops them in the kernel anyway.
@@ -411,38 +408,20 @@ def _make_sharded_sender_gather(meta: EdgeMeta):
         f0 = lambda a: np.zeros(  # noqa: E731
             a.shape, dtype=jax.dtypes.float0
         )
-        return d_nodes, f0(safe), f0(rslot), f0(s_cb), f0(s_ids)
+        return d_nodes, f0(senders), f0(rslot), f0(s_cb), f0(s_ids)
 
     gather.defvjp(fwd, bwd)
     return gather
 
 
-def _fusable_section(mlp, meta, send_rep, rec_rep, edge_rep):
-    """Can ONE edge MLP over one shard-local edge set ride the fused
-    Pallas kernel? (Mirror of ``ops.interaction._use_fused``.)"""
-    if os.environ.get("NEURAL_LAM_TPU_FUSED", "auto") == "off":
-        return False
-    if meta.layout is None or not _pallas_enabled():
-        return False
-    if not fusable(mlp):
-        return False
-    h = mlp["layers"][1]["w"].shape[1]
-    if not (
-        send_rep.shape[-1] == h
-        and rec_rep.shape[-1] == h
-        and (edge_rep is None or edge_rep.shape[-1] == h)
-    ):
-        return False
-    groups = send_rep.shape[1] if send_rep.ndim == 3 else 1
-    return stripe_fits(groups, h)
-
-
 def _use_fused_sharded(net_params, meta, send_rep, rec_rep, edge_rep):
-    """Route a whole interaction step through the fused kernel when the
-    configuration matches what it implements."""
+    """Route a whole sharded interaction step through the fused kernel
+    when the configuration matches what it implements. Eligibility is
+    the ops layer's own predicate (EdgeMeta carries ``.layout`` like an
+    EdgeSet, the only attribute it reads)."""
     if len(net_params["edge"]) != 1 or len(net_params["aggr"]) != 1:
         return False
-    return _fusable_section(
+    return fused_edge_phase_supported(
         net_params["edge"][0], meta, send_rep, rec_rep, edge_rep
     )
 
@@ -610,7 +589,7 @@ def _sharded_combined(
         send = level_slice(mesh_rep, pe.sender_levels[k])
         rec = level_slice(mesh_rep, pe.recv_levels[k])
         x_ext = _exchange(send, sec, axis)
-        if _fusable_section(
+        if fused_edge_phase_supported(
             net_params["edge"][k], sec.meta, send, rec, e_rep
         ):
             tbl = sec.tbl
@@ -898,21 +877,13 @@ class ShardedModel:
                 + [f"up{i}" for i in range(L - 1)]
                 + [f"down{i}" for i in range(L - 1)]
             )
-            sender_levels = (
-                list(range(L))
-                + list(range(L - 1))
-                + [l + 1 for l in range(L - 1)]
-            )
-            recv_levels = (
-                list(range(L))
-                + [l + 1 for l in range(L - 1)]
-                + list(range(L - 1))
-            )
+            # section -> level wiring comes from the model itself (one
+            # source of truth with the replicated per-section step)
             local._total_pe = LocalCombinedPE(
                 [local_pe(n) for n in sec_names],
                 list(self.level_local),
-                sender_levels,
-                recv_levels,
+                list(self.model._section_send_levels),
+                list(self.model._section_recv_levels),
             )
             local.edge_split_sections = [
                 self.metas[n].e_max for n in sec_names

@@ -209,6 +209,22 @@ class Trainer:
         for s in signals:
             signal_mod.signal(s, handler)
 
+    def _sync_preempt_flag(self) -> bool:
+        """Multi-host: allgather the local preemption bit so every host
+        agrees; sets the local event when ANY host was signalled.
+        Returns the agreed flag. Single-host: the local flag."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            flags = np.asarray(
+                multihost_utils.process_allgather(
+                    np.int32(self.preempt_event.is_set())
+                )
+            )
+            if flags.any():
+                self.preempt_event.set()
+        return self.preempt_event.is_set()
+
     # -- batch prep --------------------------------------------------------
     def _tiled_forcing_stats(self, forcing_width: int):
         """Per-window tiling of forcing stats, feature-major
@@ -607,19 +623,18 @@ class Trainer:
                     # signalled, all break together (no peer is left
                     # blocked in a collective). Loaders yield the same
                     # batch count per host, so the check points line up.
-                    from jax.experimental import multihost_utils
-
-                    flags = np.asarray(
-                        multihost_utils.process_allgather(
-                            np.int32(self.preempt_event.is_set())
-                        )
-                    )
-                    if flags.any():
-                        self.preempt_event.set()
+                    if self._sync_preempt_flag():
                         break
             if profiling:  # short epoch: close the trace cleanly
                 jax.profiler.stop_trace()
                 profiling = False
+            # Epoch-boundary flag sync: a signal landing AFTER the
+            # epoch's last mid-epoch checkpoint would otherwise be seen
+            # by one host only — it would skip validation/break while
+            # its peers enter the next collective and block. Every host
+            # reaches this point (mid-epoch breaks are coordinated), so
+            # one allgather here closes the window.
+            self._sync_preempt_flag()
             if losses:
                 jax.block_until_ready(losses[-1])
                 train_loss = float(jnp.mean(jnp.stack(losses)))
@@ -683,6 +698,36 @@ class Trainer:
             [seen[k] for k in sorted(seen)], axis=0
         )
 
+    @staticmethod
+    def _merge_host_sums(
+        sums: dict, count: int
+    ) -> tuple[dict, int]:
+        """ONE collective per eval pass: flatten per-host metric sums +
+        the sample count, allgather, sum over hosts — every process
+        ends with identical totals. No-op single-host or on empty
+        sums."""
+        if jax.process_count() == 1 or not sums:
+            return sums, count
+        from jax.experimental import multihost_utils
+
+        keys = sorted(sums)
+        shapes = {k: np.shape(sums[k]) for k in keys}
+        flat = np.concatenate(
+            [np.ravel(np.asarray(sums[k], np.float64)) for k in keys]
+            + [np.array([count], np.float64)]
+        )
+        gathered = np.asarray(
+            multihost_utils.process_allgather(flat)
+        ).reshape(jax.process_count(), -1)
+        total = gathered.sum(axis=0)
+        off = 0
+        merged = {}
+        for k in keys:
+            size = int(np.prod(shapes[k])) if shapes[k] else 1
+            merged[k] = total[off : off + size].reshape(shapes[k])
+            off += size
+        return merged, int(round(total[-1]))
+
     def evaluate(self, params, loader, prefix: str = "val") -> dict:
         """Mean eval metrics over a loader.
 
@@ -711,25 +756,7 @@ class Trainer:
                 rows = self._local_batch_rows(v)[:real]
                 sums[k] = sums.get(k, 0.0) + rows.sum(axis=0)
             count += real
-        if jax.process_count() > 1 and sums:
-            from jax.experimental import multihost_utils
-
-            keys = sorted(sums)
-            shapes = {k: np.shape(sums[k]) for k in keys}
-            flat = np.concatenate(
-                [np.ravel(np.asarray(sums[k], np.float64)) for k in keys]
-                + [np.array([count], np.float64)]
-            )
-            gathered = np.asarray(
-                multihost_utils.process_allgather(flat)
-            ).reshape(jax.process_count(), -1)
-            total = gathered.sum(axis=0)
-            off = 0
-            for k in keys:
-                size = int(np.prod(shapes[k])) if shapes[k] else 1
-                sums[k] = total[off : off + size].reshape(shapes[k])
-                off += size
-            count = int(round(total[-1]))
+        sums, count = self._merge_host_sums(sums, count)
         means = {k: v / max(count, 1) for k, v in sums.items()}
         mse_table = means.pop("mse_table", None)
         result = {

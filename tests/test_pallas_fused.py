@@ -582,12 +582,15 @@ def test_stripe_cap_guard(monkeypatch):
     assert not stripe_fits(9, 64)  # 576 lanes: over the cap
     assert not stripe_fits(25, 64)
 
+    import neural_lam_tpu.ops.interaction as interaction
+
     rng = np.random.default_rng(11)
     d = 64
     es, _ = _random_edge_set(rng, n_send=13, n_rec=9, n_edges=48)
     params = init_interaction_net(jax.random.PRNGKey(2), d)
     monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
     monkeypatch.setenv("NEURAL_LAM_TPU_FUSED", "auto")
+    interaction._stripe_warned.clear()  # warn-once dedup is per-process
 
     for b, fused_expected in ((5, True), (9, False)):
         send = jnp.asarray(rng.normal(size=(13, b, d)), jnp.float32)
