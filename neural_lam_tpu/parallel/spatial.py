@@ -938,10 +938,13 @@ class ShardedModel:
         loss_name: str = "wmse",
         scan_steps: Optional[int] = None,
         precision: str = "32",
+        out_shardings=None,
     ):
         """Jitted sharded train step ``(params, opt_state, init, target,
         forcing) -> (params, opt_state, loss)``; batch arrays arrive
         grid-padded and sharded via :meth:`node_sharding`.
+        ``out_shardings`` (params, opt_state, loss) pins ZeRO-1 moment
+        placements across steps.
 
         ``scan_steps=k`` consumes a k-stack of batches and runs k
         sequential optimizer steps inside one executable (same contract
@@ -1021,9 +1024,15 @@ class ShardedModel:
                 )
                 return params, opt_state, losses
 
-            return jax.jit(train_steps, donate_argnums=(0, 1))
+            return jax.jit(
+                train_steps,
+                donate_argnums=(0, 1),
+                out_shardings=out_shardings,
+            )
 
-        return jax.jit(train_step, donate_argnums=(0, 1))
+        return jax.jit(
+            train_step, donate_argnums=(0, 1), out_shardings=out_shardings
+        )
 
     def make_eval_step(
         self,

@@ -393,6 +393,15 @@ class Trainer:
         program launch; see docs/performance.md).
         """
         if self.spatial is not None:
+            out_shardings = None
+            if getattr(self, "_opt_shardings", None) is not None:
+                # ZeRO-1 under spatial sharding: pin moment shardings
+                # across steps like the replicated path does
+                out_shardings = (
+                    self._replicated,
+                    self._opt_shardings,
+                    self._replicated,
+                )
             return self.spatial.make_train_step(
                 self.forecaster,
                 self.optimizer,
@@ -400,6 +409,7 @@ class Trainer:
                 loss_name=self.args.loss,
                 scan_steps=scan_steps,
                 precision=self.args.precision,
+                out_shardings=out_shardings,
             )
 
         def train_step(params, opt_state, init, target, forcing):
@@ -501,25 +511,36 @@ class Trainer:
 
     # -- loops -------------------------------------------------------------
     def _opt_state_sharding(self, opt_state) -> Any:
-        """Per-leaf shardings partitioning AdamW moments over ``data``
-        (the FSDP-lite/ZeRO-1 cheap win, SURVEY.md 2.2): a leaf shards
-        when its leading axis divides by the data-axis size, else it
-        stays replicated (scalars like the step count)."""
-        data_axis = (
-            self.mesh.shape["data"] if "data" in self.mesh.axis_names
-            else 1
+        """Per-leaf shardings partitioning AdamW moments over the device
+        mesh (the FSDP-lite/ZeRO-1 cheap win, SURVEY.md 2.2): a leaf
+        shards over ALL mesh axes whose product divides its leading
+        axis (data, and spatial when present — the moments are
+        parameter-shaped, not node arrays, so any axis works), falling
+        back to the data axis alone, else replicated (scalars like the
+        step count)."""
+        axes = tuple(
+            a for a in ("data", "spatial") if a in self.mesh.axis_names
         )
+        candidates = []
+        if axes:
+            total = int(np.prod([self.mesh.shape[a] for a in axes]))
+            if total > 1:
+                candidates.append((total, P(axes)))
+        if "data" in self.mesh.axis_names:
+            d = int(self.mesh.shape["data"])
+            if d > 1:
+                candidates.append((d, P("data")))
 
         def leaf_sharding(leaf):
             if (
                 self.args.shard_opt_state
-                and data_axis > 1
                 and hasattr(leaf, "ndim")
                 and leaf.ndim >= 1
-                and leaf.shape[0] % data_axis == 0
                 and leaf.shape[0] > 0
             ):
-                return NamedSharding(self.mesh, P("data"))
+                for size, spec in candidates:
+                    if leaf.shape[0] % size == 0:
+                        return NamedSharding(self.mesh, spec)
             return self._replicated
 
         return jax.tree_util.tree_map(leaf_sharding, opt_state)

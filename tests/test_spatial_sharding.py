@@ -512,3 +512,56 @@ def test_single_shard_executor_matches_replicated(ds):
         jnp.asarray(init), jnp.asarray(target), jnp.asarray(forcing),
     )
     np.testing.assert_allclose(float(loss), ref_loss, rtol=2e-5)
+
+
+def test_zero1_over_full_mesh_with_spatial(ds):
+    """ZeRO-1 composes with spatial sharding: AdamW moments shard over
+    the FULL (data x spatial) mesh — parameter-shaped leaves are not
+    node arrays, so every axis is usable — with an identical training
+    trajectory to replicated optimizer state."""
+    from neural_lam_tpu.config import DatastoreSelection, NeuralLAMConfig
+    from neural_lam_tpu.trainer import Trainer, TrainingArgs
+
+    model = _make_model(ds, "graph_lam")
+    init, forcing, target = _batch(ds, B=2, T=1, seed=41)
+
+    results = {}
+    for shard_opt in (False, True):
+        fc = ARForecaster(model, ds)
+        args = TrainingArgs(batch_size=2, shard_opt_state=shard_opt)
+        trainer = Trainer(fc, config=NeuralLAMConfig(
+            datastore=DatastoreSelection(kind="dummydata", config_path="")
+        ), datastore=ds, args=args, mesh=_mesh(2, 4))
+        params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+        if shard_opt:
+            full_mesh_leaves = [
+                leaf
+                for leaf in jax.tree_util.tree_leaves(opt_state)
+                if hasattr(leaf, "sharding")
+                and len(leaf.sharding.device_set) == 8
+                and not leaf.sharding.is_fully_replicated
+            ]
+            assert full_mesh_leaves, (
+                "no optimizer leaf partitioned over the full mesh"
+            )
+        step = trainer.make_train_step()
+        dev = lambda a: jax.device_put(  # noqa: E731
+            jnp.asarray(trainer.spatial.pad_grid(a)),
+            trainer.spatial.node_sharding(),
+        )
+        db = (dev(init), dev(target), dev(forcing))
+        for _ in range(3):
+            params, opt_state, loss = step(params, opt_state, *db)
+        results[shard_opt] = (
+            jax.tree_util.tree_map(np.asarray, jax.device_get(params)),
+            float(loss),
+        )
+
+    np.testing.assert_allclose(
+        results[True][1], results[False][1], rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(results[True][0]),
+        jax.tree_util.tree_leaves(results[False][0]),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
