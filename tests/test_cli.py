@@ -362,3 +362,95 @@ def test_kernel_tuning_flags(monkeypatch):
     # every knob in the map has a matching CLI flag
     for flag in train_model._KERNEL_FLAG_ENV:
         assert hasattr(args, flag)
+
+
+def test_predict_cli_exports_forecasts(config_path, tmp_path):
+    """The serving path: train via the CLI, then export physical-unit
+    forecasts from the checkpoint with python -m neural_lam_tpu.predict
+    (the reference's --eval writes metrics/plots only; there is no way
+    to get forecast fields out of it)."""
+    import numpy as np
+
+    from neural_lam_tpu import predict
+    from neural_lam_tpu.checkpoint import load_forecaster_from_checkpoint
+    from neural_lam_tpu.config import load_config_and_datastore
+
+    if not (config_path.parent / "graph" / "1level" / "graph.npz").exists():
+        create_graph.main([
+            "--config_path", str(config_path),
+            "--name", "1level",
+            "--levels", "1",
+        ])
+    runs_root = tmp_path / "runs"
+    train_model.main([
+        "--config_path", str(config_path),
+        "--graph", "1level",
+        "--hidden_dim", "8",
+        "--processor_layers", "2",
+        "--batch_size", "2",
+        "--runs_root", str(runs_root),
+        "--logger_run_name", "servetrain",
+        "--val_steps_to_log", "1",
+        "--epochs", "1",
+    ])
+    out_dir = tmp_path / "forecasts"
+    predict.main([
+        "--config_path", str(config_path),
+        "--load", str(runs_root / "servetrain"),
+        "--split", "test",
+        "--ar_steps", "3",
+        "--batch_size", "2",
+        "--n_samples", "3",
+        "--out", str(out_dir),
+    ])
+
+    meta = json.loads(
+        (out_dir / "forecast_meta.json").read_text(encoding="utf-8")
+    )
+    _, datastore = load_config_and_datastore(str(config_path))
+    n = datastore.num_grid_points
+    d = datastore.get_num_data_vars("state")
+    assert meta["num_grid_points"] == n
+    assert len(meta["var_names"]) == d
+
+    files = sorted(out_dir.glob("forecast_test_*.npz"))
+    assert len(files) == 3
+    first = np.load(files[0])
+    assert first["prediction"].shape == (3, n, d)
+    assert first["target_times"].shape == (3,)
+    assert np.isfinite(first["prediction"]).all()
+
+    # physical-unit round trip: destandardizing the raw forward by hand
+    # must reproduce the exported file exactly
+    import jax
+    import jax.numpy as jnp
+
+    from neural_lam_tpu.dataset import WeatherDataset
+    from neural_lam_tpu.trainer import Trainer, TrainingArgs
+    from neural_lam_tpu.config import NeuralLAMConfig, DatastoreSelection
+
+    fc, params, _ = load_forecaster_from_checkpoint(
+        runs_root / "servetrain", datastore
+    )
+    dataset = WeatherDataset(datastore, split="test", ar_steps=3)
+    init, target, forcing, _times = dataset[0]
+    trainer = Trainer(
+        fc,
+        NeuralLAMConfig(
+            datastore=DatastoreSelection(kind="dummydata", config_path="")
+        ),
+        datastore,
+        TrainingArgs(batch_size=1),
+    )
+    init_s, target_s, forcing_s = trainer.standardize_batch(
+        jnp.asarray(init)[None], jnp.asarray(target)[None],
+        jnp.asarray(forcing)[None],
+    )
+    pred_s, _ = fc.forward(params, init_s, forcing_s, target_s)
+    stats = datastore.get_standardization_dataarray(category="state")
+    want = np.asarray(pred_s)[0] * np.asarray(
+        stats["state_std"], np.float32
+    ) + np.asarray(stats["state_mean"], np.float32)
+    np.testing.assert_allclose(
+        first["prediction"], want, rtol=1e-5, atol=1e-6
+    )
