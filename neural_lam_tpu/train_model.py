@@ -52,6 +52,31 @@ def build_parser() -> argparse.ArgumentParser:
         help="Initialise jax.distributed for a multi-host slice",
     )
     runtime.add_argument(
+        "--devices",
+        type=int,
+        default=None,
+        help="Cap the number of local devices used for the data mesh "
+        "(reference: Lightning's --devices; default: every device "
+        "whose count divides the batch)",
+    )
+    runtime.add_argument(
+        "--num_nodes",
+        type=int,
+        default=None,
+        help="Expected number of hosts; validated against the "
+        "discovered jax.distributed process count (the reference "
+        "passes it to Lightning DDP; JAX discovers it, so this is a "
+        "launch-config sanity check)",
+    )
+    runtime.add_argument(
+        "--num_workers",
+        type=int,
+        default=2,
+        help="Loader prefetch depth (the counterpart of the "
+        "reference's DataLoader worker count; loading here is "
+        "memmap-backed threads, not worker processes)",
+    )
+    runtime.add_argument(
         "--debug_nans",
         action="store_true",
         help="Enable jax.debug_nans: error out on the first NaN/Inf "
@@ -219,6 +244,8 @@ def build_parser() -> argparse.ArgumentParser:
     logger.add_argument("--logger_run_name", type=str, default=None)
     logger.add_argument(
         "--logger_run_id",
+        "--wandb_id",  # drop-in alias for the reference flag name
+        dest="logger_run_id",
         type=str,
         default=None,
         help="Resume an existing W&B run by id "
@@ -355,12 +382,26 @@ def main(argv=None) -> None:
     )
     import jax
 
+    if args.num_nodes is not None and (
+        jax.process_count() != args.num_nodes
+    ):
+        raise SystemExit(
+            f"--num_nodes {args.num_nodes} but jax.distributed "
+            f"discovered {jax.process_count()} process(es); check the "
+            f"launch configuration"
+        )
     mesh = None
+    devices = jax.devices()
+    if args.devices is not None:
+        if args.devices < 1 or args.devices > len(devices):
+            raise SystemExit(
+                f"--devices {args.devices} outside 1..{len(devices)}"
+            )
+        devices = devices[: args.devices]
     if args.spatial_shards > 1:
         import numpy as _np
         from jax.sharding import Mesh
 
-        devices = jax.devices()
         if len(devices) % args.spatial_shards:
             raise SystemExit(
                 f"--spatial_shards {args.spatial_shards} does not divide "
@@ -371,6 +412,16 @@ def main(argv=None) -> None:
             _np.array(devices).reshape(data_shards, args.spatial_shards),
             axis_names=("data", "spatial"),
         )
+    elif args.devices is not None:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        if (args.batch_size * jax.process_count()) % len(devices):
+            raise SystemExit(
+                f"--devices {len(devices)} does not divide the global "
+                f"batch size {args.batch_size * jax.process_count()}"
+            )
+        mesh = Mesh(_np.array(devices), axis_names=("data",))
     trainer = Trainer(forecaster, config, datastore, targs, mesh=mesh)
 
     params, opt_state = trainer.init_state(jax.random.PRNGKey(args.seed))
@@ -430,6 +481,7 @@ def main(argv=None) -> None:
             batch_size=args.batch_size,
             shuffle=shuffle,
             seed=args.seed,
+            prefetch=args.num_workers,
             shard_index=jax.process_index(),
             num_shards=jax.process_count(),
         )

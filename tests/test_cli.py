@@ -454,3 +454,45 @@ def test_predict_cli_exports_forecasts(config_path, tmp_path):
     np.testing.assert_allclose(
         first["prediction"], want, rtol=1e-5, atol=1e-6
     )
+
+
+def test_reference_compat_flags(config_path, tmp_path):
+    """The reference's runtime flags have direct counterparts:
+    --devices caps the data mesh, --num_workers sets prefetch depth,
+    --wandb_id aliases --logger_run_id, --num_nodes validates the
+    process count (reference: train_model.py:108-123, 300-306)."""
+    args = train_model.build_parser().parse_args(
+        ["--config_path", "x", "--wandb_id", "abc123"]
+    )
+    assert args.logger_run_id == "abc123"
+
+    if not (config_path.parent / "graph" / "1level" / "graph.npz").exists():
+        create_graph.main([
+            "--config_path", str(config_path),
+            "--name", "1level",
+            "--levels", "1",
+        ])
+    train_model.main([
+        "--config_path", str(config_path),
+        "--graph", "1level",
+        "--hidden_dim", "8",
+        "--processor_layers", "2",
+        "--batch_size", "2",
+        "--runs_root", str(tmp_path / "runs"),
+        "--logger_run_name", "compat",
+        "--val_steps_to_log", "1",
+        "--epochs", "1",
+        "--devices", "2",
+        "--num_workers", "1",
+        "--num_nodes", "1",
+    ])
+    assert (tmp_path / "runs" / "compat" / "history.jsonl").exists()
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="num_nodes"):
+        train_model.main([
+            "--config_path", str(config_path),
+            "--graph", "1level",
+            "--num_nodes", "7",
+        ])
