@@ -72,7 +72,12 @@ def main(argv=None) -> None:
     config, datastore = load_config_and_datastore(args.config_path)
 
     load_dir = Path(args.load)
-    if load_dir.name in ("latest", "min_val_loss"):
+    # basename is a checkpoint name only when it is not itself a run
+    # dir (a run directory happening to be NAMED "latest" holds its own
+    # checkpoints/ subdir)
+    if load_dir.name in ("latest", "min_val_loss") and not (
+        load_dir / "checkpoints"
+    ).exists():
         name, root = load_dir.name, load_dir.parent
     else:
         name, root = "latest", load_dir
@@ -102,9 +107,11 @@ def main(argv=None) -> None:
         dataset, batch_size=args.batch_size, shuffle=False
     )
 
-    stats = datastore.get_standardization_dataarray(category="state")
-    state_mean = np.asarray(stats["state_mean"], np.float32)
-    state_std = np.asarray(stats["state_std"], np.float32)
+    # the Trainer already holds the (eps-clamped) stats its jitted
+    # standardization uses — destandardize with the SAME arrays so the
+    # pair stays an exact inverse even for degenerate zero-std vars
+    state_mean = np.asarray(trainer.state_mean, np.float32)
+    state_std = np.asarray(trainer.state_std, np.float32)
 
     @jax.jit
     def forecast(params, init, target, forcing):
@@ -146,11 +153,21 @@ def main(argv=None) -> None:
             break
         init, target, forcing = (np.asarray(a) for a in batch[:3])
         times = np.asarray(batch[3]) if len(batch) > 3 else None
+        real = init.shape[0]
+        pad = args.batch_size - real
+        if pad:
+            # pad the tail batch by repeating the last sample so the
+            # jitted rollout keeps one static shape (a second shape
+            # would pay a whole extra multi-minute TPU compile)
+            rep = lambda a: np.concatenate(  # noqa: E731
+                [a, np.repeat(a[-1:], pad, axis=0)], axis=0
+            )
+            init, target, forcing = rep(init), rep(target), rep(forcing)
         prediction, pred_std = forecast(
             params, jnp.asarray(init), jnp.asarray(target),
             jnp.asarray(forcing),
         )
-        prediction = np.asarray(prediction)
+        prediction = np.asarray(prediction)[:real]
         pred_std = None if pred_std is None else np.asarray(pred_std)
         for i in range(prediction.shape[0]):
             if written >= limit:

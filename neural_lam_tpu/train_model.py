@@ -393,11 +393,22 @@ def main(argv=None) -> None:
     mesh = None
     devices = jax.devices()
     if args.devices is not None:
-        if args.devices < 1 or args.devices > len(devices):
+        # per-HOST cap (the Lightning semantic): keep the first N local
+        # devices of EVERY process, deterministically on all hosts
+        n_local = len(jax.local_devices())
+        if args.devices < 1 or args.devices > n_local:
             raise SystemExit(
-                f"--devices {args.devices} outside 1..{len(devices)}"
+                f"--devices {args.devices} outside 1..{n_local} "
+                f"(local devices per host)"
             )
-        devices = devices[: args.devices]
+        by_proc: dict[int, list] = {}
+        for d in devices:
+            by_proc.setdefault(d.process_index, []).append(d)
+        devices = [
+            d
+            for p in sorted(by_proc)
+            for d in by_proc[p][: args.devices]
+        ]
     if args.spatial_shards > 1:
         import numpy as _np
         from jax.sharding import Mesh
@@ -437,9 +448,12 @@ def main(argv=None) -> None:
     start_epoch = 0
     if args.load:
         # --load accepts a run dir, its checkpoints/ dir, or a specific
-        # checkpoint (…/checkpoints/{latest,min_val_loss}).
+        # checkpoint (…/checkpoints/{latest,min_val_loss}). A run dir
+        # itself NAMED "latest" holds its own checkpoints/ subdir.
         load_dir = Path(args.load)
-        if load_dir.name in ("latest", "min_val_loss"):
+        if load_dir.name in ("latest", "min_val_loss") and not (
+            load_dir / "checkpoints"
+        ).exists():
             name, root = load_dir.name, load_dir.parent
         else:
             name, root = "latest", load_dir

@@ -495,4 +495,5 @@ def test_reference_compat_flags(config_path, tmp_path):
             "--config_path", str(config_path),
             "--graph", "1level",
             "--num_nodes", "7",
+            "--runs_root", str(tmp_path / "runs"),
         ])

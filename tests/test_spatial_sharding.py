@@ -534,15 +534,18 @@ def test_zero1_over_full_mesh_with_spatial(ds):
         ), datastore=ds, args=args, mesh=_mesh(2, 4))
         params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
         if shard_opt:
+            from jax.sharding import PartitionSpec
+
             full_mesh_leaves = [
                 leaf
                 for leaf in jax.tree_util.tree_leaves(opt_state)
                 if hasattr(leaf, "sharding")
-                and len(leaf.sharding.device_set) == 8
-                and not leaf.sharding.is_fully_replicated
+                and getattr(leaf.sharding, "spec", None)
+                == PartitionSpec(("data", "spatial"))
             ]
             assert full_mesh_leaves, (
-                "no optimizer leaf partitioned over the full mesh"
+                "no optimizer leaf partitioned over BOTH mesh axes "
+                "(data-only ZeRO-1 would regress per-device memory 4x)"
             )
         step = trainer.make_train_step()
         dev = lambda a: jax.device_put(  # noqa: E731
