@@ -153,6 +153,36 @@ def main() -> None:
     rescue = CheckpointManager(os.path.join(workdir, "shared_rescue"))
     rescue.save("latest", pp, oo, step=len(history))
 
+    # Spatial sharding composed with multi-host data parallelism: the
+    # supported mesh layout is data ACROSS hosts, spatial WITHIN each
+    # host (jax.devices() is process-major, so reshape(2, 2) puts each
+    # host's 2 devices on one data row). Batch assembly, the sharded
+    # fused/fallback step, full-mesh ZeRO-1 and the sharded eval all
+    # run across the real process boundary.
+    from jax.sharding import Mesh
+
+    sp_mesh = Mesh(
+        np.array(jax.devices()).reshape(num_procs, 2),
+        axis_names=("data", "spatial"),
+    )
+    sp_trainer = Trainer(
+        forecaster,
+        config,
+        ds,
+        TrainingArgs(batch_size=2, val_steps_to_log=(1,)),
+        mesh=sp_mesh,
+    )
+    assert sp_trainer.spatial is not None
+    sp_params, sp_opt = sp_trainer.init_state(jax.random.PRNGKey(3))
+    sp_step = sp_trainer.make_train_step()
+    sp_losses = []
+    it_sp = iter(loader)
+    for _ in range(2):
+        db, _real = sp_trainer.device_put_batch(next(it_sp))
+        sp_params, sp_opt, sp_loss = sp_step(sp_params, sp_opt, *db)
+        sp_losses.append(float(sp_loss))
+    sp_val = sp_trainer.evaluate(sp_params, val_loader, "val")
+
     print(
         json.dumps(
             {
@@ -164,6 +194,8 @@ def main() -> None:
                 "test_loss": test_metrics["test_loss"],
                 "preempted": preempted,
                 "preempt_epochs": len(history),
+                "spatial_losses": sp_losses,
+                "spatial_val_loss": sp_val["val_loss"],
             }
         )
     )

@@ -84,3 +84,13 @@ def test_two_process_training(tmp_path):
     assert outs[0]["preempted"] and outs[1]["preempted"]
     assert outs[0]["preempt_epochs"] == outs[1]["preempt_epochs"]
     assert (tmp_path / "shared_rescue").exists()
+    # spatial sharding across the 2-process cluster (data across hosts,
+    # spatial within each host): identical SPMD losses + eval metrics
+    np.testing.assert_allclose(
+        outs[0]["spatial_losses"], outs[1]["spatial_losses"], rtol=1e-6
+    )
+    assert all(np.isfinite(outs[0]["spatial_losses"]))
+    np.testing.assert_allclose(
+        outs[0]["spatial_val_loss"], outs[1]["spatial_val_loss"],
+        rtol=1e-6,
+    )
