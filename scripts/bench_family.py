@@ -19,20 +19,29 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
-ALL_MODELS = ("graph_lam", "hi_lam", "hi_lam_parallel")
+# label -> extra bench.py args; the default sweep covers every number
+# docs/performance.md tracks (fp32 headline, bf16, single-chip sharded
+# executor overhead, hierarchical families)
+CONFIGS = {
+    "graph_lam": ["--model", "graph_lam"],
+    "graph_lam_bf16": ["--model", "graph_lam", "--precision", "bf16"],
+    "graph_lam_spatial1": ["--model", "graph_lam", "--spatial_shards", "1"],
+    "hi_lam": ["--model", "hi_lam"],
+    "hi_lam_parallel": ["--model", "hi_lam_parallel"],
+}
 
 
-def run_one(model: str, timeout: float) -> dict:
-    cmd = [sys.executable, str(REPO / "bench.py"), "--model", model]
+def run_one(label: str, extra: list[str], timeout: float) -> dict:
+    cmd = [sys.executable, str(REPO / "bench.py"), *extra]
     try:
         r = subprocess.run(
             cmd, capture_output=True, text=True, timeout=timeout,
             cwd=REPO,
         )
     except subprocess.TimeoutExpired:
-        return {"model": model, "error": f"timeout after {timeout:.0f} s"}
+        return {"config": label, "error": f"timeout after {timeout:.0f} s"}
     line = (r.stdout or "").strip().splitlines()
-    rec: dict = {"model": model, "rc": r.returncode}
+    rec: dict = {"config": label, "rc": r.returncode}
     if line:
         try:
             rec.update(json.loads(line[-1]))
@@ -47,20 +56,22 @@ def run_one(model: str, timeout: float) -> dict:
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
-        "--models", default=",".join(ALL_MODELS),
-        help="comma-separated model families to bench",
+        "--configs", default=",".join(CONFIGS),
+        help=f"comma-separated configs to bench (known: {list(CONFIGS)})",
     )
     parser.add_argument(
         "--timeout", type=float, default=5400.0,
-        help="per-model subprocess timeout in seconds (cold hierarchical "
+        help="per-config subprocess timeout in seconds (cold "
         "compiles through the remote helper can take tens of minutes)",
     )
     args = parser.parse_args()
 
     records = []
-    for model in args.models.split(","):
-        print(f"=== {model} ===", file=sys.stderr)
-        rec = run_one(model.strip(), args.timeout)
+    for label in args.configs.split(","):
+        label = label.strip()
+        extra = CONFIGS.get(label, ["--model", label])
+        print(f"=== {label} ===", file=sys.stderr)
+        rec = run_one(label, extra, args.timeout)
         print(json.dumps(rec))
         records.append(rec)
 
