@@ -340,7 +340,12 @@ def test_kernel_tuning_flags(monkeypatch):
     import os
 
     for env in train_model._KERNEL_FLAG_ENV.values():
-        monkeypatch.delenv(env, raising=False)
+        # setenv-then-delenv (not bare delenv): monkeypatch only
+        # registers an undo for vars it SET, so this guarantees the
+        # values apply_kernel_flags writes below are scrubbed after the
+        # test instead of leaking kernel-mode env into the whole session
+        monkeypatch.setenv(env, "sentinel")
+        monkeypatch.delenv(env)
     args = train_model.build_parser().parse_args(
         [
             "--config_path", "unused",
