@@ -568,3 +568,48 @@ def test_zero1_over_full_mesh_with_spatial(ds):
         jax.tree_util.tree_leaves(results[False][0]),
     ):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_fused_multiblock_receivers(tmp_path, monkeypatch):
+    """Multi-block-per-shard coverage: the module fixture's 27x27 grid
+    gives every shard a SINGLE receiver block (n_rec_local < 256), so
+    block-boundary accumulation in the dynamically-threaded layouts
+    (chunk_block revisits, per-block zero-init) would go untested. A
+    45x45 grid puts ~507 local receivers on each of 4 shards = 2 blocks
+    + interspersed dead chunks."""
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    store = DummyDatastore(
+        n_grid_x=45, n_grid_y=45, n_timesteps=10, root_path=tmp_path
+    )
+    create_graph_from_datastore(
+        store, store.root_path / "graph" / "multiscale",
+        hierarchical=False,
+    )
+    model = GraphLAM(
+        store, graph_name="multiscale", hidden_dim=8, processor_layers=1
+    )
+    mesh = _mesh(2, 4)
+    sharded = ShardedModel(model, store, mesh, all_gather_max_nodes=64)
+    assert sharded.metas["m2g"].layout.num_blocks >= 2, (
+        "grid too small to exercise multiple receiver blocks per shard"
+    )
+    fc = ARForecaster(model, store)
+    params = model.init_params(jax.random.PRNGKey(5))
+    n = store.num_grid_points
+    rng = np.random.default_rng(23)
+    init = rng.normal(size=(2, 2, n, N_STATE)).astype(np.float32)
+    forcing = rng.normal(size=(2, 1, n, 6)).astype(np.float32)
+    boundary = rng.normal(size=(2, 1, n, N_STATE)).astype(np.float32)
+    ref, _ = fc.forward(
+        params, jnp.asarray(init), jnp.asarray(forcing),
+        jnp.asarray(boundary),
+    )
+    got, _ = sharded.forward(
+        params, fc,
+        jnp.asarray(sharded.pad_grid(init)),
+        jnp.asarray(sharded.pad_grid(forcing)),
+        jnp.asarray(sharded.pad_grid(boundary)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
