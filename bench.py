@@ -303,14 +303,48 @@ def main() -> None:
         )
     jax.block_until_ready((params, losses))
 
-    reps = 2
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        params, opt_state, losses = train_step(
-            params, opt_state, *device_batch
+    # Plausibility-guarded measurement: a freshly cold-compiled step has
+    # been observed (once, sharded path) to let the timed dispatches
+    # complete block_until_ready in microseconds — a transient dispatch
+    # anomaly, not a real step time. A MEPS-size train step cannot run
+    # in under 1 ms on one chip, so re-measure with more reps until the
+    # number is physically possible; if it never is, report an error
+    # JSON instead of handing the driver a bogus headline.
+    reps, step_time = 2, None
+    for _attempt in range(4):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            params, opt_state, losses = train_step(
+                params, opt_state, *device_batch
+            )
+        jax.block_until_ready((params, losses))
+        measured = (time.perf_counter() - t0) / (reps * ITERS)
+        if measured >= 1e-3:
+            step_time = measured
+            break
+        print(
+            f"WARNING: implausible step time {measured * 1e6:.0f} us "
+            f"(non-blocking dispatch anomaly); re-measuring with "
+            f"reps={reps * 4}",
+            file=sys.stderr,
         )
-    jax.block_until_ready((params, losses))
-    step_time = (time.perf_counter() - t0) / (reps * ITERS)
+        reps *= 4
+    if step_time is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "MEPS grid-points/s per chip "
+                    "(1-step fwd+bwd)",
+                    "value": None,
+                    "unit": "grid-points/s",
+                    "vs_baseline": None,
+                    "error": "timed region never blocked on device "
+                    "work (dispatch anomaly persisted across 4 "
+                    "re-measurements)",
+                }
+            )
+        )
+        sys.exit(4)
     grid_points_per_s = BATCH * ds.num_grid_points * AR_STEPS / step_time
     suffix = "" if cli.model == "graph_lam" else f", {cli.model}"
     if cli.spatial_shards:

@@ -21,11 +21,11 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def build_trainer():
+def build_trainer(model="graph_lam", spatial_shards=0, precision="32"):
     """The exact bench configuration (shared with bench.py)."""
     import bench
 
-    trainer, dstore = bench.build_trainer()
+    trainer, dstore = bench.build_trainer(model, spatial_shards, precision)
     return trainer, dstore, bench.__dict__
 
 
@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--outdir", default=str(REPO / ".bench_cache" / "trace"))
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--model", default="graph_lam")
+    ap.add_argument("--spatial_shards", type=int, default=0)
+    ap.add_argument("--precision", default="32", choices=("32", "bf16"))
     args = ap.parse_args()
 
     import jax
@@ -42,7 +45,9 @@ def main() -> None:
     import bench
 
     bench.init_devices_or_die()
-    trainer, dstore, C = build_trainer()
+    trainer, dstore, C = build_trainer(
+        args.model, args.spatial_shards, args.precision
+    )
     params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
     train_step = trainer.make_train_step()
 
@@ -58,7 +63,7 @@ def main() -> None:
             size=(C["BATCH"], C["AR_STEPS"], n, f_dim)
         ).astype(np.float32),
     )
-    batch, _ = trainer.device_put_batch(raw)
+    batch, _ = trainer.device_put_batch(raw)  # pads grid when sharded
 
     # warm up (compile)
     params, opt_state, loss = train_step(params, opt_state, *batch)
