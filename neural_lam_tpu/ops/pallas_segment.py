@@ -495,6 +495,80 @@ def build_banded_layout(
     )
 
 
+def pad_banded_layout(
+    banded: "BandedLayout", n_gvisits: int, n_svisits: int
+) -> "BandedLayout":
+    """Append dead visits (all ids ``-1``) so per-shard banded layouts
+    share one static visit count per direction (the spatially sharded
+    executor pads every shard's tables to the max, then threads them
+    into the kernels dynamically).
+
+    Pad visits repeat the direction's LAST (group, other) pair: the
+    group id must not change (a fresh group would zero-initialise its
+    output block mid-stream) and re-reading the last input block is
+    harmless since the all-dead one-hot contributes exact zeros.
+    """
+    ce = banded.chunk_edges
+
+    def pad_dir(group, other, ids, n_target):
+        group = np.asarray(group)
+        other = np.asarray(other)
+        ids = np.asarray(ids)
+        cur = int(group.shape[0])
+        assert n_target >= cur, (n_target, cur)
+        if n_target == cur:
+            return jnp.asarray(group), jnp.asarray(other), jnp.asarray(ids)
+        extra = n_target - cur
+        group = np.concatenate([group, np.full(extra, group[-1], np.int32)])
+        other = np.concatenate([other, np.full(extra, other[-1], np.int32)])
+        ids = np.concatenate(
+            [ids[0], np.full(extra * ce, -1, np.int32)]
+        )[None, :]
+        return jnp.asarray(group), jnp.asarray(other), jnp.asarray(ids)
+
+    s_win, s_chunk, s_ids = pad_dir(
+        banded.svisit_window, banded.svisit_chunk, banded.svisit_ids,
+        n_svisits,
+    )
+    g_chunk, g_win, g_ids = pad_dir(
+        banded.gvisit_chunk, banded.gvisit_window, banded.gvisit_ids,
+        n_gvisits,
+    )
+    return BandedLayout(
+        svisit_chunk=s_chunk,
+        svisit_window=s_win,
+        svisit_ids=s_ids,
+        gvisit_chunk=g_chunk,
+        gvisit_window=g_win,
+        gvisit_ids=g_ids,
+        num_send=banded.num_send,
+        win_rows=banded.win_rows,
+        chunk_edges=banded.chunk_edges,
+        n_chunks=banded.n_chunks,
+    )
+
+
+def _banded_dyn(banded: "BandedLayout", dyn, scatter: bool):
+    """Visit tables for one kernel call, ``(group, other, ids)``: the
+    layout's own constants or per-call (possibly traced) overrides with
+    the same static shapes (see :func:`_dyn_or_static`)."""
+    if scatter:
+        static = (
+            banded.svisit_window, banded.svisit_chunk, banded.svisit_ids
+        )
+    else:
+        static = (
+            banded.gvisit_chunk, banded.gvisit_window, banded.gvisit_ids
+        )
+    if dyn is None:
+        return static
+    group, other, ids = dyn
+    assert group.shape == static[0].shape, (group.shape, static[0].shape)
+    assert other.shape == static[1].shape, (other.shape, static[1].shape)
+    assert ids.shape == static[2].shape, (ids.shape, static[2].shape)
+    return group, other, ids
+
+
 def _banded_kernel(
     group_ref,  # scalar prefetch: output-group id per visit
     other_ref,  # scalar prefetch: input-block id per visit (unused here)
@@ -541,10 +615,15 @@ def banded_scatter_nondiff(
     interpret: bool = False,
     out_dtype=None,
     keep_padded: bool = False,
+    dyn=None,
 ) -> jax.Array:
     """Receiver-layout (E_blocked, D) messages -> (num_send, D) sender
-    sums, straight from receiver-sorted slots (no permutation)."""
+    sums, straight from receiver-sorted slots (no permutation).
+
+    ``dyn=(window, chunk, ids)`` threads per-shard visit tables in as
+    data (same static shapes as the layout's own)."""
     out_dtype = out_dtype or messages.dtype
+    group, other, ids_arr = _banded_dyn(banded, dyn, scatter=True)
     d = messages.shape[-1]
     n_visits = int(banded.svisit_chunk.shape[0])
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -581,12 +660,7 @@ def banded_scatter_nondiff(
             (banded.padded_send_rows, d), out_dtype
         ),
         interpret=interpret,
-    )(
-        banded.svisit_window,
-        banded.svisit_chunk,
-        banded.svisit_ids,
-        messages,
-    )
+    )(group, other, ids_arr, messages)
     return out if keep_padded else out[: banded.num_send]
 
 
@@ -594,9 +668,14 @@ def banded_expand_nondiff(
     node_rep: jax.Array,
     banded: BandedLayout,
     interpret: bool = False,
+    dyn=None,
 ) -> jax.Array:
     """(num_send[, padded], D) sender features -> (E_blocked, D) per-edge
-    rows in receiver-layout slot order. Dead slots read zeros."""
+    rows in receiver-layout slot order. Dead slots read zeros.
+
+    ``dyn=(chunk, window, ids)`` threads per-shard visit tables in as
+    data (same static shapes as the layout's own)."""
+    group, other, ids_arr = _banded_dyn(banded, dyn, scatter=False)
     d = node_rep.shape[-1]
     rows = banded.padded_send_rows
     if node_rep.shape[0] != rows:
@@ -643,9 +722,4 @@ def banded_expand_nondiff(
             (banded.n_chunks * banded.chunk_edges, d), node_rep.dtype
         ),
         interpret=interpret,
-    )(
-        banded.gvisit_chunk,
-        banded.gvisit_window,
-        banded.gvisit_ids,
-        node_rep,
-    )
+    )(group, other, ids_arr, node_rep)

@@ -55,12 +55,17 @@ from ..ops.interaction import (
 from ..ops.mlp import apply_mlp, apply_mlp_split_first
 from ..ops.pallas_fused import make_fused_interaction
 from ..ops.pallas_segment import (
+    BandedLayout,
     BlockedLayout,
+    banded_expand_nondiff,
+    banded_scatter_nondiff,
     blocked_segment_sum_nondiff,
+    build_banded_layout,
     build_blocked_layout,
+    pad_banded_layout,
     pad_blocked_layout,
 )
-from ..ops.segment import _interpret_mode, _pallas_enabled
+from ..ops.segment import _gather_io_dtype, _interpret_mode, _pallas_enabled
 
 
 # ---------------------------------------------------------------------------
@@ -86,6 +91,11 @@ class EdgeMeta:
     e_max: int  # blocked-padded edge slots per shard
     layout: Optional[BlockedLayout] = None  # receiver-sorted blocking
     send_layout: Optional[BlockedLayout] = None  # sender-sorted (grads)
+    # Banded sender gather/scatter over the extended (local + halo)
+    # sender space — preferred: both directions run as Pallas one-hot
+    # matmuls, with no XLA row gather on the edge-wide arrays. Built
+    # only when every shard's sender structure is banded enough.
+    banded: Optional[BandedLayout] = None
 
     @property
     def ext_size(self) -> int:
@@ -229,36 +239,87 @@ def _build_edge_table(
         chunk_block_tbl[s] = np.asarray(lay.chunk_block)
         counts[s] = np.bincount(locr_s, minlength=n_rec_local)
 
-    # Sender-sorted layouts over valid slots: the gradient of the
-    # sender gather is a scatter-add, which runs through the blocked
-    # segment-sum kernel (XLA lowers scatter to a serial loop on TPU).
-    send_layouts = []
-    valid_sorted = []
-    for s in range(P_):
-        dead = layouts[s].perm < 0
-        valid_slots = np.nonzero(~dead)[0]
-        sv = snd[s][valid_slots].astype(np.int64)
-        ssort = np.argsort(sv, kind="stable")
-        send_layouts.append(build_blocked_layout(sv[ssort], ext_size))
-        valid_sorted.append(valid_slots[ssort])
-    n_schunks = max(int(l.chunk_block.shape[0]) for l in send_layouts)
-    send_layouts = [
-        pad_blocked_layout(l, n_schunks) for l in send_layouts
-    ]
-    e_sblocked = send_layouts[0].num_blocked
-    rslot = np.full((P_, e_sblocked), e_blocked, dtype=np.int32)
-    s_local_ids = np.full((P_, 1, e_sblocked), -1, dtype=np.int32)
-    s_chunk_block = np.zeros((P_, n_schunks), dtype=np.int32)
-    for s in range(P_):
-        sl = send_layouts[s]
-        sdead = sl.perm < 0
-        ssafe = np.where(sdead, 0, sl.perm)
-        if len(valid_sorted[s]):
-            rslot[s] = np.where(
-                sdead, e_blocked, valid_sorted[s][ssafe]
-            ).astype(np.int32)
-        s_local_ids[s, 0] = np.asarray(sl.local_ids)[0]
-        s_chunk_block[s] = np.asarray(sl.chunk_block)
+    # Sender side, preferred machinery: per-shard BANDED visit tables
+    # over the extended (local + halo) sender space — the forward
+    # gather and its scatter-add gradient both run as Pallas one-hot
+    # matmuls (same kernels as the replicated model), with the visit
+    # tables threaded in dynamically. Built only when EVERY shard's
+    # sender structure is banded enough (one traced body serves all
+    # shards, so the routing must be uniform).
+    bandeds = None
+    if os.environ.get("NEURAL_LAM_TPU_BANDED", "auto") != "off":
+        cands = []
+        for s in range(P_):
+            dead = layouts[s].perm < 0
+            cands.append(
+                build_banded_layout(
+                    np.where(dead, -1, snd[s].astype(np.int64)),
+                    ext_size,
+                    layouts[0].chunk_edges,
+                )
+            )
+        if all(c is not None for c in cands):
+            n_gv = max(int(c.gvisit_chunk.shape[0]) for c in cands)
+            n_sv = max(int(c.svisit_chunk.shape[0]) for c in cands)
+            bandeds = [pad_banded_layout(c, n_gv, n_sv) for c in cands]
+
+    tbl = {
+        "senders": snd,
+        "recv_local": rcv,
+        "counts": counts,
+        "chunk_block": chunk_block_tbl,
+        "local_ids": local_ids_tbl,
+    }
+
+    if bandeds is not None:
+        send_layout = None
+        for key, field in (
+            ("bg_group", "gvisit_chunk"),
+            ("bg_other", "gvisit_window"),
+            ("bg_ids", "gvisit_ids"),
+            ("bs_group", "svisit_window"),
+            ("bs_other", "svisit_chunk"),
+            ("bs_ids", "svisit_ids"),
+        ):
+            tbl[key] = np.stack(
+                [np.asarray(getattr(c, field)) for c in bandeds]
+            )
+    else:
+        # Fallback: sender-sorted layouts over valid slots — the
+        # gradient scatter-add runs through the blocked segment-sum
+        # kernel (XLA lowers scatter to a serial loop on TPU), but the
+        # forward stays an XLA row gather plus a slot permutation.
+        send_layouts = []
+        valid_sorted = []
+        for s in range(P_):
+            dead = layouts[s].perm < 0
+            valid_slots = np.nonzero(~dead)[0]
+            sv = snd[s][valid_slots].astype(np.int64)
+            ssort = np.argsort(sv, kind="stable")
+            send_layouts.append(build_blocked_layout(sv[ssort], ext_size))
+            valid_sorted.append(valid_slots[ssort])
+        n_schunks = max(int(l.chunk_block.shape[0]) for l in send_layouts)
+        send_layouts = [
+            pad_blocked_layout(l, n_schunks) for l in send_layouts
+        ]
+        e_sblocked = send_layouts[0].num_blocked
+        rslot = np.full((P_, e_sblocked), e_blocked, dtype=np.int32)
+        s_local_ids = np.full((P_, 1, e_sblocked), -1, dtype=np.int32)
+        s_chunk_block = np.zeros((P_, n_schunks), dtype=np.int32)
+        for s in range(P_):
+            sl = send_layouts[s]
+            sdead = sl.perm < 0
+            ssafe = np.where(sdead, 0, sl.perm)
+            if len(valid_sorted[s]):
+                rslot[s] = np.where(
+                    sdead, e_blocked, valid_sorted[s][ssafe]
+                ).astype(np.int32)
+            s_local_ids[s, 0] = np.asarray(sl.local_ids)[0]
+            s_chunk_block[s] = np.asarray(sl.chunk_block)
+        send_layout = send_layouts[0]
+        tbl["rslot"] = rslot
+        tbl["s_chunk_block"] = s_chunk_block
+        tbl["s_local_ids"] = s_local_ids
 
     meta = EdgeMeta(
         name=name,
@@ -270,19 +331,9 @@ def _build_edge_table(
         halo_sizes=halo_sizes,
         e_max=e_blocked,
         layout=layouts[0],
-        send_layout=send_layouts[0],
+        send_layout=send_layout,
+        banded=bandeds[0] if bandeds is not None else None,
     )
-
-    tbl = {
-        "senders": snd,
-        "recv_local": rcv,
-        "counts": counts,
-        "chunk_block": chunk_block_tbl,
-        "local_ids": local_ids_tbl,
-        "rslot": rslot,
-        "s_chunk_block": s_chunk_block,
-        "s_local_ids": s_local_ids,
-    }
     if fts is not None:
         tbl["features"] = fts
     for d, h in zip(offsets, halo_sizes):
@@ -414,6 +465,94 @@ def _make_sharded_sender_gather(meta: EdgeMeta):
     return gather
 
 
+def _make_sharded_banded_gather(meta: EdgeMeta, io_dtype=jnp.float32):
+    """Differentiable extended-space sender gather riding the banded
+    Pallas kernels in BOTH directions: forward = banded expand (per-
+    (chunk, window) one-hot matmuls), backward = banded scatter — no
+    XLA row gather on edge-wide arrays, no sender-sorted gradient
+    materialisation. Per-shard visit tables arrive as data (float0
+    cotangents); created fresh per trace, never cached across jits.
+
+    Accepts the common node-major batched ``(N, B, d)`` layout by
+    folding the batch into lanes (free reshape), casting through
+    ``io_dtype`` like the replicated ``gather_senders`` path.
+    """
+    banded = meta.banded
+    interpret = _interpret_mode()
+
+    @jax.custom_vjp
+    def gather(x2, bg_group, bg_other, bg_ids, bs_group, bs_other, bs_ids):
+        return banded_expand_nondiff(
+            x2, banded, interpret, dyn=(bg_group, bg_other, bg_ids)
+        )
+
+    def fwd(x2, bg_group, bg_other, bg_ids, bs_group, bs_other, bs_ids):
+        y = gather(
+            x2, bg_group, bg_other, bg_ids, bs_group, bs_other, bs_ids
+        )
+        g_shapes = (bg_group.shape, bg_other.shape, bg_ids.shape)
+        return y, (x2.shape[0], g_shapes, bs_group, bs_other, bs_ids)
+
+    def bwd(res, g):
+        rows, g_shapes, bs_group, bs_other, bs_ids = res
+        d_nodes = banded_scatter_nondiff(
+            g,
+            banded,
+            interpret,
+            out_dtype=jnp.float32,
+            dyn=(bs_group, bs_other, bs_ids),
+        )
+        assert d_nodes.shape[0] == rows, (d_nodes.shape, rows)
+        f0 = lambda shape: np.zeros(  # noqa: E731
+            shape, dtype=jax.dtypes.float0
+        )
+        return (
+            d_nodes.astype(g.dtype),
+            f0(g_shapes[0]), f0(g_shapes[1]), f0(g_shapes[2]),
+            f0(bs_group.shape), f0(bs_other.shape), f0(bs_ids.shape),
+        )
+
+    gather.defvjp(fwd, bwd)
+
+    def wrapped(x, tables):
+        dtype = x.dtype
+        xc = x.astype(io_dtype) if dtype != io_dtype else x
+        if xc.ndim == 3:
+            r, b, d = xc.shape
+            out = gather(xc.reshape(r, b * d), *tables)
+            out = out.reshape(out.shape[0], b, d)
+        else:
+            out = gather(xc, *tables)
+        return out.astype(dtype) if out.dtype != dtype else out
+
+    return wrapped
+
+
+def _sharded_sender_gather(meta: EdgeMeta, tbl: dict, x_ext):
+    """Per-edge sender rows for the fused kernel path: banded Pallas
+    gather when the edge set built banded tables, else the XLA gather
+    whose backward rides the blocked segment-sum kernel."""
+    if meta.banded is not None:
+        gather = _make_sharded_banded_gather(
+            meta, _gather_io_dtype(x_ext.dtype)
+        )
+        return gather(
+            x_ext,
+            (
+                tbl["bg_group"], tbl["bg_other"], tbl["bg_ids"],
+                tbl["bs_group"], tbl["bs_other"], tbl["bs_ids"],
+            ),
+        )
+    gather = _make_sharded_sender_gather(meta)
+    return gather(
+        x_ext,
+        tbl["senders"],
+        tbl["rslot"],
+        tbl["s_chunk_block"],
+        tbl["s_local_ids"],
+    )
+
+
 def _use_fused_sharded(net_params, meta, send_rep, rec_rep, edge_rep):
     """Route a whole sharded interaction step through the fused kernel
     when the configuration matches what it implements. Eligibility is
@@ -479,14 +618,7 @@ def _sharded_interaction(
         # broadcast at node level (local + halo rows), not edge level
         ref = [edge_rep] if edge_rep is not None else []
         x_ext, rec_rep = _bcast_batch([x_ext, rec_rep], ref=ref)
-        gather = _make_sharded_sender_gather(meta)
-        x_send = gather(
-            x_ext,
-            tbl["senders"],
-            tbl["rslot"],
-            tbl["s_chunk_block"],
-            tbl["s_local_ids"],
-        )
+        x_send = _sharded_sender_gather(meta, tbl, x_ext)
         fused = make_fused_interaction(
             meta.layout,
             update_edges=update_edges,
@@ -594,14 +726,7 @@ def _sharded_combined(
         ):
             tbl = sec.tbl
             x_ext, rec_b = _bcast_batch([x_ext, rec], ref=[e_rep])
-            gather = _make_sharded_sender_gather(sec.meta)
-            x_send = gather(
-                x_ext,
-                tbl["senders"],
-                tbl["rslot"],
-                tbl["s_chunk_block"],
-                tbl["s_local_ids"],
-            )
+            x_send = _sharded_sender_gather(sec.meta, tbl, x_ext)
             fused = make_fused_interaction(
                 sec.meta.layout,
                 update_edges=update_edges,

@@ -299,3 +299,124 @@ def test_pad_blocked_layout_appends_dead_chunks():
         ),
         rtol=1e-6,
     )
+
+
+def test_pad_banded_layout_matches_unpadded():
+    """Padding both visit directions with dead visits changes nothing:
+    padded gather/scatter outputs equal the unpadded layout's, the pad
+    entries repeat each direction's last group (no fresh zero-init) and
+    carry all-dead ids."""
+    from neural_lam_tpu.ops.pallas_segment import (
+        banded_expand_nondiff,
+        banded_scatter_nondiff,
+        build_banded_layout,
+        build_blocked_layout,
+        pad_banded_layout,
+    )
+
+    rng = np.random.default_rng(11)
+    n_send, n_rec, n_edges = 41, 29, 300
+    senders = rng.integers(0, n_send, n_edges)
+    receivers = np.sort(rng.integers(0, n_rec, n_edges))
+    lay = build_blocked_layout(receivers, n_rec, block_rows=16,
+                               chunk_edges=32)
+    dead = lay.perm < 0
+    slot_send = np.where(dead, -1, senders[np.where(dead, 0, lay.perm)])
+    banded = build_banded_layout(slot_send, n_send, chunk_edges=32,
+                                 win_rows=16)
+    assert banded is not None
+    padded = pad_banded_layout(
+        banded,
+        int(banded.gvisit_chunk.shape[0]) + 3,
+        int(banded.svisit_chunk.shape[0]) + 2,
+    )
+    assert (
+        np.asarray(padded.svisit_window)[-2:]
+        == np.asarray(banded.svisit_window)[-1]
+    ).all()
+    assert (np.asarray(padded.svisit_ids)[0, -2 * 32:] == -1).all()
+
+    x = jnp.asarray(rng.normal(size=(n_send, 8)), jnp.float32)
+    msgs = jnp.asarray(
+        rng.normal(size=(banded.n_chunks * 32, 8)), jnp.float32
+    )
+    np.testing.assert_allclose(
+        banded_expand_nondiff(x, padded, interpret=True),
+        banded_expand_nondiff(x, banded, interpret=True),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        banded_scatter_nondiff(msgs, padded, interpret=True),
+        banded_scatter_nondiff(msgs, banded, interpret=True),
+        rtol=1e-6,
+    )
+
+
+def test_dynamic_banded_tables_match_static():
+    """Banded kernels accept per-call (traced) visit tables with the
+    same static shapes — the contract the spatially sharded executor's
+    banded sender gather builds on (one traced body, per-shard tables
+    as data)."""
+    from neural_lam_tpu.ops.pallas_segment import (
+        banded_expand_nondiff,
+        banded_scatter_nondiff,
+        build_banded_layout,
+        build_blocked_layout,
+        pad_banded_layout,
+    )
+
+    rng = np.random.default_rng(13)
+    n_send, n_rec = 41, 29
+    bandeds = []
+    sends = []
+    for seed, n_edges in ((0, 260), (1, 300)):
+        r = np.random.default_rng(seed)
+        senders = r.integers(0, n_send, n_edges)
+        receivers = np.sort(r.integers(0, n_rec, n_edges))
+        lay = build_blocked_layout(receivers, n_rec, block_rows=16,
+                                   chunk_edges=32)
+        dead = lay.perm < 0
+        slot_send = np.where(dead, -1, senders[np.where(dead, 0, lay.perm)])
+        b = build_banded_layout(slot_send, n_send, chunk_edges=32,
+                                win_rows=16)
+        assert b is not None
+        bandeds.append(b)
+        sends.append(slot_send)
+    # pad shards to common visit AND chunk counts (like the executor)
+    n_chunks = max(b.n_chunks for b in bandeds)
+    n_gv = max(int(b.gvisit_chunk.shape[0]) for b in bandeds) + 1
+    n_sv = max(int(b.svisit_chunk.shape[0]) for b in bandeds) + 1
+    grown = []
+    for b, slot_send in zip(bandeds, sends):
+        if b.n_chunks < n_chunks:
+            slot_send = np.concatenate(
+                [slot_send, np.full((n_chunks - b.n_chunks) * 32, -1)]
+            )
+            b = build_banded_layout(slot_send, n_send, chunk_edges=32,
+                                    win_rows=16)
+        grown.append(pad_banded_layout(b, n_gv, n_sv))
+    rep = grown[0]  # representative: static shapes only
+
+    for lay in grown:
+        x = jnp.asarray(rng.normal(size=(n_send, 8)), jnp.float32)
+        msgs = jnp.asarray(
+            rng.normal(size=(n_chunks * 32, 8)), jnp.float32
+        )
+        want_exp = banded_expand_nondiff(x, lay, interpret=True)
+        want_sct = banded_scatter_nondiff(msgs, lay, interpret=True)
+        got_exp, got_sct = jax.jit(
+            lambda x, m, gc, gw, gi, sw, sc, si: (
+                banded_expand_nondiff(
+                    x, rep, interpret=True, dyn=(gc, gw, gi)
+                ),
+                banded_scatter_nondiff(
+                    m, rep, interpret=True, dyn=(sw, sc, si)
+                ),
+            )
+        )(
+            x, msgs,
+            lay.gvisit_chunk, lay.gvisit_window, lay.gvisit_ids,
+            lay.svisit_window, lay.svisit_chunk, lay.svisit_ids,
+        )
+        np.testing.assert_allclose(got_exp, want_exp, rtol=1e-6)
+        np.testing.assert_allclose(got_sct, want_sct, rtol=1e-6)
