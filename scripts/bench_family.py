@@ -26,6 +26,10 @@ CONFIGS = {
     "graph_lam": ["--model", "graph_lam"],
     "graph_lam_bf16": ["--model", "graph_lam", "--precision", "bf16"],
     "graph_lam_spatial1": ["--model", "graph_lam", "--spatial_shards", "1"],
+    "graph_lam_spatial1_bf16": [
+        "--model", "graph_lam", "--spatial_shards", "1",
+        "--precision", "bf16",
+    ],
     "hi_lam": ["--model", "hi_lam"],
     "hi_lam_parallel": ["--model", "hi_lam_parallel"],
 }

@@ -613,3 +613,37 @@ def test_sharded_fused_multiblock_receivers(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_sharded_sender_sorted_fallback_matches(ds, monkeypatch):
+    """With NEURAL_LAM_TPU_BANDED=off the executor builds the
+    sender-sorted layout + slot-permutation machinery instead of banded
+    visit tables; that fallback must stay at parity too (it is the
+    route for graphs whose sender structure defeats the bandedness
+    guard)."""
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NEURAL_LAM_TPU_BANDED", "off")
+    model = _make_model(ds, "graph_lam")
+    mesh = _mesh(2, 4)
+    sharded = ShardedModel(model, ds, mesh, all_gather_max_nodes=64)
+    assert all(m.banded is None for m in sharded.metas.values())
+    assert all(
+        m.send_layout is not None for m in sharded.metas.values()
+    )
+    fc = ARForecaster(model, ds)
+    params = model.init_params(jax.random.PRNGKey(0))
+    init, forcing, boundary = _batch(ds, B=2, T=2)
+    ref, _ = fc.forward(
+        params, jnp.asarray(init), jnp.asarray(forcing),
+        jnp.asarray(boundary),
+    )
+    got, _ = sharded.forward(
+        params,
+        fc,
+        jnp.asarray(sharded.pad_grid(init)),
+        jnp.asarray(sharded.pad_grid(forcing)),
+        jnp.asarray(sharded.pad_grid(boundary)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
