@@ -647,3 +647,60 @@ def test_sharded_sender_sorted_fallback_matches(ds, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_sharded_step_collective_payloads_scale_with_cut(ds):
+    """Compiled-HLO guard for the scaling contract (docs/scaling.md):
+    node-array collectives in the sharded train step must carry halo- or
+    mesh-sized payloads, never a grid-sized one. A resharding regression
+    (e.g. a shard_map boundary change making XLA all-gather a grid
+    array) would show up here as a collective whose payload is at least
+    the local grid slab."""
+    import re
+
+    from neural_lam_tpu.config import DatastoreSelection, NeuralLAMConfig
+    from neural_lam_tpu.trainer import Trainer, TrainingArgs
+
+    model = _make_model(ds, "graph_lam")
+    fc = ARForecaster(model, ds)
+    params = model.init_params(jax.random.PRNGKey(1))
+    optimizer = optax.adamw(1e-3)
+    opt_state = optimizer.init(params)
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path="")
+    )
+    trainer = Trainer(fc, config, ds, TrainingArgs(batch_size=2))
+
+    mesh = _mesh(2, 4)
+    sharded = ShardedModel(model, ds, mesh, all_gather_max_nodes=64)
+    train_step = sharded.make_train_step(
+        fc, optimizer, trainer.per_var_std
+    )
+    init, forcing, target = _batch(ds, B=2, T=1, seed=3)
+    sharding = sharded.node_sharding()
+    dev = lambda a: jax.device_put(  # noqa: E731
+        jnp.asarray(sharded.pad_grid(a)), sharding
+    )
+    hlo = train_step.lower(
+        params, opt_state, dev(init), dev(target), dev(forcing)
+    ).compile().as_text()
+
+    # Per-device payload bound: the hidden-dim local grid slab. Halo
+    # payloads are tens of rows and the full coarsest mesh is far
+    # smaller than the grid, so every node collective sits well below
+    # one slab; gathering any grid array would cost P slabs at once.
+    slab_elems = sharded.n_grid_local * 1 * model.hidden_dim
+    n_node_collectives = 0
+    for line in hlo.splitlines():
+        if not re.search(r"(all-gather|collective-permute)[-.(]", line):
+            continue
+        n_node_collectives += 1
+        sizes = [
+            int(np.prod([int(x) for x in dims.split(",") if x]))
+            for dims in re.findall(r"\w+\[([\d,]+)\]", line)
+        ]
+        assert max(sizes) < slab_elems, (
+            f"grid-scale collective payload in sharded step: {line[:200]}"
+        )
+    # the halo exchanges and the mesh all_gather must actually be there
+    assert n_node_collectives >= 2, hlo[:500]
