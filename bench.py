@@ -232,6 +232,113 @@ def build_trainer(
     return Trainer(forecaster, config, ds, args, mesh=mesh), ds
 
 
+def _measure_or_die(dispatch, units_per_rep: int, metric: str) -> float:
+    """Plausibility-guarded timing: a freshly cold-compiled step has
+    been observed (once, sharded path) to let the timed dispatches
+    complete ``block_until_ready`` in microseconds — a transient
+    dispatch anomaly, not a real time. No MEPS-size unit of work runs
+    in under 1 ms on one chip, so re-measure with more reps until the
+    number is physically possible; if it never is, report an error JSON
+    instead of handing the driver a bogus headline.
+
+    ``dispatch(reps)`` must enqueue ``reps`` repetitions (each covering
+    ``units_per_rep`` units of work) and block until ready. Returns
+    seconds per unit.
+    """
+    reps = 2
+    for _attempt in range(4):
+        t0 = time.perf_counter()
+        dispatch(reps)
+        measured = (time.perf_counter() - t0) / (reps * units_per_rep)
+        if measured >= 1e-3:
+            return measured
+        print(
+            f"WARNING: implausible time {measured * 1e6:.0f} us "
+            f"(non-blocking dispatch anomaly); re-measuring with "
+            f"reps={reps * 4}",
+            file=sys.stderr,
+        )
+        reps *= 4
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": None,
+                "unit": "grid-points/s",
+                "vs_baseline": None,
+                "error": "timed region never blocked on device work "
+                "(dispatch anomaly persisted across 4 re-measurements)",
+            }
+        )
+    )
+    sys.exit(4)
+
+
+def bench_rollout(trainer, ds, cli) -> None:
+    """Forward-only autoregressive rollout (inference/serving path):
+    batch 1, ``cli.rollout`` AR steps, the reference's eval protocol
+    shape (reference: neural_lam/train_model.py:314-319 uses 10-step
+    val / 19-step test rollouts on MEPS). Prints the one JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    fc = trainer.forecaster
+    n = ds.num_grid_points
+    T = cli.rollout
+    rng = np.random.default_rng(0)
+    init = rng.normal(size=(1, 2, n, N_STATE)).astype(np.float32)
+    forcing = rng.normal(size=(1, T, n, N_FORCING * 3)).astype(np.float32)
+    boundary = rng.normal(size=(1, T, n, N_STATE)).astype(np.float32)
+    params, _ = trainer.init_state(jax.random.PRNGKey(0))
+
+    if trainer.spatial is not None:
+        sharded = trainer.spatial
+        init, forcing, boundary = (
+            sharded.pad_grid(init),
+            sharded.pad_grid(forcing),
+            sharded.pad_grid(boundary),
+        )
+        sharding = sharded.node_sharding()
+        dev = lambda a: jax.device_put(  # noqa: E731
+            jnp.asarray(a), sharding
+        )
+        fwd = jax.jit(
+            lambda p, i, f, b: sharded.forward(p, fc, i, f, b)[0]
+        )
+    else:
+        dev = lambda a: jax.device_put(jnp.asarray(a))  # noqa: E731
+        fwd = jax.jit(lambda p, i, f, b: fc.forward(p, i, f, b)[0])
+    init, forcing, boundary = dev(init), dev(forcing), dev(boundary)
+
+    out = fwd(params, init, forcing, boundary)
+    jax.block_until_ready(out)
+
+    suffix = "" if cli.model == "graph_lam" else f", {cli.model}"
+    if cli.spatial_shards:
+        suffix += f", spatial={cli.spatial_shards}"
+    if cli.precision != "32":
+        suffix += f", {cli.precision}"
+    metric = f"MEPS grid-points/s per chip ({T}-step rollout{suffix})"
+
+    def dispatch(reps):
+        # dependency-free repeats queue on the single device; one sync
+        outs = [fwd(params, init, forcing, boundary) for _ in range(reps)]
+        jax.block_until_ready(outs)
+
+    rollout_time = _measure_or_die(dispatch, 1, metric)
+    gps = 1 * ds.num_grid_points * T / rollout_time
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(gps, 1),
+                "unit": "grid-points/s",
+                "vs_baseline": 1.0,
+            }
+        )
+    )
+
+
 def make_bench_batch(ds, iters: int = ITERS):
     """The random MEPS-size batch stack the bench times."""
     n = ds.num_grid_points
@@ -276,12 +383,23 @@ def main() -> None:
         "reference's precision contract); bf16 = mixed precision "
         "(f32 master params, bf16 compute — the fastest configuration)",
     )
+    parser.add_argument(
+        "--rollout",
+        type=int,
+        default=0,
+        help="N > 0: bench an N-step forward-only AR rollout at batch 1 "
+        "(the inference/serving path; 19 matches the reference's MEPS "
+        "test protocol) instead of the training step",
+    )
     cli = parser.parse_args()
 
     init_devices_or_die()
     trainer, ds = build_trainer(
         cli.model, cli.spatial_shards, cli.precision
     )
+    if cli.rollout:
+        bench_rollout(trainer, ds, cli)
+        return
     params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
     # In-graph multi-step training (lax.scan over a batch stack): one
     # dispatch covers ITERS optimizer steps, so the per-program launch
@@ -303,61 +421,28 @@ def main() -> None:
         )
     jax.block_until_ready((params, losses))
 
-    # Plausibility-guarded measurement: a freshly cold-compiled step has
-    # been observed (once, sharded path) to let the timed dispatches
-    # complete block_until_ready in microseconds — a transient dispatch
-    # anomaly, not a real step time. A MEPS-size train step cannot run
-    # in under 1 ms on one chip, so re-measure with more reps until the
-    # number is physically possible; if it never is, report an error
-    # JSON instead of handing the driver a bogus headline.
-    reps, step_time = 2, None
-    for _attempt in range(4):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            params, opt_state, losses = train_step(
-                params, opt_state, *device_batch
-            )
-        jax.block_until_ready((params, losses))
-        measured = (time.perf_counter() - t0) / (reps * ITERS)
-        if measured >= 1e-3:
-            step_time = measured
-            break
-        print(
-            f"WARNING: implausible step time {measured * 1e6:.0f} us "
-            f"(non-blocking dispatch anomaly); re-measuring with "
-            f"reps={reps * 4}",
-            file=sys.stderr,
-        )
-        reps *= 4
-    if step_time is None:
-        print(
-            json.dumps(
-                {
-                    "metric": "MEPS grid-points/s per chip "
-                    "(1-step fwd+bwd)",
-                    "value": None,
-                    "unit": "grid-points/s",
-                    "vs_baseline": None,
-                    "error": "timed region never blocked on device "
-                    "work (dispatch anomaly persisted across 4 "
-                    "re-measurements)",
-                }
-            )
-        )
-        sys.exit(4)
-    grid_points_per_s = BATCH * ds.num_grid_points * AR_STEPS / step_time
     suffix = "" if cli.model == "graph_lam" else f", {cli.model}"
     if cli.spatial_shards:
         suffix += f", spatial={cli.spatial_shards}"
     if cli.precision != "32":
         suffix += f", {cli.precision}"
+    metric = f"MEPS grid-points/s per chip (1-step fwd+bwd{suffix})"
+
+    state = [params, opt_state]
+
+    def dispatch(reps):
+        for _ in range(reps):
+            state[0], state[1], losses = train_step(
+                state[0], state[1], *device_batch
+            )
+        jax.block_until_ready((state[0], losses))
+
+    step_time = _measure_or_die(dispatch, ITERS, metric)
+    grid_points_per_s = BATCH * ds.num_grid_points * AR_STEPS / step_time
     print(
         json.dumps(
             {
-                "metric": (
-                    "MEPS grid-points/s per chip "
-                    f"(1-step fwd+bwd{suffix})"
-                ),
+                "metric": metric,
                 "value": round(grid_points_per_s, 1),
                 "unit": "grid-points/s",
                 "vs_baseline": 1.0,

@@ -32,6 +32,7 @@ CONFIGS = {
     ],
     "hi_lam": ["--model", "hi_lam"],
     "hi_lam_parallel": ["--model", "hi_lam_parallel"],
+    "graph_lam_rollout19": ["--rollout", "19"],
 }
 
 
