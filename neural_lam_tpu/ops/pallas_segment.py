@@ -182,11 +182,18 @@ def _dyn_or_static(layout: BlockedLayout, dyn):
     if dyn is None:
         return layout.chunk_block, layout.local_ids
     cb, ids = dyn
-    assert cb.shape == layout.chunk_block.shape, (
-        f"dynamic chunk_block shape {cb.shape} != layout "
-        f"{layout.chunk_block.shape}"
-    )
-    assert ids.shape == layout.local_ids.shape
+    # ValueError (not assert): a mis-shaped dynamic table would silently
+    # misindex the kernel grid under ``python -O``.
+    if cb.shape != layout.chunk_block.shape:
+        raise ValueError(
+            f"dynamic chunk_block shape {cb.shape} != layout "
+            f"{layout.chunk_block.shape}"
+        )
+    if ids.shape != layout.local_ids.shape:
+        raise ValueError(
+            f"dynamic local_ids shape {ids.shape} != layout "
+            f"{layout.local_ids.shape}"
+        )
     return cb, ids
 
 
@@ -515,6 +522,14 @@ def pad_banded_layout(
         other = np.asarray(other)
         ids = np.asarray(ids)
         cur = int(group.shape[0])
+        # build_banded_layout guarantees >=1 visit per direction (every
+        # chunk/window gets at least a dummy all-dead visit); repeating
+        # group[-1]/other[-1] below relies on that invariant.
+        if cur < 1:
+            raise ValueError(
+                "banded layout has an empty visit direction; "
+                "build_banded_layout should emit >=1 visit per direction"
+            )
         assert n_target >= cur, (n_target, cur)
         if n_target == cur:
             return jnp.asarray(group), jnp.asarray(other), jnp.asarray(ids)
@@ -563,9 +578,17 @@ def _banded_dyn(banded: "BandedLayout", dyn, scatter: bool):
     if dyn is None:
         return static
     group, other, ids = dyn
-    assert group.shape == static[0].shape, (group.shape, static[0].shape)
-    assert other.shape == static[1].shape, (other.shape, static[1].shape)
-    assert ids.shape == static[2].shape, (ids.shape, static[2].shape)
+    # ValueError (not assert): a mis-shaped per-shard visit table would
+    # silently misindex the kernel grid under ``python -O``.
+    for got, want, name in (
+        (group.shape, static[0].shape, "group"),
+        (other.shape, static[1].shape, "other"),
+        (ids.shape, static[2].shape, "ids"),
+    ):
+        if got != want:
+            raise ValueError(
+                f"dynamic banded {name} table shape {got} != layout {want}"
+            )
     return group, other, ids
 
 

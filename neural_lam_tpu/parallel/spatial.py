@@ -502,7 +502,13 @@ def _make_sharded_banded_gather(meta: EdgeMeta, io_dtype=jnp.float32):
             out_dtype=jnp.float32,
             dyn=(bs_group, bs_other, bs_ids),
         )
-        assert d_nodes.shape[0] == rows, (d_nodes.shape, rows)
+        if d_nodes.shape[0] != rows:
+            # ValueError (not assert): vanishes under python -O and the
+            # grad would silently misalign with the sender rows.
+            raise ValueError(
+                f"banded scatter rows {d_nodes.shape[0]} != sender rows "
+                f"{rows}"
+            )
         f0 = lambda shape: np.zeros(  # noqa: E731
             shape, dtype=jax.dtypes.float0
         )
@@ -1166,7 +1172,7 @@ class ShardedModel:
         loss_name: str,
         val_steps_to_log: Sequence[int],
         pred_steps: int,
-        with_mse_table: bool = False,
+        watch_tables: Sequence[str] = (),
     ):
         """Jitted sharded eval step returning per-sample metrics
         (so padded eval-tail rows can be dropped by the caller),
@@ -1190,12 +1196,15 @@ class ShardedModel:
             out = {"loss": jnp.mean(time_step_loss, axis=-1)}
             for s in steps_to_log:
                 out[f"loss_unroll{s}"] = time_step_loss[:, s - 1]
-            if with_mse_table:
-                out["mse_table"] = self._masked_metric(
-                    get_metric_entry("mse"),
+            for key in watch_tables:
+                tstd = (
+                    std if key == "wmae" else jnp.float32(1.0)
+                )
+                out[f"{key}_table"] = self._masked_metric(
+                    get_metric_entry(key),
                     prediction,
                     target_s,
-                    jnp.float32(1.0),
+                    tstd,
                     tbl,
                     sum_vars=False,
                 )  # (B, T, d)

@@ -469,7 +469,7 @@ class Trainer:
                 self.args.loss,
                 self.args.val_steps_to_log,
                 pred_steps,
-                with_mse_table=bool(self.args.metrics_watch),
+                watch_tables=self._watched_tables(),
             )
         steps_to_log = [
             s for s in self.args.val_steps_to_log if s <= pred_steps
@@ -495,12 +495,15 @@ class Trainer:
             out = {"loss": jnp.mean(time_step_loss, axis=-1)}
             for s in steps_to_log:
                 out[f"loss_unroll{s}"] = time_step_loss[:, s - 1]
-            if self.args.metrics_watch:
-                # standardized per-(step, var) MSE for watch promotion
-                out["mse_table"] = get_metric("mse")(
+            # standardized per-(step, var) tables for watch promotion
+            for key in self._watched_tables():
+                table_std = (
+                    pred_std if key == "wmae" else jnp.float32(1.0)
+                )
+                out[f"{key}_table"] = get_metric(key)(
                     prediction,
                     target_s,
-                    jnp.float32(1.0),
+                    table_std,
                     mask=self.interior_mask_bool,
                     average_grid=True,
                     sum_vars=False,
@@ -508,6 +511,26 @@ class Trainer:
             return out
 
         return jax.jit(eval_step)
+
+    def _watched_tables(self) -> tuple[str, ...]:
+        """Per-(step, var) metric tables the val eval step must compute
+        for ``--metrics_watch`` promotion: ``mse`` covers the rmse/mse
+        watches (rmse = sqrt(mse) rescaled), ``mae``/``wmae`` their own
+        (reference promotes from every computed metric table,
+        module.py:806-817)."""
+        if not self.args.metrics_watch:
+            return ()
+        watch = {m.split("_")[-1] for m in self.args.metrics_watch}
+        tables = []
+        if watch & {"rmse", "mse"} or not watch & {"mae", "wmae"}:
+            # default table: an unrecognised watch entry still warns
+            # from the mse-table promotion path
+            tables.append("mse")
+        if "mae" in watch:
+            tables.append("mae")
+        if "wmae" in watch:
+            tables.append("wmae")
+        return tuple(tables)
 
     # -- loops -------------------------------------------------------------
     def _opt_state_sharding(self, opt_state) -> Any:
@@ -779,52 +802,63 @@ class Trainer:
             count += real
         sums, count = self._merge_host_sums(sums, count)
         means = {k: v / max(count, 1) for k, v in sums.items()}
-        mse_table = means.pop("mse_table", None)
+        tables = {
+            k[: -len("_table")]: means.pop(k)
+            for k in [k for k in means if k.endswith("_table")]
+        }
         result = {
             f"{prefix}_{k}": float(v) for k, v in means.items()
         }
-        if mse_table is not None:
+        if tables:
             result.update(
-                self._promote_watched_metrics(mse_table, prefix)
+                self._promote_watched_metrics(tables, prefix)
             )
         return result
 
     def _promote_watched_metrics(
-        self, mse_table: np.ndarray, prefix: str
+        self, tables: dict, prefix: str
     ) -> dict:
-        """Per-epoch (metric, variable, lead) scalars in physical units
-        from the standardized per-(step, var) MSE table
+        """Per-epoch (metric, variable, lead) scalars from the
+        standardized per-(step, var) metric tables: rmse/mae in physical
+        units (rescaled by the state std, rmse = sqrt(mse)), mse
+        standardized, wmae as computed (per_var_std-weighted)
         (reference: models/module.py:806-817)."""
         out: dict = {}
         watch = {m.split("_")[-1] for m in self.args.metrics_watch}
-        unsupported = watch - {"rmse", "mse"}
+        unsupported = watch - {"rmse", "mse", "mae", "wmae"}
         if unsupported and not getattr(self, "_warned_watch", False):
             self._warned_watch = True
             warnings.warn(
                 f"metrics_watch entries {sorted(unsupported)} are not "
-                "promoted per epoch — only rmse/mse scalars are derived "
-                "from the per-(step, var) MSE table. Other metrics are "
-                "available from the full test-phase evaluation.",
+                "promoted per epoch — only rmse/mse/mae/wmae scalars "
+                "are derived from the per-(step, var) metric tables. "
+                "Other metrics are available from the full test-phase "
+                "evaluation.",
                 stacklevel=2,
             )
         var_names = list(self.datastore.get_vars_names("state"))
         state_std = np.asarray(self.state_std)
-        mse_std = np.asarray(mse_table)
-        rmse_phys = np.sqrt(mse_std) * state_std
+        promoted: dict[str, np.ndarray] = {}
+        if "mse" in tables:
+            mse_std = np.asarray(tables["mse"])
+            if "rmse" in watch:
+                promoted["rmse"] = np.sqrt(mse_std) * state_std
+            if "mse" in watch:
+                promoted["mse"] = mse_std
+        if "mae" in tables and "mae" in watch:
+            promoted["mae"] = np.asarray(tables["mae"]) * state_std
+        if "wmae" in tables and "wmae" in watch:
+            promoted["wmae"] = np.asarray(tables["wmae"])
         var_leads = self.args.var_leads_metrics_watch or {}
         for var, leads in var_leads.items():
             if var not in var_names:
                 continue
             vi = var_names.index(var)
             for lead in leads:
-                if lead > rmse_phys.shape[0]:
-                    continue
-                if "rmse" in watch or not watch:
-                    out[f"{prefix}_rmse_{var}_step{lead}"] = float(
-                        rmse_phys[lead - 1, vi]
-                    )
-                if "mse" in watch:
-                    out[f"{prefix}_mse_{var}_step{lead}"] = float(
-                        mse_std[lead - 1, vi]
+                for name, table in promoted.items():
+                    if lead > table.shape[0]:
+                        continue
+                    out[f"{prefix}_{name}_{var}_step{lead}"] = float(
+                        table[lead - 1, vi]
                     )
         return out

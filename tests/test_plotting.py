@@ -109,3 +109,69 @@ def test_error_heatmap_fractional_lead_times(ds, tmp_path):
     labels = [t.get_text() for t in fig.axes[0].get_xticklabels()]
     assert labels == ["1.5", "3", "4.5"]
     vis.plt.close(fig)
+
+
+class _StubGeoAxes(vis.plt.Axes):
+    """Minimal cartopy-GeoAxes stand-in: a real matplotlib Axes plus the
+    ``coastlines`` method the projection branch calls. Lets the gated
+    projection path (reference: vis.py:342-469) execute in an image
+    without cartopy installed."""
+
+    name = "stub_geo"
+    coastlines_called = 0
+
+    def coastlines(self, resolution=None):
+        _StubGeoAxes.coastlines_called += 1
+
+
+class _StubProjection:
+    """Object accepted by ``fig.add_subplot(projection=...)`` via the
+    matplotlib ``_as_mpl_axes`` protocol (what cartopy's CRS uses)."""
+
+    def _as_mpl_axes(self):
+        return _StubGeoAxes, {}
+
+
+def test_projection_branch_with_stub_cartopy(ds):
+    """The projection-aware plotting branch (projection axes +
+    coastlines + boundary overlay + crop-to-interior) executes when the
+    datastore reports a projection — smoke-tested with a cartopy-like
+    stub since the image has no cartopy."""
+
+    class ProjDS(type(ds)):
+        @property
+        def coords_projection(self):
+            return _StubProjection()
+
+    proj_ds = object.__new__(ProjDS)
+    proj_ds.__dict__.update(ds.__dict__)
+    assert proj_ds.coords_projection is not None
+
+    _StubGeoAxes.coastlines_called = 0
+    rng = np.random.default_rng(3)
+    n = proj_ds.num_grid_points
+    fig = vis.plot_prediction(
+        rng.normal(size=n), rng.normal(size=n), proj_ds, title="t2m"
+    )
+    # both subplots took the projection path and drew coastlines
+    assert _StubGeoAxes.coastlines_called == 2
+    assert any(isinstance(ax, _StubGeoAxes) for ax in fig.axes)
+    vis.plt.close(fig)
+
+    fig2 = vis.plot_spatial_error(rng.normal(size=n), proj_ds, title="err")
+    assert _StubGeoAxes.coastlines_called >= 3
+    vis.plt.close(fig2)
+
+    # crop-to-interior on a projection axis (reference: vis.py:403-428)
+    fig3 = vis.plt.figure()
+    ax, is_proj = vis._make_axis(fig3, proj_ds)
+    assert is_proj
+    vis.plot_on_axis(
+        ax, rng.normal(size=n), proj_ds,
+        boundary_alpha=0.4, crop_to_interior=True,
+    )
+    xs = proj_ds.get_xy("state", stacked=False)[..., 0]
+    # cropped x-limits sit strictly inside the full grid extent
+    assert ax.get_xlim()[0] > xs.min() - 1e-9
+    assert ax.get_xlim()[1] < xs.max() + 1e-9
+    vis.plt.close(fig3)

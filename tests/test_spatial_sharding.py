@@ -699,6 +699,13 @@ def test_sharded_step_collective_payloads_scale_with_cut(ds):
             int(np.prod([int(x) for x in dims.split(",") if x]))
             for dims in re.findall(r"\w+\[([\d,]+)\]", line)
         ]
+        # Fail legibly on HLO-format drift: a collective line whose
+        # shapes the regex no longer parses (e.g. token-only operands
+        # of a future async form) should say so, not raise on max([]).
+        assert sizes, (
+            "collective HLO line with no parseable [dims] shape "
+            f"(format drift?): {line[:200]}"
+        )
         assert max(sizes) < slab_elems, (
             f"grid-scale collective payload in sharded step: {line[:200]}"
         )

@@ -532,9 +532,11 @@ def test_device_prefetch_early_exit_joins_producer(setup):
     )
 
 
-def test_metrics_watch_mse_and_unsupported_warning(tmp_path):
-    """metrics_watch: mse scalars promote alongside rmse; unsupported
-    metric names warn once instead of silently emitting nothing."""
+def test_metrics_watch_mse_mae_wmae_and_unsupported_warning(tmp_path):
+    """metrics_watch: mse/mae/wmae scalars promote alongside rmse
+    (mae without any warning — reference promotes from every computed
+    metric table, module.py:806-817); genuinely unsupported metric
+    names warn once instead of silently emitting nothing."""
     ds = DummyDatastore(
         n_grid_x=10, n_grid_y=10, n_timesteps=14, root_path=tmp_path
     )
@@ -551,7 +553,7 @@ def test_metrics_watch_mse_and_unsupported_warning(tmp_path):
     args = TrainingArgs(
         batch_size=2,
         val_steps_to_log=(1,),
-        metrics_watch=("val_mse", "val_mae"),
+        metrics_watch=("val_mse", "val_mae", "val_wmae"),
         var_leads_metrics_watch={"state_var_0": [1]},
     )
     trainer = Trainer(fc, config, ds, args)
@@ -560,11 +562,29 @@ def test_metrics_watch_mse_and_unsupported_warning(tmp_path):
         WeatherDataset(ds, split="val", ar_steps=2),
         batch_size=2, shuffle=False,
     )
-    with pytest.warns(UserWarning, match="mae"):
+    import warnings as warnings_mod
+
+    with warnings_mod.catch_warnings():
+        warnings_mod.simplefilter("error")  # mae must NOT warn anymore
         metrics = trainer.evaluate(params, loader, "val")
-    assert "val_mse_state_var_0_step1" in metrics
-    assert np.isfinite(metrics["val_mse_state_var_0_step1"])
+    for key in ("mse", "mae", "wmae"):
+        name = f"val_{key}_state_var_0_step1"
+        assert name in metrics, sorted(metrics)
+        assert np.isfinite(metrics[name])
     assert "val_rmse_state_var_0_step1" not in metrics
+    assert metrics["val_mae_state_var_0_step1"] >= 0.0
+
+    # a genuinely unknown watch entry still warns once
+    args2 = TrainingArgs(
+        batch_size=2,
+        val_steps_to_log=(1,),
+        metrics_watch=("val_nll",),
+        var_leads_metrics_watch={"state_var_0": [1]},
+    )
+    trainer2 = Trainer(fc, config, ds, args2)
+    with pytest.warns(UserWarning, match="nll"):
+        metrics2 = trainer2.evaluate(params, loader, "val")
+    assert "val_nll_state_var_0_step1" not in metrics2
 
 
 def test_probabilistic_training_crps_hi_lam_parallel(tmp_path):
