@@ -31,7 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .mlp import MLPParams, apply_mlp, apply_mlp_split_first, init_mlp
-from .pallas_fused import fusable, make_fused_interaction, stripe_fits
+from .pallas_fused import (
+    fusable,
+    fused_v2_enabled,
+    make_fused_interaction,
+    make_fused_interaction_v2,
+    stripe_fits,
+)
 from .pallas_segment import (
     BandedLayout,
     BlockedLayout,
@@ -440,6 +446,20 @@ def fused_edge_phase(
         send_rep, rec_rep = broadcast_to_batch(
             [send_rep, rec_rep], ref=ref
         )
+    if (
+        not propagation
+        and edge_set.banded is not None
+        and fused_v2_enabled()
+    ):
+        key = ("fused_v2", update_edges, _interpret_mode(), False)
+        if key not in edge_set.fn_cache:
+            edge_set.fn_cache[key] = make_fused_interaction_v2(
+                edge_set.layout,
+                edge_set.banded,
+                update_edges=update_edges,
+                interpret=_interpret_mode(),
+            )
+        return edge_set.fn_cache[key](mlp, edge_rep, send_rep, rec_rep)
     x_send = gather_senders(edge_set, send_rep)
     key = ("fused", update_edges, propagation, _interpret_mode(), False)
     if key not in edge_set.fn_cache:
@@ -531,34 +551,67 @@ def apply_interaction_net(
         # shared (unbatched) edge embedding directly via a column-tiled
         # weight, avoiding an (E, B, d) materialisation in HBM.
 
-    x_send = gather_senders(edge_set, send_rep)  # (E_pad, [B,] d)
-
-    if embed_in_kernel or _use_fused(
+    use_fused = embed_in_kernel or _use_fused(
         params, edge_set, send_rep, rec_rep, edge_rep
-    ):
+    )
+    # v2: banded gather prologue merged into the kernel, first-layer
+    # node projections hoisted outside (see pallas_fused v2 section).
+    # Interaction wiring only; needs banded tables + the saved-pre
+    # backward (fused_v2_enabled checks the CACHE_PRE gate).
+    use_v2 = (
+        use_fused
+        and not propagation
+        and edge_set.banded is not None
+        and fused_v2_enabled()
+    )
+    if not use_v2:
+        x_send = gather_senders(edge_set, send_rep)  # (E_pad, [B,] d)
+
+    if use_fused:
         # Single-kernel edge phase: receiver gather + edge MLP +
         # aggregation (+ edge residual) with no per-edge HBM
         # intermediates; optionally including the static edge-feature
         # embedder. See ops/pallas_fused.py.
-        key = (
-            "fused", update_edges, propagation, _interpret_mode(),
-            embed_in_kernel,
-        )
-        if key not in edge_set.fn_cache:
-            edge_set.fn_cache[key] = make_fused_interaction(
-                edge_set.layout,
-                update_edges=update_edges,
-                propagation=propagation,
-                interpret=_interpret_mode(),
+        if use_v2:
+            key = (
+                "fused_v2", update_edges, _interpret_mode(),
+                embed_in_kernel,
             )
-        aggregated, new_edge = edge_set.fn_cache[key](
-            params["edge"][0],
-            edge_rep,
-            x_send,
-            rec_rep,
-            emb_params=(edge_embedder if embed_in_kernel else None),
-            edge_feats=(edge_features if embed_in_kernel else None),
-        )
+            if key not in edge_set.fn_cache:
+                edge_set.fn_cache[key] = make_fused_interaction_v2(
+                    edge_set.layout,
+                    edge_set.banded,
+                    update_edges=update_edges,
+                    interpret=_interpret_mode(),
+                )
+            aggregated, new_edge = edge_set.fn_cache[key](
+                params["edge"][0],
+                edge_rep,
+                send_rep,
+                rec_rep,
+                emb_params=(edge_embedder if embed_in_kernel else None),
+                edge_feats=(edge_features if embed_in_kernel else None),
+            )
+        else:
+            key = (
+                "fused", update_edges, propagation, _interpret_mode(),
+                embed_in_kernel,
+            )
+            if key not in edge_set.fn_cache:
+                edge_set.fn_cache[key] = make_fused_interaction(
+                    edge_set.layout,
+                    update_edges=update_edges,
+                    propagation=propagation,
+                    interpret=_interpret_mode(),
+                )
+            aggregated, new_edge = edge_set.fn_cache[key](
+                params["edge"][0],
+                edge_rep,
+                x_send,
+                rec_rep,
+                emb_params=(edge_embedder if embed_in_kernel else None),
+                edge_feats=(edge_features if embed_in_kernel else None),
+            )
         if aggr == "mean":
             counts = jnp.maximum(edge_set.recv_counts, 1).astype(
                 aggregated.dtype

@@ -1230,3 +1230,997 @@ def make_fused_interaction(
         return aggregated, new_edge
 
     return run
+
+
+# ===========================================================================
+# v2: banded sender-gather prologue merged into the fused kernel, with
+# the first-layer sender/receiver projections hoisted to node-sized XLA
+# matmuls outside the kernel.
+# ===========================================================================
+# Motivation (measured profile, docs/performance.md "Roofline position"):
+# v1 streams the banded-expanded ``x_send`` (E_blocked, lanes) through
+# HBM twice per direction (expand-kernel write + fused-kernel read) and
+# spends two per-chunk block-diagonal matmuls (``rec_proj``,
+# ``x_send @ W1s``) recomputing projections that are cheaper at NODE
+# granularity. v2 restructures the forward:
+#
+# - the sender/receiver first-layer projections run OUTSIDE the kernel
+#   on the node arrays (N*B rows instead of E_blocked*B slots — the
+#   MEPS m2g edge set has 40x more edge slots than mesh sender nodes),
+#   under plain autodiff, so their weight/input grads need no kernel
+#   code at all;
+# - the kernel grid becomes VISIT-major (the banded gather's
+#   per-(chunk, window) visits): each visit one-hot-gathers projected
+#   sender rows from the VMEM-resident window into a scratch
+#   accumulator, and the last visit of a chunk runs the edge MLP +
+#   LayerNorm + aggregation exactly like v1 — ``x_send`` never exists
+#   in HBM;
+# - the backward kernel emits the first-layer pre-activation gradient
+#   ``d_pre`` (same bytes v1 spent on ``d_send``) and skips BOTH the
+#   per-chunk ``d_pre @ W1s^T`` transform and the ``dw1s``
+#   accumulation; the banded scatter of ``d_pre`` feeds the outside
+#   projection's autodiff.
+#
+# v2 requires: a banded sender layout, the saved-pre residual (the
+# backward never reconstructs the gather), and interaction (not
+# propagation) wiring. Callers route through
+# ``fused_v2_supported`` and fall back to v1 otherwise.
+
+
+def fused_v2_enabled() -> bool:
+    """NEURAL_LAM_TPU_FUSED_V2 gate (default on): the merged-prologue
+    kernel. ``off`` restores the v1 expand->fused pipeline (used by
+    equivalence tests and as an operational fallback)."""
+    import os
+
+    if os.environ.get("NEURAL_LAM_TPU_FUSED_V2", "auto") == "off":
+        return False
+    # v2's backward needs the saved pre-activations
+    return os.environ.get("NEURAL_LAM_TPU_CACHE_PRE", "on") != "off"
+
+
+def _fused_v2_fwd_kernel(
+    gchunk_ref,  # scalar prefetch: chunk id per visit (non-decreasing)
+    gwindow_ref,  # scalar prefetch: sender-window id per visit
+    cb_ref,  # scalar prefetch: output block id per chunk
+    gv_ids_ref,  # (1, C) window-local sender ids per visit; -1 dead
+    ids_ref,  # (1, C) receiver-block-local ids per chunk; -1 dead
+    edge_ref,
+    sendp_ref,  # (W, stripe) projected sender window
+    recp_ref,  # (BR, stripe) projected receiver block
+    w1e_ref,
+    b1_ref,
+    w2_ref,
+    b2_ref,
+    gamma_ref,
+    beta_ref,
+    mmat_ref,
+    *rest,
+    block_rows,
+    win_rows,
+    chunk_edges,
+    n_visits,
+    layer_norm,
+    update_edges,
+    edge_unbatched,
+    embed_edges,
+    cdt=jnp.float32,
+):
+    cv = lambda x: x.astype(cdt)  # noqa: E731
+    rest = list(rest)
+    emb_refs = rest[:7] if embed_edges else None
+    if embed_edges:
+        rest = rest[7:]
+    tile_ref = rest.pop(0) if (edge_unbatched and update_edges) else None
+    gath_ref = rest.pop()  # scratch (C, stripe) f32
+    aggr_ref = rest.pop(0)
+    new_edge_ref = rest.pop(0) if update_edges else None
+    pre_ref = rest.pop(0)
+
+    v = pl.program_id(1)
+    c = gchunk_ref[v]
+    prev_c = gchunk_ref[jnp.maximum(v - 1, 0)]
+    first_visit = jnp.logical_or(v == 0, c != prev_c)
+    nxt_c = gchunk_ref[jnp.minimum(v + 1, n_visits - 1)]
+    last_visit = jnp.logical_or(v == n_visits - 1, nxt_c != c)
+    prev_b = cb_ref[jnp.maximum(c - 1, 0)]
+    first_chunk = jnp.logical_or(c == 0, cb_ref[c] != prev_b)
+
+    # -- prologue: banded gather of projected sender rows ------------------
+    gv_ids = gv_ids_ref[:]  # (1, C)
+    rows_w = jax.lax.broadcasted_iota(
+        jnp.int32, (win_rows, chunk_edges), dimension=0
+    )
+    onehot_w = (gv_ids == rows_w).astype(cdt)  # (W, C)
+    contrib = jax.lax.dot_general(
+        onehot_w,
+        cv(sendp_ref[:]),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (C, stripe)
+
+    @pl.when(first_visit)
+    def _():
+        gath_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(first_visit))
+    def _():
+        gath_ref[:] += contrib
+
+    # the output block is revisited by every visit of its chunks; zero it
+    # once, at the first visit of its first chunk (before the last-visit
+    # accumulation below can run)
+    @pl.when(jnp.logical_and(first_visit, first_chunk))
+    def _():
+        aggr_ref[:] = jnp.zeros_like(aggr_ref)
+
+    # -- epilogue: edge MLP + LN + aggregation on the chunk's last visit ---
+    @pl.when(last_visit)
+    def _():
+        ids = ids_ref[:]  # (1, C)
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (block_rows, chunk_edges), dimension=0
+        )
+        one_hot_t = (ids == rows).astype(cdt)  # (BR, C)
+        gathered_rec = jax.lax.dot_general(
+            one_hot_t,
+            cv(recp_ref[:]),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (C, stripe)
+        if embed_edges:
+            edge_val = _embed_forward(edge_ref[:], emb_refs, cdt)
+        else:
+            edge_val = edge_ref[:]
+        pre = (
+            jnp.dot(
+                cv(edge_val), w1e_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + gath_ref[:]
+            + gathered_rec
+            + b1_ref[:]
+        )
+        pre_ref[:] = pre
+        h1 = jax.nn.silu(pre)
+        z = (
+            jnp.dot(cv(h1), w2_ref[:], preferred_element_type=jnp.float32)
+            + b2_ref[:]
+        )
+        if layer_norm:
+            mu = jnp.dot(z, mmat_ref[:], preferred_element_type=jnp.float32)
+            cz = z - mu
+            var = jnp.dot(
+                cz * cz, mmat_ref[:], preferred_element_type=jnp.float32
+            )
+            msg = (
+                cz * jax.lax.rsqrt(var + _LN_EPS) * gamma_ref[:]
+                + beta_ref[:]
+            )
+        else:
+            msg = z
+        if update_edges:
+            if edge_unbatched:
+                edge_b = jnp.dot(
+                    cv(edge_val), tile_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                edge_b = edge_val.astype(jnp.float32)
+            new_edge_ref[:] = edge_b + msg
+        aggr_ref[:] += jnp.dot(
+            one_hot_t, cv(msg), preferred_element_type=jnp.float32
+        )
+
+
+def _fused_v2_bwd_kernel(
+    chunk_block_ref,
+    ids_ref,
+    edge_ref,
+    d_aggr_ref,
+    pre_in_ref,
+    w1e_ref,
+    w2_ref,
+    b2_ref,
+    gamma_ref,
+    mmat_ref,
+    *rest_refs,
+    block_rows,
+    chunk_edges,
+    layer_norm,
+    update_edges,
+    edge_unbatched,
+    embed_edges,
+    cdt=jnp.float32,
+):
+    """v1 backward minus the sender/receiver machinery: emits per-edge
+    ``d_pre`` (the caller banded-scatters it to the projected-sender
+    grad) and the per-block ``d_recproj``; no ``d_send`` transform, no
+    ``dw1s``, no receiver recompute (pre is always saved)."""
+    cv = lambda x: x.astype(cdt)  # noqa: E731
+    rest_refs = list(rest_refs)
+    emb_refs = rest_refs[:7] if embed_edges else None
+    if embed_edges:
+        rest_refs = rest_refs[7:]
+    d_new_edge_ref = rest_refs.pop(0) if update_edges else None
+    tile_ref = (
+        rest_refs.pop(0) if (edge_unbatched and update_edges) else None
+    )
+    if embed_edges:
+        d_edge_ref = None
+        emb_accum_refs = rest_refs[:6]
+        rest_refs = rest_refs[6:]
+    else:
+        d_edge_ref = rest_refs.pop(0)
+        emb_accum_refs = None
+    (
+        d_pre_ref,
+        d_recproj_ref,
+        dw1e_ref,
+        dw2_ref,
+        db1_ref,
+        db2_ref,
+        dgamma_ref,
+        dbeta_ref,
+    ) = rest_refs[:8]
+
+    s = pl.program_id(0)
+    c = pl.program_id(1)
+    prev = chunk_block_ref[jnp.maximum(c - 1, 0)]
+    is_first = jnp.logical_or(c == 0, chunk_block_ref[c] != prev)
+    very_first = jnp.logical_and(s == 0, c == 0)
+
+    @pl.when(is_first)
+    def _():
+        d_recproj_ref[:] = jnp.zeros_like(d_recproj_ref)
+
+    @pl.when(very_first)
+    def _():
+        dw1e_ref[:] = jnp.zeros_like(dw1e_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dgamma_ref[:] = jnp.zeros_like(dgamma_ref)
+        dbeta_ref[:] = jnp.zeros_like(dbeta_ref)
+
+    ids = ids_ref[:]
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (block_rows, chunk_edges), dimension=0
+    )
+    one_hot_t = (ids == rows).astype(cdt)
+
+    if embed_edges:
+        edge_val = cv(_embed_forward(edge_ref[:], emb_refs, cdt))
+    else:
+        edge_val = edge_ref[:]
+    pre = pre_in_ref[:]
+    h1 = jax.nn.silu(pre)
+    z = (
+        jnp.dot(cv(h1), w2_ref[:], preferred_element_type=jnp.float32)
+        + b2_ref[:]
+    )
+
+    d_msg = jax.lax.dot_general(
+        one_hot_t,
+        cv(d_aggr_ref[:]),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if update_edges:
+        d_msg = d_msg + d_new_edge_ref[:].astype(jnp.float32)
+
+    if layer_norm:
+        mu = jnp.dot(z, mmat_ref[:], preferred_element_type=jnp.float32)
+        cz = z - mu
+        var = jnp.dot(
+            cz * cz, mmat_ref[:], preferred_element_type=jnp.float32
+        )
+        rinv = jax.lax.rsqrt(var + _LN_EPS)
+        xhat = cz * rinv
+        d_xhat = d_msg * gamma_ref[:]
+        m1 = jnp.dot(
+            d_xhat, mmat_ref[:], preferred_element_type=jnp.float32
+        )
+        m2 = jnp.dot(
+            d_xhat * xhat, mmat_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        dz = rinv * (d_xhat - m1 - xhat * m2)
+        dgamma_ref[:] += jnp.sum(d_msg * xhat, axis=0, keepdims=True)
+        dbeta_ref[:] += jnp.sum(d_msg, axis=0, keepdims=True)
+    else:
+        dz = d_msg
+
+    dzc = cv(dz)
+    d_h1 = jax.lax.dot_general(
+        dzc,
+        w2_ref[:],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw2_ref[:] += jax.lax.dot_general(
+        cv(h1), dzc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db2_ref[:] += jnp.sum(dz, axis=0, keepdims=True)
+
+    sig = jax.nn.sigmoid(pre)
+    d_pre = d_h1 * (sig * (1.0 + pre * (1.0 - sig)))
+    d_pre_ref[:] = d_pre
+    d_prec = cv(d_pre)
+
+    d_edge = jax.lax.dot_general(
+        d_prec, w1e_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if update_edges:
+        if edge_unbatched:
+            d_edge = d_edge + jax.lax.dot_general(
+                cv(d_new_edge_ref[:]), tile_ref[:],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            d_edge = d_edge + d_new_edge_ref[:].astype(jnp.float32)
+    if embed_edges:
+        _embed_backward(
+            edge_ref[:], d_edge, emb_refs, emb_accum_refs, very_first, cdt
+        )
+    elif edge_unbatched:
+        d_edge_ref[0] = d_edge
+    else:
+        d_edge_ref[:] = d_edge
+
+    dw1e_ref[:] += jax.lax.dot_general(
+        cv(edge_val), d_prec, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1_ref[:] += jnp.sum(d_pre, axis=0, keepdims=True)
+    d_recproj_ref[:] += jnp.dot(
+        one_hot_t, d_prec, preferred_element_type=jnp.float32
+    )
+
+
+def _prep_weights_v2(
+    mlp_params: dict,
+    groups: int,
+    feat_dim: int,
+    edge_unbatched: bool,
+    cdt=jnp.float32,
+):
+    """v2 kernel weights: like :func:`_prep_weights` but WITHOUT the
+    sender/receiver first-layer blocks — those projections run outside
+    the kernel at node granularity."""
+    layers = mlp_params["layers"]
+    w1 = layers[0]["w"].astype(jnp.float32)
+    w1e, _, _ = jnp.split(w1, 3, axis=0)
+    ln = mlp_params["ln"]
+    hidden = w1.shape[1]
+    if ln is not None:
+        gamma, beta = ln["scale"], ln["bias"]
+    else:
+        gamma = jnp.ones((hidden,), jnp.float32)
+        beta = jnp.zeros((hidden,), jnp.float32)
+    if edge_unbatched:
+        w1e_k = jnp.tile(w1e, (1, groups))
+        tile = jnp.tile(jnp.eye(hidden, dtype=jnp.float32), (1, groups))
+        tile = tile.astype(cdt)
+    else:
+        w1e_k = _block_diag(w1e, groups)
+        tile = None
+    return dict(
+        w1e=w1e_k.astype(cdt),
+        b1=_tile_vec(layers[0]["b"], groups),
+        w2=_block_diag(layers[1]["w"].astype(jnp.float32), groups).astype(
+            cdt
+        ),
+        b2=_tile_vec(layers[1]["b"], groups),
+        gamma=_tile_vec(gamma, groups),
+        beta=_tile_vec(beta, groups),
+        mmat=_group_mean_matrix(groups, feat_dim),
+        tile=tile,
+    )
+
+
+def _fused_v2_fwd_impl(
+    layout: BlockedLayout,
+    banded,
+    edge2d: jax.Array,
+    sendp2d: jax.Array,
+    recp2d: jax.Array,
+    wb: dict,
+    stripe: int,
+    *,
+    layer_norm: bool,
+    update_edges: bool,
+    edge_unbatched: bool,
+    interpret: bool,
+    emb_weights=None,
+    cdt=jnp.float32,
+    dyn=None,
+    dyn_gather=None,
+):
+    from .pallas_segment import _banded_dyn, _dyn_or_static
+
+    cb, ids = _dyn_or_static(layout, dyn)
+    gchunk, gwindow, gv_ids = _banded_dyn(banded, dyn_gather, scatter=False)
+    embed_edges = emb_weights is not None
+    lanes = sendp2d.shape[1]
+    in_feat = edge2d.shape[1] if edge_unbatched else None
+    feat = emb_weights[2].shape[1] if embed_edges else in_feat
+    n_stripes = lanes // stripe
+    n_chunks = int(layout.chunk_block.shape[0])
+    n_visits = int(banded.gvisit_chunk.shape[0])
+    out_rows = layout.num_blocks * layout.block_rows
+    if recp2d.shape[0] != out_rows:
+        recp2d = _pad_rows(recp2d, out_rows)
+    if sendp2d.shape[0] != banded.padded_send_rows:
+        sendp2d = _pad_rows(sendp2d, banded.padded_send_rows)
+    ce, br, win = layout.chunk_edges, layout.block_rows, banded.win_rows
+    if banded.n_chunks != n_chunks or banded.chunk_edges != ce:
+        raise ValueError(
+            "banded layout does not match the blocked layout: "
+            f"{(banded.n_chunks, banded.chunk_edges)} vs {(n_chunks, ce)}"
+        )
+
+    const = lambda s, v, gc, gw, cb: (0, 0)  # noqa: E731
+
+    def cs(shape):
+        return pl.BlockSpec(shape, const, memory_space=pltpu.VMEM)
+
+    edge_spec = (
+        pl.BlockSpec((ce, in_feat), lambda s, v, gc, gw, cb: (gc[v], 0),
+                     memory_space=pltpu.VMEM)
+        if edge_unbatched
+        else pl.BlockSpec((ce, stripe), lambda s, v, gc, gw, cb: (gc[v], s),
+                          memory_space=pltpu.VMEM)
+    )
+    w1e_spec = (
+        cs((feat, stripe)) if edge_unbatched else cs((stripe, stripe))
+    )
+    in_specs = [
+        pl.BlockSpec((1, ce), lambda s, v, gc, gw, cb: (0, v),
+                     memory_space=pltpu.VMEM),  # gv_ids
+        pl.BlockSpec((1, ce), lambda s, v, gc, gw, cb: (0, gc[v]),
+                     memory_space=pltpu.VMEM),  # ids
+        edge_spec,
+        pl.BlockSpec((win, stripe), lambda s, v, gc, gw, cb: (gw[v], s),
+                     memory_space=pltpu.VMEM),  # sendp window
+        pl.BlockSpec((br, stripe),
+                     lambda s, v, gc, gw, cb: (cb[gc[v]], s),
+                     memory_space=pltpu.VMEM),  # recp block
+        w1e_spec,
+        cs((1, stripe)),  # b1
+        cs((stripe, stripe)),  # w2
+        cs((1, stripe)),  # b2
+        cs((1, stripe)),  # gamma
+        cs((1, stripe)),  # beta
+        cs((stripe, stripe)),  # mmat
+    ]
+    operands = [
+        gchunk,
+        gwindow,
+        cb,
+        gv_ids,
+        ids,
+        edge2d,
+        sendp2d,
+        recp2d,
+        wb["w1e"],
+        wb["b1"],
+        wb["w2"],
+        wb["b2"],
+        wb["gamma"],
+        wb["beta"],
+        wb["mmat"],
+    ]
+    if embed_edges:
+        in_specs += [cs(tuple(w.shape)) for w in emb_weights]
+        operands += list(emb_weights)
+    if edge_unbatched and update_edges:
+        in_specs.append(cs((feat, stripe)))
+        operands.append(wb["tile"])
+
+    chunk_out = pl.BlockSpec(
+        (ce, stripe), lambda s, v, gc, gw, cb: (gc[v], s),
+        memory_space=pltpu.VMEM,
+    )
+    out_specs = [
+        pl.BlockSpec((br, stripe),
+                     lambda s, v, gc, gw, cb: (cb[gc[v]], s),
+                     memory_space=pltpu.VMEM)
+    ]
+    out_shape = [jax.ShapeDtypeStruct((out_rows, lanes), jnp.float32)]
+    if update_edges:
+        out_specs.append(chunk_out)
+        out_shape.append(
+            jax.ShapeDtypeStruct((layout.num_blocked, lanes), jnp.float32)
+        )
+    out_specs.append(chunk_out)  # pre (always saved in v2)
+    out_shape.append(
+        jax.ShapeDtypeStruct((layout.num_blocked, lanes), jnp.float32)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_stripes, n_visits),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM((ce, stripe), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _fused_v2_fwd_kernel,
+        block_rows=br,
+        win_rows=win,
+        chunk_edges=ce,
+        n_visits=n_visits,
+        layer_norm=layer_norm,
+        update_edges=update_edges,
+        edge_unbatched=edge_unbatched,
+        embed_edges=embed_edges,
+        cdt=cdt,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(*operands)
+    aggregated = outs[0]
+    new_edge = outs[1] if update_edges else None
+    pre = outs[-1]
+    return aggregated, new_edge, pre
+
+
+def _fused_v2_bwd_impl(
+    layout: BlockedLayout,
+    edge2d: jax.Array,
+    wb: dict,
+    d_aggr: jax.Array,
+    d_new_edge,
+    pre2d: jax.Array,
+    stripe: int,
+    *,
+    layer_norm: bool,
+    update_edges: bool,
+    edge_unbatched: bool,
+    interpret: bool,
+    emb_weights=None,
+    cdt=jnp.float32,
+    io_dt=jnp.float32,
+    dyn=None,
+):
+    from .pallas_segment import _dyn_or_static
+
+    cb, ids = _dyn_or_static(layout, dyn)
+    embed_edges = emb_weights is not None
+    lanes = pre2d.shape[1]
+    in_feat = edge2d.shape[1] if edge_unbatched else None
+    feat = emb_weights[2].shape[1] if embed_edges else in_feat
+    n_stripes = lanes // stripe
+    n_chunks = int(layout.chunk_block.shape[0])
+    out_rows = layout.num_blocks * layout.block_rows
+    d_aggr = d_aggr.astype(io_dt)
+    d_aggr_pad = d_aggr if d_aggr.shape[0] == out_rows else _pad_rows(
+        d_aggr, out_rows
+    )
+    ce, br = layout.chunk_edges, layout.block_rows
+
+    def cix(s, c, cb):
+        return (c, s)
+
+    def bix(s, c, cb):
+        return (cb[c], s)
+
+    const = lambda s, c, cb: (0, 0)  # noqa: E731
+
+    def cs(shape):
+        return pl.BlockSpec(shape, const, memory_space=pltpu.VMEM)
+
+    cspec = pl.BlockSpec((ce, stripe), cix, memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((br, stripe), bix, memory_space=pltpu.VMEM)
+    wspec = cs((stripe, stripe))
+    vspec = cs((1, stripe))
+    if edge_unbatched:
+        edge_spec = pl.BlockSpec(
+            (ce, in_feat), lambda s, c, cb: (c, 0),
+            memory_space=pltpu.VMEM,
+        )
+        w1e_spec = cs((feat, stripe))
+        d_edge_spec = pl.BlockSpec(
+            (1, ce, feat), lambda s, c, cb: (s, c, 0),
+            memory_space=pltpu.VMEM,
+        )
+        d_edge_shape = jax.ShapeDtypeStruct(
+            (n_stripes, layout.num_blocked, feat), jnp.float32
+        )
+        dw1e_spec = w1e_spec
+        dw1e_shape = jax.ShapeDtypeStruct((feat, stripe), jnp.float32)
+    else:
+        edge_spec, w1e_spec = cspec, wspec
+        d_edge_spec = cspec
+        d_edge_shape = jax.ShapeDtypeStruct(
+            (layout.num_blocked, lanes), jnp.float32
+        )
+        dw1e_spec = wspec
+        dw1e_shape = jax.ShapeDtypeStruct((stripe, stripe), jnp.float32)
+
+    in_specs = [
+        pl.BlockSpec((1, ce), lambda s, c, cb: (0, c),
+                     memory_space=pltpu.VMEM),
+        edge_spec,
+        bspec,  # d_aggr
+        cspec,  # pre
+        w1e_spec,
+        wspec,  # w2
+        vspec,  # b2
+        vspec,  # gamma
+        wspec,  # mmat
+    ]
+    operands = [
+        cb,
+        ids,
+        edge2d,
+        d_aggr_pad,
+        pre2d,
+        wb["w1e"],
+        wb["w2"],
+        wb["b2"],
+        wb["gamma"],
+        wb["mmat"],
+    ]
+    if embed_edges:
+        in_specs += [cs(tuple(w.shape)) for w in emb_weights]
+        operands += list(emb_weights)
+    if update_edges:
+        in_specs.append(cspec)
+        operands.append(d_new_edge.astype(io_dt))
+        if edge_unbatched:
+            in_specs.append(cs((feat, stripe)))
+            operands.append(wb["tile"])
+
+    e_rows = layout.num_blocked
+    head_specs = []
+    head_shapes = []
+    if embed_edges:
+        for w in emb_weights[:6]:
+            head_specs.append(cs(tuple(w.shape)))
+            head_shapes.append(
+                jax.ShapeDtypeStruct(tuple(w.shape), jnp.float32)
+            )
+    else:
+        head_specs.append(d_edge_spec)
+        head_shapes.append(d_edge_shape)
+    out_specs = tuple(head_specs) + (
+        cspec,  # d_pre
+        bspec,  # d_recproj
+        dw1e_spec,
+        wspec,  # dw2
+        vspec,  # db1
+        vspec,  # db2
+        vspec,  # dgamma
+        vspec,  # dbeta
+    )
+    out_shape = tuple(head_shapes) + (
+        jax.ShapeDtypeStruct((e_rows, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((out_rows, lanes), jnp.float32),
+        dw1e_shape,
+        jax.ShapeDtypeStruct((stripe, stripe), jnp.float32),
+        jax.ShapeDtypeStruct((1, stripe), jnp.float32),
+        jax.ShapeDtypeStruct((1, stripe), jnp.float32),
+        jax.ShapeDtypeStruct((1, stripe), jnp.float32),
+        jax.ShapeDtypeStruct((1, stripe), jnp.float32),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_stripes, n_chunks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    kernel = functools.partial(
+        _fused_v2_bwd_kernel,
+        block_rows=br,
+        chunk_edges=ce,
+        layer_norm=layer_norm,
+        update_edges=update_edges,
+        edge_unbatched=edge_unbatched,
+        embed_edges=embed_edges,
+        cdt=cdt,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*operands)
+
+
+def make_fused_interaction_v2(
+    layout: BlockedLayout,
+    banded,
+    *,
+    update_edges: bool,
+    interpret: bool,
+):
+    """Build the v2 differentiable fused edge phase for one edge set.
+
+    Returns ``fused(mlp_params, edge_rep, send_nodes, rec_nodes,
+    emb_params=None, edge_feats=None, dyn_layout=None, dyn_banded=None)
+    -> (aggregated_sum, new_edge | None)``.
+
+    Unlike v1, ``send_nodes``/``rec_nodes`` are the NODE arrays
+    (``(N_send, [B,] D)`` / ``(N_rec, [B,] D)``): the banded sender
+    gather runs inside the kernel (visit-major prologue) and the
+    first-layer sender/receiver projections run outside at node
+    granularity under plain autodiff. ``dyn_banded`` threads per-shard
+    visit tables as ``(bg_group, bg_other, bg_ids, bs_group, bs_other,
+    bs_ids)`` (the spatially sharded executor's table layout); the
+    scatter tables are consumed by the backward's ``d_pre`` scatter.
+
+    Interaction wiring only (PropagationNet keeps the v1 path: its
+    sender residual needs raw per-edge sender rows).
+    """
+
+    def run(
+        mlp_params, edge_rep, send_nodes, rec_nodes,
+        emb_params=None, edge_feats=None,
+        dyn_layout=None, dyn_banded=None,
+    ):
+        cb0, ids0 = (
+            dyn_layout
+            if dyn_layout is not None
+            else (layout.chunk_block, layout.local_ids)
+        )
+        if dyn_banded is not None:
+            (bgc0, bgw0, bgi0, bsg0, bso0, bsi0) = dyn_banded
+        else:
+            bgc0, bgw0, bgi0 = (
+                banded.gvisit_chunk, banded.gvisit_window,
+                banded.gvisit_ids,
+            )
+            bsg0, bso0, bsi0 = (
+                banded.svisit_window, banded.svisit_chunk,
+                banded.svisit_ids,
+            )
+        batched = send_nodes.ndim == 3
+        embed = emb_params is not None
+        if embed:
+            assert edge_feats is not None, "edge_feats required to embed"
+        feats2 = (
+            jnp.asarray(edge_feats, jnp.float32)
+            if edge_feats is not None
+            else None
+        )
+        edge_unbatched = embed or (batched and edge_rep.ndim == 2)
+        in_dtype = rec_nodes.dtype
+        import os as _os
+
+        from .segment import kernel_matmul_high as _mh
+        from .segment import matmul_high as _mh_full
+
+        bf16_streams = (
+            in_dtype == jnp.bfloat16
+            and _os.environ.get("NEURAL_LAM_TPU_BF16_KERNELS", "auto")
+            != "off"
+        )
+        cdt = jnp.bfloat16 if (bf16_streams or _mh()) else jnp.float32
+        io_dt = jnp.bfloat16 if (bf16_streams or _mh_full()) else jnp.float32
+        feat = send_nodes.shape[-1]
+        if batched:
+            b = send_nodes.shape[1]
+            fold = lambda x: x.reshape(x.shape[0], b * feat)  # noqa: E731
+        else:
+            fold = lambda x: x  # noqa: E731
+        groups = send_nodes.shape[1] if batched else 1
+        stripe_g = _stripe_groups(groups, feat)
+        stripe = stripe_g * feat
+
+        if embed:
+            e2 = feats2.astype(io_dt)
+        elif edge_unbatched:
+            e2 = edge_rep.astype(io_dt)
+        else:
+            e2 = fold(edge_rep).astype(io_dt)
+        s2 = fold(send_nodes)
+        r2 = fold(rec_nodes)
+        ln = mlp_params["ln"] is not None
+
+        cv = lambda x: x.astype(cdt)  # noqa: E731
+
+        def proj(x2d, w):
+            """Node-granularity first-layer projection: fold the lane
+            groups into rows (free row-major reshape), one (D, D)
+            matmul with f32 accumulation, stream in ``io_dt``.
+
+            Exact f32 operands when the kernel runs exact f32: XLA's
+            DEFAULT precision rounds f32 matmul operands to bf16 on
+            TPU, which would diverge from the in-kernel v1 projection
+            (measured ~1e-3 relative drift over a full model step).
+            """
+            n = x2d.shape[0]
+            xr = x2d.reshape(-1, feat)
+            out = jax.lax.dot_general(
+                cv(xr), cv(w), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return out.reshape(n, -1).astype(io_dt)
+
+        # Outside-the-kernel projections: grads for w1s/w1r and the
+        # node arrays come from plain autodiff; the custom VJP below
+        # only covers the kernel (its d_params carries ZERO w1s/w1r
+        # blocks, summed by JAX with the projections' contributions).
+        w1 = mlp_params["layers"][0]["w"]
+        hidden = feat
+        w1s = w1[hidden : 2 * hidden].astype(jnp.float32)
+        w1r = w1[2 * hidden :].astype(jnp.float32)
+        sp2 = _pad_rows(proj(s2, w1s), banded.padded_send_rows)
+        out_rows = layout.num_blocks * layout.block_rows
+        rp2 = _pad_rows(proj(r2, w1r), out_rows)
+
+        def _impl(wb, ew, e2d, sp2d, rp2d, cb, ids, bgc, bgw, bgi):
+            return _fused_v2_fwd_impl(
+                layout, banded, e2d, sp2d, rp2d, wb, stripe,
+                layer_norm=ln,
+                update_edges=update_edges,
+                edge_unbatched=edge_unbatched,
+                interpret=interpret,
+                emb_weights=ew,
+                cdt=cdt,
+                dyn=(cb, ids),
+                dyn_gather=(bgc, bgw, bgi),
+            )
+
+        @jax.custom_vjp
+        def fused(
+            params, eparams, e2d, sp2d, rp2d,
+            cb, ids, bgc, bgw, bgi, bsg, bso, bsi,
+        ):
+            wb = _prep_weights_v2(
+                params, stripe_g, feat, edge_unbatched, cdt
+            )
+            ew = _prep_embedder_weights(eparams, cdt) if embed else None
+            return _impl(wb, ew, e2d, sp2d, rp2d, cb, ids, bgc, bgw, bgi)[
+                :2
+            ]
+
+        def fwd(
+            params, eparams, e2d, sp2d, rp2d,
+            cb, ids, bgc, bgw, bgi, bsg, bso, bsi,
+        ):
+            wb = _prep_weights_v2(
+                params, stripe_g, feat, edge_unbatched, cdt
+            )
+            ew = _prep_embedder_weights(eparams, cdt) if embed else None
+            aggregated, new_edge, pre2d = _impl(
+                wb, ew, e2d, sp2d, rp2d, cb, ids, bgc, bgw, bgi
+            )
+            return (
+                (aggregated, new_edge),
+                (
+                    params, eparams, wb, ew, e2d, pre2d,
+                    cb, ids, bgc, bgw, bgi, bsg, bso, bsi,
+                ),
+            )
+
+        def bwd(res, grads):
+            (
+                params, eparams, wb, ew, e2d, pre2d,
+                cb, ids, bgc, bgw, bgi, bsg, bso, bsi,
+            ) = res
+            # run() pads sp2d/rp2d to these static row counts before
+            # the custom_vjp boundary, so the cotangents match exactly
+            sp_rows = banded.padded_send_rows
+            rp_rows = layout.num_blocks * layout.block_rows
+            d_aggr, d_new_edge = grads
+            outs = _fused_v2_bwd_impl(
+                layout, e2d, wb, d_aggr, d_new_edge, pre2d, stripe,
+                layer_norm=ln,
+                update_edges=update_edges,
+                edge_unbatched=edge_unbatched,
+                interpret=interpret,
+                emb_weights=ew,
+                cdt=cdt,
+                io_dt=io_dt,
+                dyn=(cb, ids),
+            )
+            if embed:
+                (dew1, deb1, dew2, deb2, deg_e, debt_e,
+                 d_pre, d_recproj, dw1e_a, dw2_a,
+                 db1_a, db2_a, dg_a, dbeta_a) = outs
+                d_edge = None
+            else:
+                (d_edge, d_pre, d_recproj, dw1e_a, dw2_a,
+                 db1_a, db2_a, dg_a, dbeta_a) = outs
+            # sender-projection grad: banded scatter of d_pre (the
+            # dual of the in-kernel gather prologue)
+            from .pallas_segment import banded_scatter_nondiff
+
+            d_sp = banded_scatter_nondiff(
+                d_pre.astype(io_dt), banded, interpret,
+                out_dtype=jnp.float32,
+                keep_padded=True,
+                dyn=(bsg, bso, bsi),
+            )
+            if d_sp.shape[0] != sp_rows:
+                d_sp = d_sp[:sp_rows]
+            d_rp = d_recproj[:rp_rows]
+
+            if edge_unbatched:
+                if not embed:
+                    d_edge = d_edge.sum(axis=0)
+                dw1e = dw1e_a.reshape(hidden, stripe_g, hidden).sum(axis=1)
+            else:
+                dw1e = _sum_diag_blocks(dw1e_a, hidden, hidden)
+            zero_w = jnp.zeros((hidden, hidden), jnp.float32)
+            dw1 = jnp.concatenate([dw1e, zero_w, zero_w], axis=0)
+            d_params = {
+                "layers": [
+                    {"w": dw1, "b": _fold_groups(db1_a, hidden)},
+                    {
+                        "w": _sum_diag_blocks(dw2_a, hidden, hidden),
+                        "b": _fold_groups(db2_a, hidden),
+                    },
+                ],
+                "ln": (
+                    {
+                        "scale": _fold_groups(dg_a, hidden),
+                        "bias": _fold_groups(dbeta_a, hidden),
+                    }
+                    if ln
+                    else None
+                ),
+            }
+            d_params = jax.tree_util.tree_map(
+                lambda g, p: g.astype(p.dtype), d_params, params
+            )
+            if embed:
+                d_eparams = {
+                    "layers": [
+                        {"w": dew1, "b": deb1[0]},
+                        {"w": dew2, "b": deb2[0]},
+                    ],
+                    "ln": {"scale": deg_e[0], "bias": debt_e[0]},
+                }
+                d_eparams = jax.tree_util.tree_map(
+                    lambda g, p: g.astype(p.dtype), d_eparams, eparams
+                )
+                d_e2d = jnp.zeros_like(e2d)
+            else:
+                d_eparams = None
+                d_e2d = d_edge.astype(e2d.dtype)
+            f0 = lambda a: np.zeros(  # noqa: E731
+                a.shape, dtype=jax.dtypes.float0
+            )
+            return (
+                d_params,
+                d_eparams,
+                d_e2d,
+                d_sp.astype(io_dt),
+                d_rp.astype(io_dt),
+                f0(cb), f0(ids), f0(bgc), f0(bgw), f0(bgi),
+                f0(bsg), f0(bso), f0(bsi),
+            )
+
+        fused.defvjp(fwd, bwd)
+
+        aggregated, new_edge = fused(
+            mlp_params, emb_params, e2, sp2, rp2,
+            cb0, ids0, bgc0, bgw0, bgi0, bsg0, bso0, bsi0,
+        )
+        # Same residency contract as v1: a caller that keeps the
+        # receiver array block-padded gets the aggregation back
+        # unsliced (pad rows are exact zeros); otherwise slice.
+        if aggregated.shape[0] != rec_nodes.shape[0]:
+            aggregated = aggregated[: rec_nodes.shape[0]]
+        unfold = (
+            (lambda x: x.reshape(x.shape[0], groups, feat))
+            if batched
+            else (lambda x: x)
+        )
+        aggregated = unfold(aggregated).astype(in_dtype)
+        if new_edge is not None:
+            new_edge = unfold(new_edge).astype(in_dtype)
+        return aggregated, new_edge
+
+    return run

@@ -53,7 +53,11 @@ from ..ops.interaction import (
     fused_edge_phase_supported,
 )
 from ..ops.mlp import apply_mlp, apply_mlp_split_first
-from ..ops.pallas_fused import make_fused_interaction
+from ..ops.pallas_fused import (
+    fused_v2_enabled,
+    make_fused_interaction,
+    make_fused_interaction_v2,
+)
 from ..ops.pallas_segment import (
     BandedLayout,
     BlockedLayout,
@@ -624,22 +628,51 @@ def _sharded_interaction(
         # broadcast at node level (local + halo rows), not edge level
         ref = [edge_rep] if edge_rep is not None else []
         x_ext, rec_rep = _bcast_batch([x_ext, rec_rep], ref=ref)
-        x_send = _sharded_sender_gather(meta, tbl, x_ext)
-        fused = make_fused_interaction(
-            meta.layout,
-            update_edges=update_edges,
-            propagation=propagation,
-            interpret=_interpret_mode(),
-        )
-        aggregated, new_edge = fused(
-            net_params["edge"][0],
-            edge_rep,
-            x_send,
-            rec_rep,
-            emb_params=(edge_embedder if embed_in_kernel else None),
-            edge_feats=(pe.features if embed_in_kernel else None),
-            dyn_layout=(tbl["chunk_block"], tbl["local_ids"]),
-        )
+        if (
+            not propagation
+            and meta.banded is not None
+            and fused_v2_enabled()
+        ):
+            # v2: the banded gather runs INSIDE the kernel (visit-major
+            # prologue) on the extended local+halo sender array; the
+            # per-shard visit tables thread in as data alongside the
+            # blocked-layout index arrays.
+            fused = make_fused_interaction_v2(
+                meta.layout,
+                meta.banded,
+                update_edges=update_edges,
+                interpret=_interpret_mode(),
+            )
+            aggregated, new_edge = fused(
+                net_params["edge"][0],
+                edge_rep,
+                x_ext,
+                rec_rep,
+                emb_params=(edge_embedder if embed_in_kernel else None),
+                edge_feats=(pe.features if embed_in_kernel else None),
+                dyn_layout=(tbl["chunk_block"], tbl["local_ids"]),
+                dyn_banded=(
+                    tbl["bg_group"], tbl["bg_other"], tbl["bg_ids"],
+                    tbl["bs_group"], tbl["bs_other"], tbl["bs_ids"],
+                ),
+            )
+        else:
+            x_send = _sharded_sender_gather(meta, tbl, x_ext)
+            fused = make_fused_interaction(
+                meta.layout,
+                update_edges=update_edges,
+                propagation=propagation,
+                interpret=_interpret_mode(),
+            )
+            aggregated, new_edge = fused(
+                net_params["edge"][0],
+                edge_rep,
+                x_send,
+                rec_rep,
+                emb_params=(edge_embedder if embed_in_kernel else None),
+                edge_feats=(pe.features if embed_in_kernel else None),
+                dyn_layout=(tbl["chunk_block"], tbl["local_ids"]),
+            )
         if aggr == "mean":
             counts = jnp.maximum(tbl["counts"], 1).astype(
                 aggregated.dtype
@@ -732,20 +765,39 @@ def _sharded_combined(
         ):
             tbl = sec.tbl
             x_ext, rec_b = _bcast_batch([x_ext, rec], ref=[e_rep])
-            x_send = _sharded_sender_gather(sec.meta, tbl, x_ext)
-            fused = make_fused_interaction(
-                sec.meta.layout,
-                update_edges=update_edges,
-                propagation=False,
-                interpret=_interpret_mode(),
-            )
-            agg, new_e = fused(
-                net_params["edge"][k],
-                e_rep,
-                x_send,
-                rec_b,
-                dyn_layout=(tbl["chunk_block"], tbl["local_ids"]),
-            )
+            if sec.meta.banded is not None and fused_v2_enabled():
+                fused = make_fused_interaction_v2(
+                    sec.meta.layout,
+                    sec.meta.banded,
+                    update_edges=update_edges,
+                    interpret=_interpret_mode(),
+                )
+                agg, new_e = fused(
+                    net_params["edge"][k],
+                    e_rep,
+                    x_ext,
+                    rec_b,
+                    dyn_layout=(tbl["chunk_block"], tbl["local_ids"]),
+                    dyn_banded=(
+                        tbl["bg_group"], tbl["bg_other"], tbl["bg_ids"],
+                        tbl["bs_group"], tbl["bs_other"], tbl["bs_ids"],
+                    ),
+                )
+            else:
+                x_send = _sharded_sender_gather(sec.meta, tbl, x_ext)
+                fused = make_fused_interaction(
+                    sec.meta.layout,
+                    update_edges=update_edges,
+                    propagation=False,
+                    interpret=_interpret_mode(),
+                )
+                agg, new_e = fused(
+                    net_params["edge"][k],
+                    e_rep,
+                    x_send,
+                    rec_b,
+                    dyn_layout=(tbl["chunk_block"], tbl["local_ids"]),
+                )
             if update_edges:
                 new_edge_secs.append(new_e)
         else:

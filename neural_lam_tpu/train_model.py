@@ -143,6 +143,16 @@ def build_parser() -> argparse.ArgumentParser:
         "[NEURAL_LAM_TPU_FUSED_EMBED]",
     )
     kernels.add_argument(
+        "--fused_v2",
+        choices=["auto", "off"],
+        default=None,
+        help="Merged-prologue fused kernel (v2): the banded sender "
+        "gather runs inside the edge kernel and the first-layer "
+        "node projections hoist outside. off restores the v1 "
+        "expand->fused pipeline. Requires --cache_pre on. "
+        "[NEURAL_LAM_TPU_FUSED_V2]",
+    )
+    kernels.add_argument(
         "--cache_pre",
         choices=["on", "off"],
         default=None,
@@ -283,6 +293,7 @@ def build_parser() -> argparse.ArgumentParser:
 _KERNEL_FLAG_ENV = {
     "pallas": "NEURAL_LAM_TPU_PALLAS",
     "fused_embed": "NEURAL_LAM_TPU_FUSED_EMBED",
+    "fused_v2": "NEURAL_LAM_TPU_FUSED_V2",
     "cache_pre": "NEURAL_LAM_TPU_CACHE_PRE",
     "bf16_kernels": "NEURAL_LAM_TPU_BF16_KERNELS",
     "matmul_precision": "NEURAL_LAM_TPU_MATMUL_PRECISION",

@@ -492,6 +492,12 @@ def test_cached_pre_gradients_match(monkeypatch, embed):
 
     monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
     monkeypatch.setenv("NEURAL_LAM_TPU_FUSED", "auto")
+    # pin the v1 kernel: this test compares cache_pre on/off on the
+    # SAME kernel at exact-equality tolerance (CACHE_PRE=off disables
+    # v2 anyway, so letting "on" route to v2 would compare different
+    # f32 summation orders; v2 equivalence lives in
+    # test_pallas_fused_v2.py)
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "off")
     if embed:
         monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_EMBED", "on")
 
@@ -556,6 +562,9 @@ def test_high_kernels_io_stream_dtype(monkeypatch, mode):
     monkeypatch.setattr(pf, "_fused_fwd_impl", spy)
     monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
     monkeypatch.setenv("NEURAL_LAM_TPU_FUSED", "auto")
+    # the spy hooks the v1 impl; the v2 stream contract is asserted in
+    # test_pallas_fused_v2.py::test_v2_io_stream_dtype
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "off")
     monkeypatch.setenv("NEURAL_LAM_TPU_MATMUL_PRECISION", mode)
     es.fn_cache.clear()
     out = apply_interaction_net(
