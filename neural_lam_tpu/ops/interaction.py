@@ -33,7 +33,7 @@ import numpy as np
 from .mlp import MLPParams, apply_mlp, apply_mlp_split_first, init_mlp
 from .pallas_fused import (
     fusable,
-    fused_v2_enabled,
+    fused_v2_routed,
     make_fused_interaction,
     make_fused_interaction_v2,
     stripe_fits,
@@ -449,7 +449,11 @@ def fused_edge_phase(
     if (
         not propagation
         and edge_set.banded is not None
-        and fused_v2_enabled()
+        and fused_v2_routed(
+            edge_set.layout.num_blocked,
+            send_rep.shape[0]
+            + edge_set.layout.num_blocks * edge_set.layout.block_rows,
+        )
     ):
         key = ("fused_v2", update_edges, _interpret_mode(), False)
         if key not in edge_set.fn_cache:
@@ -557,12 +561,17 @@ def apply_interaction_net(
     # v2: banded gather prologue merged into the kernel, first-layer
     # node projections hoisted outside (see pallas_fused v2 section).
     # Interaction wiring only; needs banded tables + the saved-pre
-    # backward (fused_v2_enabled checks the CACHE_PRE gate).
+    # backward (fused_v2_routed checks the CACHE_PRE gate and
+    # the per-set edge/hoisted-row byte trade).
     use_v2 = (
         use_fused
         and not propagation
         and edge_set.banded is not None
-        and fused_v2_enabled()
+        and fused_v2_routed(
+            edge_set.layout.num_blocked,
+            send_rep.shape[0]
+            + edge_set.layout.num_blocks * edge_set.layout.block_rows,
+        )
     )
     if not use_v2:
         x_send = gather_senders(edge_set, send_rep)  # (E_pad, [B,] d)

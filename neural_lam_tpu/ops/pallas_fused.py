@@ -1268,15 +1268,44 @@ def make_fused_interaction(
 
 
 def fused_v2_enabled() -> bool:
-    """NEURAL_LAM_TPU_FUSED_V2 gate (default on): the merged-prologue
-    kernel. ``off`` restores the v1 expand->fused pipeline (used by
-    equivalence tests and as an operational fallback)."""
+    """Coarse NEURAL_LAM_TPU_FUSED_V2 gate: ``off`` restores the v1
+    expand->fused pipeline everywhere (used by equivalence tests and as
+    an operational fallback). When not off, the per-edge-set choice is
+    :func:`fused_v2_routed`."""
     import os
 
     if os.environ.get("NEURAL_LAM_TPU_FUSED_V2", "auto") == "off":
         return False
     # v2's backward needs the saved pre-activations
     return os.environ.get("NEURAL_LAM_TPU_CACHE_PRE", "on") != "off"
+
+
+def fused_v2_routed(num_edge_slots: int, num_hoisted_rows: int) -> bool:
+    """Per-edge-set v2 routing (mode ``auto``, the default).
+
+    v2 trades the v1 pipeline's O(edge-slot) HBM streams (the
+    materialised ``x_send`` expand, written once and re-read by the
+    kernel) for O(node-row) boundary materialisations (the hoisted
+    sender/receiver first-layer projections, their pads and layout
+    copies at the Pallas boundary). Measured at MEPS size on v5e
+    (docs/performance.md): v2-everywhere LOSES 13% end-to-end — the
+    grid-sized g2m sender set pays more in projections/pads/copies than
+    its 1.6x edge/sender ratio saves — while the m2g set (39x more edge
+    slots than senders) is where the saved stream dominates. The rule:
+    take v2 iff ``edge_slots >= ratio * (sender_rows + padded_receiver
+    rows)``, both directions of the trade counted. Ratio via
+    NEURAL_LAM_TPU_FUSED_V2_RATIO (default 2.0: MEPS m2g 3.6 and m2m
+    4.9 route v2, g2m 1.5 routes v1). Mode ``on`` forces v2 on every
+    banded-capable set (the equivalence tests' hook).
+    """
+    import os
+
+    if not fused_v2_enabled():
+        return False
+    if os.environ.get("NEURAL_LAM_TPU_FUSED_V2", "auto") == "on":
+        return True
+    ratio = float(os.environ.get("NEURAL_LAM_TPU_FUSED_V2_RATIO", "2"))
+    return num_edge_slots >= ratio * max(num_hoisted_rows, 1)
 
 
 def _fused_v2_fwd_kernel(

@@ -54,7 +54,7 @@ from ..ops.interaction import (
 )
 from ..ops.mlp import apply_mlp, apply_mlp_split_first
 from ..ops.pallas_fused import (
-    fused_v2_enabled,
+    fused_v2_routed,
     make_fused_interaction,
     make_fused_interaction_v2,
 )
@@ -148,12 +148,8 @@ def _build_edge_table(
             needs[(s, d)] = rows
             offsets_set.add(d)
 
-    use_all_gather = (
-        n_send_global <= all_gather_max_nodes
-        or len(offsets_set) > max_halo_offsets
-    )
-    offsets = tuple(sorted(offsets_set)) if not use_all_gather else ()
-    halo_sizes = tuple(
+    offsets_all = tuple(sorted(offsets_set))
+    halo_all = tuple(
         _round_up(
             max(
                 (len(needs.get((s, d), ())) for s in range(P_)),
@@ -162,8 +158,24 @@ def _build_edge_table(
             or 1,
             8,
         )
-        for d in offsets
+        for d in offsets_all
     )
+    # Strategy by measured payload, not offset count alone: a tiled
+    # all_gather moves n_send_local*(P-1) rows per shard; the halo
+    # rounds move sum(halo) rows. The merged multiscale mesh's
+    # long-range edges produce up to +-3 offsets at P=8, but the far
+    # offsets carry only a handful of coarse-scale sender rows, so
+    # halos still beat the gather ~20x there (docs/scaling.md). Tiny
+    # sender sets and graphs whose cuts touch most shards (where the
+    # permute rounds would move all_gather-scale bytes anyway, plus
+    # per-permute latency) keep the single all_gather.
+    use_all_gather = (
+        n_send_global <= all_gather_max_nodes
+        or len(offsets_all) > max_halo_offsets
+        or sum(halo_all) >= n_send_local * max(P_ - 1, 1)
+    )
+    offsets = () if use_all_gather else offsets_all
+    halo_sizes = () if use_all_gather else halo_all
 
     strategy = "all_gather" if use_all_gather else "halo"
     ext_size = (
@@ -631,7 +643,11 @@ def _sharded_interaction(
         if (
             not propagation
             and meta.banded is not None
-            and fused_v2_enabled()
+            and fused_v2_routed(
+                meta.e_max,
+                meta.ext_size
+                + meta.layout.num_blocks * meta.layout.block_rows,
+            )
         ):
             # v2: the banded gather runs INSIDE the kernel (visit-major
             # prologue) on the extended local+halo sender array; the
@@ -765,7 +781,12 @@ def _sharded_combined(
         ):
             tbl = sec.tbl
             x_ext, rec_b = _bcast_batch([x_ext, rec], ref=[e_rep])
-            if sec.meta.banded is not None and fused_v2_enabled():
+            if sec.meta.banded is not None and fused_v2_routed(
+                sec.meta.e_max,
+                sec.meta.ext_size
+                + sec.meta.layout.num_blocks
+                * sec.meta.layout.block_rows,
+            ):
                 fused = make_fused_interaction_v2(
                     sec.meta.layout,
                     sec.meta.banded,
@@ -852,7 +873,7 @@ class ShardedModel:
         datastore,
         mesh: Mesh,
         all_gather_max_nodes: int = 2048,
-        max_halo_offsets: int = 3,
+        max_halo_offsets: int = 8,
     ) -> None:
         assert "spatial" in mesh.axis_names, "mesh needs a 'spatial' axis"
         self.model = model

@@ -109,7 +109,7 @@ def test_v2_matches_v1_and_unfused(
     run = lambda mode, v2: _run(  # noqa: E731
         monkeypatch, es, mode, v2, lambda: grad_f(*args)
     )
-    l2, g2 = run("interpret", "auto")
+    l2, g2 = run("interpret", "on")
     l1, g1 = run("interpret", "off")
     lu, gu = run("off", "off")
 
@@ -133,7 +133,7 @@ def test_v2_routing_and_gates(monkeypatch, setup):
     from neural_lam_tpu.ops.pallas_fused import fused_v2_enabled
 
     es, feats_p, valid, n_send, n_rec = setup
-    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "auto")
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "on")
     monkeypatch.setenv("NEURAL_LAM_TPU_CACHE_PRE", "on")
     assert fused_v2_enabled()
     monkeypatch.setenv("NEURAL_LAM_TPU_CACHE_PRE", "off")
@@ -145,7 +145,7 @@ def test_v2_routing_and_gates(monkeypatch, setup):
     # cache-key check: a v2 run populates a "fused_v2" closure, v1 does
     # not — the routing is observable, not incidental
     monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
-    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "auto")
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "on")
     d = 64
     params = init_interaction_net(jax.random.PRNGKey(0), d)
     send, rec, edge = _arrays(es, n_send, n_rec, batched=True, d=d)
@@ -170,7 +170,7 @@ def test_v2_propagation_falls_back(monkeypatch, setup):
     kw = dict(update_edges=False, propagation=True)
 
     monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
-    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "auto")
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "on")
     es.fn_cache.clear()
     out = apply_interaction_net(params, es, send, rec, edge, **kw)
     # the assert must run BEFORE the cache clears: propagation must not
@@ -198,7 +198,7 @@ def test_v2_mixed_precision_bf16(monkeypatch, setup):
     params_bf16 = jax.tree_util.tree_map(to_bf16, params)
 
     out = _run(
-        monkeypatch, es, "interpret", "auto",
+        monkeypatch, es, "interpret", "on",
         lambda: apply_interaction_net(
             params_bf16, es, to_bf16(send), to_bf16(rec), to_bf16(edge),
             update_edges=False,
@@ -238,7 +238,7 @@ def test_v2_io_stream_dtype(monkeypatch, setup, mode):
 
     monkeypatch.setattr(pf, "_fused_v2_fwd_impl", spy)
     monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
-    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "auto")
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "on")
     monkeypatch.setenv("NEURAL_LAM_TPU_MATMUL_PRECISION", mode)
     es.fn_cache.clear()
     out = apply_interaction_net(
@@ -248,3 +248,45 @@ def test_v2_io_stream_dtype(monkeypatch, setup, mode):
     assert out.dtype == jnp.float32
     want = jnp.bfloat16 if mode == "high" else jnp.float32
     assert seen["dtypes"] == (want, want, want)
+
+
+def test_v2_auto_ratio_routing(monkeypatch, setup):
+    """Mode ``auto`` routes per edge set by the byte trade: v2 only
+    when edge slots outweigh the hoisted sender+receiver rows by the
+    configured ratio (measured basis in fused_v2_routed's docstring —
+    v2-everywhere lost 13% at MEPS size because the grid-sized g2m
+    sender set pays more in hoisted projections than it saves)."""
+    from neural_lam_tpu.ops.pallas_fused import fused_v2_routed
+
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "auto")
+    monkeypatch.setenv("NEURAL_LAM_TPU_CACHE_PRE", "on")
+    # MEPS-shaped numbers (docs/performance.md): m2g routes v2, g2m v1
+    assert fused_v2_routed(255488, 6561 + 64000)
+    assert not fused_v2_routed(104960, 63784 + 6656)
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2_RATIO", "10")
+    assert not fused_v2_routed(255488, 6561 + 64000)
+    monkeypatch.delenv("NEURAL_LAM_TPU_FUSED_V2_RATIO")
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "on")
+    assert fused_v2_routed(104960, 63784 + 6656)
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "off")
+    assert not fused_v2_routed(255488, 6561 + 64000)
+
+    # end-to-end: the toy fixture's ratio (~2.6) sits above the default
+    # threshold, so auto routes v2 for it
+    es, feats_p, valid, n_send, n_rec = setup
+    lay = es.layout
+    hoisted = n_send + lay.num_blocks * lay.block_rows
+    assert lay.num_blocked >= 2 * hoisted
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "auto")
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    d = 64
+    params = init_interaction_net(jax.random.PRNGKey(0), d)
+    send, rec, edge = _arrays(es, n_send, n_rec, batched=True, d=d)
+    es.fn_cache.clear()
+    apply_interaction_net(params, es, send, rec, edge, update_edges=False)
+    assert any(k[0] == "fused_v2" for k in es.fn_cache)
+    es.fn_cache.clear()
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2_RATIO", "50")
+    apply_interaction_net(params, es, send, rec, edge, update_edges=False)
+    assert not any(k[0] == "fused_v2" for k in es.fn_cache)
+    es.fn_cache.clear()

@@ -685,16 +685,37 @@ def test_sharded_step_collective_payloads_scale_with_cut(ds):
         params, opt_state, dev(init), dev(target), dev(forcing)
     ).compile().as_text()
 
+    # The merged multiscale m2m set's long-range edges produce >3
+    # shard offsets here, but the far offsets carry only a few coarse
+    # sender rows — the byte-cost rule must pick halos, not the
+    # all_gather fallback (the dominant projected multi-chip collective
+    # otherwise; docs/scaling.md).
+    assert all(m.strategy == "halo" for m in sharded.metas.values()), {
+        k: m.strategy for k, m in sharded.metas.items()
+    }
+    m2m = sharded.metas["m2m0"]
+    assert len(m2m.offsets) > 2, m2m.offsets
+    # byte-drop contract: halos move fewer rows than the all_gather
+    # did. The toy 9x9 mesh leaves little margin on m2m (48 vs 63 rows
+    # after padding; at MEPS size the ratio is ~23x — asserted in the
+    # scripts/collective_budget.py artifact and docs/scaling.md); the
+    # grid-sized g2m sender set shows the full >=5x drop even here.
+    assert sum(m2m.halo_sizes) < m2m.n_send_local * (m2m.n_shards - 1)
+    g2m = sharded.metas["g2m"]
+    assert sum(g2m.halo_sizes) * 5 <= g2m.n_send_local * (g2m.n_shards - 1)
+
     # Per-device payload bound: the hidden-dim local grid slab. Halo
     # payloads are tens of rows and the full coarsest mesh is far
     # smaller than the grid, so every node collective sits well below
     # one slab; gathering any grid array would cost P slabs at once.
     slab_elems = sharded.n_grid_local * 1 * model.hidden_dim
     n_node_collectives = 0
+    n_gathers = 0
     for line in hlo.splitlines():
         if not re.search(r"(all-gather|collective-permute)[-.(]", line):
             continue
         n_node_collectives += 1
+        n_gathers += bool(re.search(r"all-gather[-.(]", line))
         sizes = [
             int(np.prod([int(x) for x in dims.split(",") if x]))
             for dims in re.findall(r"\w+\[([\d,]+)\]", line)
@@ -709,5 +730,69 @@ def test_sharded_step_collective_payloads_scale_with_cut(ds):
         assert max(sizes) < slab_elems, (
             f"grid-scale collective payload in sharded step: {line[:200]}"
         )
-    # the halo exchanges and the mesh all_gather must actually be there
+    # the halo exchanges must actually be there, and with every edge
+    # set on the halo strategy nothing in the step all-gathers
     assert n_node_collectives >= 2, hlo[:500]
+    assert n_gathers == 0, f"{n_gathers} all-gathers despite halo metas"
+
+
+def test_collective_budget_tables(ds):
+    """The budget module's HLO parser and analytic table agree with
+    the partition metadata on the toy graph (the MEPS-size artifact is
+    produced by scripts/collective_budget.py from the same code)."""
+    from neural_lam_tpu.parallel.collective_budget import (
+        analytic_budget,
+        attribute_rows,
+        hlo_collective_table,
+        projected_efficiency,
+    )
+
+    model = _make_model(ds, "graph_lam")
+    fc = ARForecaster(model, ds)
+    params = model.init_params(jax.random.PRNGKey(1))
+    optimizer = optax.adamw(1e-3)
+    opt_state = optimizer.init(params)
+    mesh = _mesh(1, 8)
+    sharded = ShardedModel(model, ds, mesh, all_gather_max_nodes=16)
+    train_step = sharded.make_train_step(
+        fc, optimizer, jnp.ones(N_STATE)
+    )
+    init, forcing, target = _batch(ds, B=1, T=1, seed=3)
+    sharding = sharded.node_sharding()
+    dev = lambda a: jax.device_put(  # noqa: E731
+        jnp.asarray(sharded.pad_grid(a)), sharding
+    )
+    hlo = train_step.lower(
+        params, opt_state, dev(init), dev(target), dev(forcing)
+    ).compile().as_text()
+
+    rows = attribute_rows(hlo_collective_table(hlo), sharded.metas)
+    assert rows, "no collectives parsed from sharded-step HLO"
+    permutes = [r for r in rows if r.op == "collective-permute"]
+    assert permutes, rows
+    # every halo permute's leading dim is one of the builder's halo
+    # sizes, so attribution must land on at least one named edge set
+    named = [r for r in permutes if "halo" in r.attributed]
+    assert named, [r.__dict__ for r in permutes]
+    # grad psum shows up as all-reduce rows
+    assert any(r.op == "all-reduce" for r in rows)
+
+    analytic = analytic_budget(
+        sharded.metas, batch_local=1, hidden_dim=model.hidden_dim,
+        rounds={n: (2 if n.startswith("m2m") else 1)
+                for n in sharded.metas},
+    )
+    by_name = {a["edge_set"]: a for a in analytic}
+    m2m = by_name["m2m0"]
+    meta = sharded.metas["m2m0"]
+    if meta.strategy == "halo":
+        assert m2m["rows_per_exchange"] == sum(meta.halo_sizes)
+    assert m2m["exchanges_per_step"] == 4  # 2 fwd rounds + mirrored bwd
+
+    proj = projected_efficiency(
+        step_time_s=0.0275,
+        bytes_per_step=sum(a["bytes_per_step"] for a in analytic),
+        n_collectives=sum(a["collectives_per_step"] for a in analytic),
+        n_shards=8,
+    )
+    assert 0.0 < proj["efficiency"] <= 1.0
