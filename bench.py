@@ -147,6 +147,9 @@ def build_trainer(
     model_name: str = "graph_lam",
     spatial_shards: int = 0,
     precision: str = "32",
+    ar_steps: int = AR_STEPS,
+    output_std: bool = False,
+    loss: str = "wmse",
 ):
     """Construct the bench configuration: MEPS-size DummyDatastore,
     multiscale (or hierarchical) graph cached under ``.bench_cache``,
@@ -209,6 +212,7 @@ def build_trainer(
         graph_name=graph_name,
         hidden_dim=HIDDEN_DIM,
         processor_layers=PROC_LAYERS,
+        output_std=output_std,
         compute_dtype=(
             jnp.bfloat16 if precision == "bf16" else jnp.float32
         ),
@@ -218,7 +222,8 @@ def build_trainer(
         datastore=DatastoreSelection(kind="dummydata", config_path="")
     )
     args = TrainingArgs(
-        batch_size=BATCH, ar_steps_train=AR_STEPS, precision=precision
+        batch_size=BATCH, ar_steps_train=ar_steps, precision=precision,
+        loss=loss,
     )
     mesh = None
     if spatial_shards:
@@ -276,19 +281,22 @@ def _measure_or_die(dispatch, units_per_rep: int, metric: str) -> float:
 
 def bench_rollout(trainer, ds, cli) -> None:
     """Forward-only autoregressive rollout (inference/serving path):
-    batch 1, ``cli.rollout`` AR steps, the reference's eval protocol
-    shape (reference: neural_lam/train_model.py:314-319 uses 10-step
-    val / 19-step test rollouts on MEPS). Prints the one JSON line."""
+    ``cli.rollout_batch`` samples (1 = single-forecast latency; >1 =
+    the packed serving mode predict.py defaults to), ``cli.rollout`` AR
+    steps, the reference's eval protocol shape (reference:
+    neural_lam/train_model.py:314-319 uses 10-step val / 19-step test
+    rollouts on MEPS). Prints the one JSON line."""
     import jax
     import jax.numpy as jnp
 
     fc = trainer.forecaster
     n = ds.num_grid_points
     T = cli.rollout
+    B = cli.rollout_batch
     rng = np.random.default_rng(0)
-    init = rng.normal(size=(1, 2, n, N_STATE)).astype(np.float32)
-    forcing = rng.normal(size=(1, T, n, N_FORCING * 3)).astype(np.float32)
-    boundary = rng.normal(size=(1, T, n, N_STATE)).astype(np.float32)
+    init = rng.normal(size=(B, 2, n, N_STATE)).astype(np.float32)
+    forcing = rng.normal(size=(B, T, n, N_FORCING * 3)).astype(np.float32)
+    boundary = rng.normal(size=(B, T, n, N_STATE)).astype(np.float32)
     params, _ = trainer.init_state(jax.random.PRNGKey(0))
 
     if trainer.spatial is not None:
@@ -312,12 +320,17 @@ def bench_rollout(trainer, ds, cli) -> None:
 
     out = fwd(params, init, forcing, boundary)
     jax.block_until_ready(out)
+    if cli.compile_only:
+        print(json.dumps({"compiled": True, "config": "rollout"}))
+        return
 
     suffix = "" if cli.model == "graph_lam" else f", {cli.model}"
     if cli.spatial_shards:
         suffix += f", spatial={cli.spatial_shards}"
     if cli.precision != "32":
         suffix += f", {cli.precision}"
+    if B != 1:
+        suffix += f", B={B}"
     metric = f"MEPS grid-points/s per chip ({T}-step rollout{suffix})"
 
     def dispatch(reps):
@@ -326,7 +339,7 @@ def bench_rollout(trainer, ds, cli) -> None:
         jax.block_until_ready(outs)
 
     rollout_time = _measure_or_die(dispatch, 1, metric)
-    gps = 1 * ds.num_grid_points * T / rollout_time
+    gps = B * ds.num_grid_points * T / rollout_time
     print(
         json.dumps(
             {
@@ -339,15 +352,15 @@ def bench_rollout(trainer, ds, cli) -> None:
     )
 
 
-def make_bench_batch(ds, iters: int = ITERS):
+def make_bench_batch(ds, iters: int = ITERS, ar_steps: int = AR_STEPS):
     """The random MEPS-size batch stack the bench times."""
     n = ds.num_grid_points
     f_dim = N_FORCING * 3
     rng = np.random.default_rng(0)
     batch = (
         rng.normal(size=(BATCH, 2, n, N_STATE)).astype(np.float32),
-        rng.normal(size=(BATCH, AR_STEPS, n, N_STATE)).astype(np.float32),
-        rng.normal(size=(BATCH, AR_STEPS, n, f_dim)).astype(np.float32),
+        rng.normal(size=(BATCH, ar_steps, n, N_STATE)).astype(np.float32),
+        rng.normal(size=(BATCH, ar_steps, n, f_dim)).astype(np.float32),
     )
     return tuple(
         np.broadcast_to(a, (iters,) + a.shape).copy() for a in batch
@@ -391,11 +404,47 @@ def main() -> None:
         "(the inference/serving path; 19 matches the reference's MEPS "
         "test protocol) instead of the training step",
     )
+    parser.add_argument(
+        "--rollout_batch",
+        type=int,
+        default=1,
+        help="samples per rollout dispatch (1 = single-forecast "
+        "latency; 4 = the packed serving mode predict.py defaults to)",
+    )
+    parser.add_argument(
+        "--ar_steps",
+        type=int,
+        default=AR_STEPS,
+        help="training unroll length (BASELINE config 'graph_lam with "
+        "ar_steps=4': in-graph lax.scan rollout with per-step remat; "
+        "measures the remat cost at MEPS size)",
+    )
+    parser.add_argument(
+        "--output_std",
+        action="store_true",
+        help="2x output head with softplus per-sample std (the "
+        "probabilistic BASELINE config; pair with --loss nll or "
+        "crps_gauss)",
+    )
+    parser.add_argument(
+        "--loss",
+        default="wmse",
+        help="training loss from the metrics registry (reference: "
+        "neural_lam/metrics.py DEFINED_METRICS)",
+    )
+    parser.add_argument(
+        "--compile_only",
+        action="store_true",
+        help="compile + run one warmup step, then exit (populates the "
+        "persistent compilation cache without the timing loop; "
+        "scripts/warm_cache.py sweeps the config matrix through this)",
+    )
     cli = parser.parse_args()
 
     init_devices_or_die()
     trainer, ds = build_trainer(
-        cli.model, cli.spatial_shards, cli.precision
+        cli.model, cli.spatial_shards, cli.precision,
+        ar_steps=cli.ar_steps, output_std=cli.output_std, loss=cli.loss,
     )
     if cli.rollout:
         bench_rollout(trainer, ds, cli)
@@ -407,7 +456,7 @@ def main() -> None:
     # off real training loops that use the same path).
     train_step = trainer.make_train_step(scan_steps=ITERS)
 
-    host_batch = make_bench_batch(ds)
+    host_batch = make_bench_batch(ds, ar_steps=cli.ar_steps)
     if trainer.spatial is not None:
         # sharded steps consume grid-padded node arrays (no-op at P=1)
         host_batch = tuple(
@@ -420,13 +469,21 @@ def main() -> None:
             params, opt_state, *device_batch
         )
     jax.block_until_ready((params, losses))
+    if cli.compile_only:
+        print(json.dumps({"compiled": True, "config": "train"}))
+        return
 
     suffix = "" if cli.model == "graph_lam" else f", {cli.model}"
     if cli.spatial_shards:
         suffix += f", spatial={cli.spatial_shards}"
     if cli.precision != "32":
         suffix += f", {cli.precision}"
-    metric = f"MEPS grid-points/s per chip (1-step fwd+bwd{suffix})"
+    if cli.ar_steps != 1:
+        suffix += f", ar_steps={cli.ar_steps}"
+    if cli.output_std or cli.loss != "wmse":
+        suffix += f", {cli.loss}" + ("+std" if cli.output_std else "")
+    steps_word = "1-step" if cli.ar_steps == 1 else f"{cli.ar_steps}-step"
+    metric = f"MEPS grid-points/s per chip ({steps_word} fwd+bwd{suffix})"
 
     state = [params, opt_state]
 
@@ -438,7 +495,9 @@ def main() -> None:
         jax.block_until_ready((state[0], losses))
 
     step_time = _measure_or_die(dispatch, ITERS, metric)
-    grid_points_per_s = BATCH * ds.num_grid_points * AR_STEPS / step_time
+    grid_points_per_s = (
+        BATCH * ds.num_grid_points * cli.ar_steps / step_time
+    )
     print(
         json.dumps(
             {

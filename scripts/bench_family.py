@@ -33,6 +33,17 @@ CONFIGS = {
     "hi_lam": ["--model", "hi_lam"],
     "hi_lam_parallel": ["--model", "hi_lam_parallel"],
     "graph_lam_rollout19": ["--rollout", "19"],
+    # the two remaining BASELINE.md configs (VERDICT r3 #3):
+    # multi-step AR training (per-step remat cost at MEPS size) and the
+    # probabilistic objective (2x output head + softplus std + NLL)
+    "graph_lam_ar4": ["--ar_steps", "4"],
+    "hi_lam_parallel_nll": [
+        "--model", "hi_lam_parallel", "--output_std", "--loss", "nll",
+    ],
+    "hi_lam_parallel_crps": [
+        "--model", "hi_lam_parallel", "--output_std", "--loss",
+        "crps_gauss",
+    ],
 }
 
 
