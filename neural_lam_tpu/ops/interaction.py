@@ -32,7 +32,9 @@ import numpy as np
 
 from .mlp import MLPParams, apply_mlp, apply_mlp_split_first, init_mlp
 from .pallas_fused import (
+    aggr_fusable,
     fusable,
+    fused_aggr_enabled,
     fused_v2_routed,
     make_fused_interaction,
     make_fused_interaction_v2,
@@ -613,14 +615,33 @@ def apply_interaction_net(
                     propagation=propagation,
                     interpret=_interpret_mode(),
                 )
-            aggregated, new_edge = edge_set.fn_cache[key](
+            # Node-MLP epilogue: where the aggregation-side MLP has the
+            # fusable shape (and nothing between kernel output and node
+            # update — sum aggregation, single unchunked MLP, receiver
+            # residual), the kernel applies it per output block and
+            # returns the UPDATED receiver rep; ``aggregated`` never
+            # round-trips HBM into an XLA node-MLP chain.
+            node_ep = (
+                not propagation
+                and aggr == "sum"
+                and len(params["aggr"]) == 1
+                and aggr_fusable(params["aggr"][0])
+                and fused_aggr_enabled()
+            )
+            head, new_edge = edge_set.fn_cache[key](
                 params["edge"][0],
                 edge_rep,
                 x_send,
                 rec_rep,
                 emb_params=(edge_embedder if embed_in_kernel else None),
                 edge_feats=(edge_features if embed_in_kernel else None),
+                aggr_params=(params["aggr"][0] if node_ep else None),
             )
+            if node_ep:
+                if update_edges:
+                    return head, new_edge
+                return head
+            aggregated = head
         if aggr == "mean":
             counts = jnp.maximum(edge_set.recv_counts, 1).astype(
                 aggregated.dtype

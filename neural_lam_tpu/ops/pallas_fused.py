@@ -201,6 +201,8 @@ def _fused_fwd_kernel(
     edge_unbatched,
     embed_edges=False,
     save_pre=False,
+    node_epilogue=False,
+    node_layer_norm=False,
     cdt=jnp.float32,
 ):
     # When the edge rep is a shared (unbatched) embedding, ``edge_ref``
@@ -221,11 +223,16 @@ def _fused_fwd_kernel(
         emb_refs = rest[:7]
         rest = rest[7:]
     tile_ref = rest.pop(0) if (edge_unbatched and update_edges) else None
+    node_w = None
+    if node_epilogue:
+        node_w = rest[:7]  # war, wag, ba1, wa2, ba2, gamma_n, beta_n
+        rest = rest[7:]
     out_refs = rest
     aggr_ref = out_refs[0]
     # optional per-edge pre-activation output (backward skips its
     # recompute when the caller saves it as a residual)
     pre_ref = out_refs.pop() if save_pre else None
+    node_ref = out_refs.pop() if node_epilogue else None
     c = pl.program_id(1)
     prev = chunk_block_ref[jnp.maximum(c - 1, 0)]
     is_first = jnp.logical_or(c == 0, chunk_block_ref[c] != prev)
@@ -299,6 +306,64 @@ def _fused_fwd_kernel(
         one_hot_t, cv(msg), preferred_element_type=jnp.float32
     )
 
+    if node_epilogue:
+        # Aggregation-side node MLP fused as a per-block epilogue
+        # (reference aggr_mlp, neural_lam/gnn_layers.py:91,149): on the
+        # LAST chunk of each output block the accumulated aggregate and
+        # the resident receiver block run
+        # ``rec + LN(W2·silu(rec·War + agg·Wag + b1) + b2)`` entirely
+        # in VMEM — ``aggregated`` still streams out once (the backward
+        # residual) but never round-trips back in for an XLA node-MLP
+        # chain, and the concat/hidden intermediates never exist in
+        # HBM.
+        war_ref, wag_ref, ba1_ref, wa2_ref, ba2_ref, gn_ref, bn_ref = (
+            node_w
+        )
+        n_chunks = pl.num_programs(1)
+        nxt = chunk_block_ref[jnp.minimum(c + 1, n_chunks - 1)]
+        is_last = jnp.logical_or(
+            c == n_chunks - 1, nxt != chunk_block_ref[c]
+        )
+
+        @pl.when(is_last)
+        def _():
+            agg = aggr_ref[:]
+            pre_n = (
+                jnp.dot(
+                    cv(rec_ref[:]), war_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+                + jnp.dot(
+                    cv(agg), wag_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+                + ba1_ref[:]
+            )
+            hn = jax.nn.silu(pre_n)
+            zn = (
+                jnp.dot(
+                    cv(hn), wa2_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+                + ba2_ref[:]
+            )
+            if node_layer_norm:
+                mu_n = jnp.dot(
+                    zn, mmat_ref[:], preferred_element_type=jnp.float32
+                )
+                cz_n = zn - mu_n
+                var_n = jnp.dot(
+                    cz_n * cz_n, mmat_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+                outn = (
+                    cz_n * jax.lax.rsqrt(var_n + _LN_EPS) * gn_ref[:]
+                    + bn_ref[:]
+                )
+            else:
+                outn = zn
+            node_ref[:] = rec_ref[:].astype(jnp.float32) + outn
+
 
 # ---------------------------------------------------------------------------
 # backward kernel (recompute + grads)
@@ -327,6 +392,8 @@ def _fused_bwd_kernel(
     edge_unbatched,
     embed_edges=False,
     saved_pre=False,
+    node_epilogue=False,
+    node_layer_norm=False,
     cdt=jnp.float32,
 ):
     cv = lambda x: x.astype(cdt)  # noqa: E731
@@ -343,6 +410,14 @@ def _fused_bwd_kernel(
     )
     # forward-saved pre-activations: skip the first-layer recompute
     pre_in_ref = rest_refs.pop(0) if saved_pre else None
+    # node-MLP epilogue mode: the ``d_aggr`` input slot carries the
+    # forward-SAVED aggregate instead (no external aggregate cotangent
+    # exists — the kernel output is the node update), and the true
+    # upstream grad arrives as ``d_node``.
+    d_node_ref = node_w_bwd = None
+    if node_epilogue:
+        d_node_ref = rest_refs.pop(0)
+        node_w_bwd = [rest_refs.pop(0) for _ in range(6)]
     if embed_edges:
         # no feature grad; embedder weight-grad accumulators instead
         d_edge_ref = None
@@ -362,6 +437,18 @@ def _fused_bwd_kernel(
         dgamma_ref,
         dbeta_ref,
     ) = rest_refs[:9]
+    if node_epilogue:
+        (
+            d_rec_extra_ref,
+            dwar_ref,
+            dwag_ref,
+            dwa2_ref,
+            dba1_ref,
+            dba2_ref,
+            dgn_ref,
+            dbn_ref,
+            dagg_scratch,
+        ) = rest_refs[9:18]
 
     s = pl.program_id(0)
     c = pl.program_id(1)
@@ -382,6 +469,106 @@ def _fused_bwd_kernel(
         db2_ref[:] = jnp.zeros_like(db2_ref)
         dgamma_ref[:] = jnp.zeros_like(dgamma_ref)
         dbeta_ref[:] = jnp.zeros_like(dbeta_ref)
+        if node_epilogue:
+            dwar_ref[:] = jnp.zeros_like(dwar_ref)
+            dwag_ref[:] = jnp.zeros_like(dwag_ref)
+            dwa2_ref[:] = jnp.zeros_like(dwa2_ref)
+            dba1_ref[:] = jnp.zeros_like(dba1_ref)
+            dba2_ref[:] = jnp.zeros_like(dba2_ref)
+            dgn_ref[:] = jnp.zeros_like(dgn_ref)
+            dbn_ref[:] = jnp.zeros_like(dbn_ref)
+
+    if node_epilogue:
+        # Node-MLP backward, once per (stripe, block) on its first
+        # chunk: recompute the epilogue forward from the saved
+        # aggregate + resident receiver block, push d_node through
+        # LN/W2/silu/W1, stash d_agg for every chunk of this block, and
+        # emit the receiver grad (residual + War path) as a per-block
+        # output. Weight grads accumulate across the whole grid like
+        # the edge-MLP ones.
+        war_ref, wag_ref, ba1_ref, wa2_ref, ba2_ref, gn_ref = node_w_bwd
+
+        @pl.when(is_first)
+        def _():
+            agg = d_aggr_ref[:]  # forward-saved aggregate (f32)
+            recb = rec_ref[:]
+            pre_n = (
+                jnp.dot(
+                    cv(recb), war_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+                + jnp.dot(
+                    cv(agg), wag_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+                + ba1_ref[:]
+            )
+            hn = jax.nn.silu(pre_n)
+            d_out = d_node_ref[:].astype(jnp.float32)
+            if node_layer_norm:
+                zn = (
+                    jnp.dot(
+                        cv(hn), wa2_ref[:],
+                        preferred_element_type=jnp.float32,
+                    )
+                    + ba2_ref[:]
+                )
+                mu_n = jnp.dot(
+                    zn, mmat_ref[:], preferred_element_type=jnp.float32
+                )
+                cz_n = zn - mu_n
+                var_n = jnp.dot(
+                    cz_n * cz_n, mmat_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+                rinv_n = jax.lax.rsqrt(var_n + _LN_EPS)
+                xhat_n = cz_n * rinv_n
+                d_xhat_n = d_out * gn_ref[:]
+                m1_n = jnp.dot(
+                    d_xhat_n, mmat_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+                m2_n = jnp.dot(
+                    d_xhat_n * xhat_n, mmat_ref[:],
+                    preferred_element_type=jnp.float32,
+                )
+                dz_n = rinv_n * (d_xhat_n - m1_n - xhat_n * m2_n)
+                dgn_ref[:] += jnp.sum(
+                    d_out * xhat_n, axis=0, keepdims=True
+                )
+                dbn_ref[:] += jnp.sum(d_out, axis=0, keepdims=True)
+            else:
+                dz_n = d_out
+            dz_nc = cv(dz_n)
+            d_hn = jax.lax.dot_general(
+                dz_nc, wa2_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dwa2_ref[:] += jax.lax.dot_general(
+                cv(hn), dz_nc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dba2_ref[:] += jnp.sum(dz_n, axis=0, keepdims=True)
+            sig_n = jax.nn.sigmoid(pre_n)
+            d_pre_n = d_hn * (sig_n * (1.0 + pre_n * (1.0 - sig_n)))
+            d_pre_nc = cv(d_pre_n)
+            dwar_ref[:] += jax.lax.dot_general(
+                cv(recb), d_pre_nc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dwag_ref[:] += jax.lax.dot_general(
+                cv(agg), d_pre_nc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dba1_ref[:] += jnp.sum(d_pre_n, axis=0, keepdims=True)
+            dagg_scratch[:] = jax.lax.dot_general(
+                d_pre_nc, wag_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            d_rec_extra_ref[:] = d_out + jax.lax.dot_general(
+                d_pre_nc, war_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     ids = ids_ref[:]
     rows = jax.lax.broadcasted_iota(
@@ -428,9 +615,14 @@ def _fused_bwd_kernel(
     )
 
     # --- message gradient -------------------------------------------------
+    # epilogue mode: the aggregate's grad was derived in-kernel above
+    # (d_node through the node MLP) and lives in VMEM scratch
+    d_aggr_val = (
+        dagg_scratch[:] if node_epilogue else d_aggr_ref[:]
+    )
     d_msg = jax.lax.dot_general(
         one_hot_t,
-        cv(d_aggr_ref[:]),
+        cv(d_aggr_val),
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -576,6 +768,37 @@ def _prep_weights(
     )
 
 
+def _prep_node_weights(
+    aggr_params: dict, groups: int, cdt=jnp.float32
+) -> dict:
+    """Node-MLP (aggr_mlp) weights in kernel layout for the epilogue:
+    the ``(2D, D)`` first layer splits into receiver/aggregate halves
+    (apply_mlp_split_first part order: (rec_rep, aggregated)), each
+    kron-striped like the edge-MLP weights; bias/LN rows tile per
+    group and stay f32."""
+    layers = aggr_params["layers"]
+    w1 = layers[0]["w"].astype(jnp.float32)
+    war, wag = jnp.split(w1, 2, axis=0)
+    hidden = w1.shape[1]
+    ln = aggr_params["ln"]
+    if ln is not None:
+        gn, bn = ln["scale"], ln["bias"]
+    else:
+        gn = jnp.ones((hidden,), jnp.float32)
+        bn = jnp.zeros((hidden,), jnp.float32)
+    return dict(
+        war=_block_diag(war, groups).astype(cdt),
+        wag=_block_diag(wag, groups).astype(cdt),
+        ba1=_tile_vec(layers[0]["b"], groups),
+        wa2=_block_diag(layers[1]["w"].astype(jnp.float32), groups).astype(
+            cdt
+        ),
+        ba2=_tile_vec(layers[1]["b"], groups),
+        gn=_tile_vec(gn, groups),
+        bn=_tile_vec(bn, groups),
+    )
+
+
 def _prep_embedder_weights(emb_params: dict, cdt=jnp.float32) -> list:
     """Edge-embedder MLP weights as plain arrays for the kernel
     (Linear-SiLU-Linear-LN; single 64-lane group, so the LN averaging
@@ -619,6 +842,8 @@ def _fused_fwd_impl(
     interpret: bool,
     emb_weights=None,
     save_pre: bool = False,
+    node_weights=None,
+    node_layer_norm: bool = False,
     cdt=jnp.float32,
     dyn=None,
 ):
@@ -699,6 +924,11 @@ def _fused_fwd_impl(
     if edge_unbatched and update_edges:
         in_specs.append(cs((feat, stripe)))
         operands.append(wb["tile"])
+    if node_weights is not None:
+        for key in ("war", "wag", "ba1", "wa2", "ba2", "gn", "bn"):
+            w = node_weights[key]
+            in_specs.append(cs(tuple(w.shape)))
+            operands.append(w)
     out_specs = [pl.BlockSpec((br, stripe), bix, memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((out_rows, lanes), jnp.float32)]
     if update_edges:
@@ -707,6 +937,13 @@ def _fused_fwd_impl(
         )
         out_shape.append(
             jax.ShapeDtypeStruct((layout.num_blocked, lanes), jnp.float32)
+        )
+    if node_weights is not None:
+        out_specs.append(
+            pl.BlockSpec((br, stripe), bix, memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((out_rows, lanes), jnp.float32)
         )
     if save_pre:
         out_specs.append(
@@ -732,6 +969,8 @@ def _fused_fwd_impl(
         edge_unbatched=edge_unbatched,
         embed_edges=embed_edges,
         save_pre=save_pre,
+        node_epilogue=node_weights is not None,
+        node_layer_norm=node_layer_norm,
         cdt=cdt,
     )
     outs = pl.pallas_call(
@@ -743,7 +982,14 @@ def _fused_fwd_impl(
     aggregated = outs[0] if padded_io else outs[0][: layout.num_rec]
     new_edge = outs[1] if update_edges else None
     pre = outs[-1] if save_pre else None
-    return aggregated, new_edge, pre
+    node_out = None
+    if node_weights is not None:
+        raw = outs[2 if update_edges else 1]
+        node_out = raw if padded_io else raw[: layout.num_rec]
+        # the backward wants the block-padded aggregate regardless of
+        # the caller's residency
+        aggregated = outs[0]
+    return aggregated, new_edge, pre, node_out
 
 
 def _fused_bwd_impl(
@@ -763,6 +1009,9 @@ def _fused_bwd_impl(
     interpret: bool,
     emb_weights=None,
     pre2d=None,
+    node_weights=None,
+    node_layer_norm: bool = False,
+    d_node=None,
     cdt=jnp.float32,
     io_dt=jnp.float32,
     dyn=None,
@@ -771,22 +1020,28 @@ def _fused_bwd_impl(
 
     cb, ids = _dyn_or_static(layout, dyn)
     embed_edges = emb_weights is not None
+    node_epilogue = node_weights is not None
     lanes = send2d.shape[1]
     in_feat = edge2d.shape[1] if edge_unbatched else None
     feat = emb_weights[2].shape[1] if embed_edges else in_feat
     n_stripes = lanes // stripe
     n_chunks = int(layout.chunk_block.shape[0])
     out_rows = layout.num_blocks * layout.block_rows
-    if pre2d is not None:
+    if pre2d is not None and not node_epilogue:
         # The kernel never reads the receiver block when the forward
         # saved the pre-activations; a constant-indexed stub avoids
         # streaming the whole block-padded node array once per stripe.
+        # (The node epilogue's backward always needs the real block —
+        # the node-MLP recompute and dWar read it.)
         rec_pad = jnp.zeros((8, 128), rec2d.dtype)
     elif rec2d.shape[0] == out_rows:
         rec_pad = rec2d
     else:
         rec_pad = _pad_rows(rec2d, out_rows)
-    d_aggr = d_aggr.astype(io_dt)
+    if not node_epilogue:
+        # epilogue mode reuses this operand slot for the forward-saved
+        # aggregate, which is already block-padded f32
+        d_aggr = d_aggr.astype(io_dt)
     d_aggr_pad = d_aggr if d_aggr.shape[0] == out_rows else _pad_rows(
         d_aggr, out_rows
     )
@@ -836,7 +1091,11 @@ def _fused_bwd_impl(
         dw1e_spec = wspec
         dw1e_shape = jax.ShapeDtypeStruct((stripe, stripe), jnp.float32)
 
-    rec_spec = cs((8, 128)) if pre2d is not None else bspec
+    rec_spec = (
+        cs((8, 128))
+        if (pre2d is not None and not node_epilogue)
+        else bspec
+    )
     in_specs = [
         pl.BlockSpec((1, ce), lambda s, c, cb: (0, c),
                      memory_space=pltpu.VMEM),
@@ -881,6 +1140,17 @@ def _fused_bwd_impl(
     if pre2d is not None:
         in_specs.append(cspec)
         operands.append(pre2d)
+    if node_epilogue:
+        in_specs.append(bspec)
+        operands.append(
+            _pad_rows(d_node.astype(io_dt), out_rows)
+            if d_node.shape[0] != out_rows
+            else d_node.astype(io_dt)
+        )
+        for key in ("war", "wag", "ba1", "wa2", "ba2", "gn"):
+            w = node_weights[key]
+            in_specs.append(cs(tuple(w.shape)))
+            operands.append(w)
 
     e_rows = layout.num_blocked
     head_specs = []
@@ -917,11 +1187,35 @@ def _fused_bwd_impl(
         jax.ShapeDtypeStruct((1, stripe), jnp.float32),
         jax.ShapeDtypeStruct((1, stripe), jnp.float32),
     )
+    scratch_shapes = []
+    if node_epilogue:
+        out_specs = out_specs + (
+            bspec,  # d_rec_extra (residual + War path), per block
+            wspec,  # dwar
+            wspec,  # dwag
+            wspec,  # dwa2
+            vspec,  # dba1
+            vspec,  # dba2
+            vspec,  # dgamma_n
+            vspec,  # dbeta_n
+        )
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((out_rows, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((stripe, stripe), jnp.float32),
+            jax.ShapeDtypeStruct((stripe, stripe), jnp.float32),
+            jax.ShapeDtypeStruct((stripe, stripe), jnp.float32),
+            jax.ShapeDtypeStruct((1, stripe), jnp.float32),
+            jax.ShapeDtypeStruct((1, stripe), jnp.float32),
+            jax.ShapeDtypeStruct((1, stripe), jnp.float32),
+            jax.ShapeDtypeStruct((1, stripe), jnp.float32),
+        )
+        scratch_shapes = [pltpu.VMEM((br, stripe), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_stripes, n_chunks),
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
     kernel = functools.partial(
         _fused_bwd_kernel,
@@ -933,6 +1227,8 @@ def _fused_bwd_impl(
         edge_unbatched=edge_unbatched,
         embed_edges=embed_edges,
         saved_pre=pre2d is not None,
+        node_epilogue=node_epilogue,
+        node_layer_norm=node_layer_norm,
         cdt=cdt,
     )
     return pl.pallas_call(
@@ -970,6 +1266,40 @@ def fusable(mlp_params: dict) -> bool:
     return True
 
 
+def aggr_fusable(aggr_params: dict) -> bool:
+    """True if the aggregation-side node MLP has the 2-linear-layer
+    shape the in-kernel epilogue implements (``hidden_layers=1``: a
+    ``(2D, D)`` receiver/aggregate first layer + ``(D, D)`` second)."""
+    layers = aggr_params["layers"]
+    if len(layers) != 2:
+        return False
+    d2, h = layers[0]["w"].shape
+    if d2 != 2 * h:
+        return False
+    return layers[1]["w"].shape == (h, h)
+
+
+def fused_aggr_enabled() -> bool:
+    """NEURAL_LAM_TPU_FUSED_AGGR gate (default off): run the node MLP
+    as an in-kernel epilogue where supported (interaction wiring, sum
+    aggregation, unchunked 2-layer aggr MLP).
+
+    Measured on v5e at MEPS size (same-session A/B,
+    docs/performance.md): fp32 train step NEUTRAL (9.41M vs 9.43M
+    grid-points/s), 19-step forward-only rollout -7% (10.78M vs
+    11.61M), bf16 train ~-5%. The kernels are MXU-bound at the one-hot
+    roofline, so moving the node-MLP FLOPs INTO the per-block grid
+    (small serialized matmuls) costs more MXU time than the saved
+    aggregate HBM round-trip is worth — the XLA tail ran the same
+    FLOPs as two full-width grid-sized matmuls at better utilisation.
+    Kept as an option (``on``) for memory-constrained configurations:
+    it removes the concat/hidden intermediates from HBM.
+    """
+    import os
+
+    return os.environ.get("NEURAL_LAM_TPU_FUSED_AGGR", "off") == "on"
+
+
 def make_fused_interaction(
     layout: BlockedLayout,
     *,
@@ -998,6 +1328,7 @@ def make_fused_interaction(
     def run(
         mlp_params, edge_rep, x_send, rec_rep,
         emb_params=None, edge_feats=None, dyn_layout=None,
+        aggr_params=None,
     ):
         # Per-call (possibly traced) layout index arrays: the sharded
         # executor threads per-shard layouts through one traced body
@@ -1083,7 +1414,12 @@ def make_fused_interaction(
             _os2.environ.get("NEURAL_LAM_TPU_CACHE_PRE", "on") != "off"
         )
 
-        def _impl(wb, ew, e2d, s2d, r2d, cb, ids, with_pre=False):
+        node_ep = aggr_params is not None
+        ln_n = node_ep and aggr_params["ln"] is not None
+
+        def _impl(
+            wb, ew, e2d, s2d, r2d, cb, ids, with_pre=False, nwb=None
+        ):
             return _fused_fwd_impl(
                 layout, e2d, s2d, r2d, wb, stripe,
                 layer_norm=ln,
@@ -1093,36 +1429,62 @@ def make_fused_interaction(
                 interpret=interpret,
                 emb_weights=ew,
                 save_pre=with_pre,
+                node_weights=nwb,
+                node_layer_norm=ln_n,
                 cdt=cdt,
                 dyn=(cb, ids),
             )
 
         @jax.custom_vjp
-        def fused(params, eparams, e2d, s2d, r2d, cb, ids):
+        def fused(params, nparams, eparams, e2d, s2d, r2d, cb, ids):
             wb = _prep_weights(params, stripe_g, feat, edge_unbatched, cdt)
             ew = _prep_embedder_weights(eparams, cdt) if embed else None
-            return _impl(wb, ew, e2d, s2d, r2d, cb, ids)[:2]
+            nwb = (
+                _prep_node_weights(nparams, stripe_g, cdt)
+                if node_ep
+                else None
+            )
+            outs = _impl(wb, ew, e2d, s2d, r2d, cb, ids, nwb=nwb)
+            if node_ep:
+                return outs[3], outs[1]
+            return outs[:2]
 
-        def fwd(params, eparams, e2d, s2d, r2d, cb, ids):
+        def fwd(params, nparams, eparams, e2d, s2d, r2d, cb, ids):
             # The kernel-layout weights (kron-striped blocks, tiled
             # rows) are saved as residuals so the backward reuses them:
             # rebuilding them per call is a storm of tiny ops (the
             # arrays themselves are small).
             wb = _prep_weights(params, stripe_g, feat, edge_unbatched, cdt)
             ew = _prep_embedder_weights(eparams, cdt) if embed else None
-            aggregated, new_edge, pre2d = _impl(
-                wb, ew, e2d, s2d, r2d, cb, ids, with_pre=save_pre
+            nwb = (
+                _prep_node_weights(nparams, stripe_g, cdt)
+                if node_ep
+                else None
             )
+            aggregated, new_edge, pre2d, node_out = _impl(
+                wb, ew, e2d, s2d, r2d, cb, ids, with_pre=save_pre,
+                nwb=nwb,
+            )
+            out = (node_out, new_edge) if node_ep else (
+                aggregated, new_edge
+            )
+            # epilogue: the block-padded aggregate is the extra
+            # residual its backward recomputes the node MLP from
+            agg_res = aggregated if node_ep else None
             return (
-                (aggregated, new_edge),
-                (params, eparams, wb, ew, e2d, s2d, r2d, pre2d, cb, ids),
+                out,
+                (params, nparams, eparams, wb, nwb, ew, e2d, s2d, r2d,
+                 pre2d, agg_res, cb, ids),
             )
 
         def bwd(res, grads):
-            params, eparams, wb, ew, e2d, s2d, r2d, pre2d, cb, ids = res
-            d_aggr, d_new_edge = grads
+            (params, nparams, eparams, wb, nwb, ew, e2d, s2d, r2d,
+             pre2d, agg_res, cb, ids) = res
+            d_head, d_new_edge = grads
             outs = _fused_bwd_impl(
-                layout, e2d, s2d, r2d, wb, d_aggr, d_new_edge, stripe,
+                layout, e2d, s2d, r2d, wb,
+                agg_res if node_ep else d_head,
+                d_new_edge, stripe,
                 layer_norm=ln,
                 update_edges=update_edges,
                 propagation=propagation,
@@ -1130,10 +1492,48 @@ def make_fused_interaction(
                 interpret=interpret,
                 emb_weights=ew,
                 pre2d=pre2d,
+                node_weights=nwb,
+                node_layer_norm=ln_n,
+                d_node=d_head if node_ep else None,
                 cdt=cdt,
                 io_dt=io_dt,
                 dyn=(cb, ids),
             )
+            d_nparams = None
+            if node_ep:
+                (d_rec_extra, dwar_a, dwag_a, dwa2_a,
+                 dba1_a, dba2_a, dgn_a, dbn_a) = outs[-8:]
+                outs = outs[:-8]
+                hidden_n = feat
+                dwa1 = jnp.concatenate(
+                    [
+                        _sum_diag_blocks(dwar_a, hidden_n, hidden_n),
+                        _sum_diag_blocks(dwag_a, hidden_n, hidden_n),
+                    ],
+                    axis=0,
+                )
+                d_nparams = {
+                    "layers": [
+                        {"w": dwa1, "b": _fold_groups(dba1_a, hidden_n)},
+                        {
+                            "w": _sum_diag_blocks(
+                                dwa2_a, hidden_n, hidden_n
+                            ),
+                            "b": _fold_groups(dba2_a, hidden_n),
+                        },
+                    ],
+                    "ln": (
+                        {
+                            "scale": _fold_groups(dgn_a, hidden_n),
+                            "bias": _fold_groups(dbn_a, hidden_n),
+                        }
+                        if ln_n
+                        else None
+                    ),
+                }
+                d_nparams = jax.tree_util.tree_map(
+                    lambda g, p: g.astype(p.dtype), d_nparams, nparams
+                )
             if embed:
                 (dew1, deb1, dew2, deb2, deg_e, debt_e,
                  d_send, d_recproj, dw1e_a, dw1s_a, dw2_a,
@@ -1151,6 +1551,10 @@ def make_fused_interaction(
             d_rec = jnp.einsum("ngh,dh->ngd", drp, w1r).reshape(r2d.shape)
             rg = r2d.reshape(r2d.shape[0], -1, hidden)
             dw1r = jnp.einsum("ngd,ngh->dh", rg, drp)
+            if node_ep:
+                # node-MLP receiver grad: residual + the War path,
+                # emitted per block by the epilogue backward
+                d_rec = d_rec + d_rec_extra[: r2d.shape[0]]
 
             if edge_unbatched:
                 if not embed:
@@ -1206,6 +1610,7 @@ def make_fused_interaction(
             )
             return (
                 d_params,
+                d_nparams,
                 d_eparams,
                 d_e2d,
                 d_send.astype(s2d.dtype),
@@ -1216,18 +1621,20 @@ def make_fused_interaction(
 
         fused.defvjp(fwd, bwd)
 
-        aggregated, new_edge = fused(
-            mlp_params, emb_params, e2, s2, r2, cb0, ids0
+        head, new_edge = fused(
+            mlp_params, aggr_params, emb_params, e2, s2, r2, cb0, ids0
         )
         unfold = (
             (lambda x: x.reshape(x.shape[0], groups, feat))
             if batched
             else (lambda x: x)
         )
-        aggregated = unfold(aggregated).astype(in_dtype)
+        head = unfold(head).astype(in_dtype)
         if new_edge is not None:
             new_edge = unfold(new_edge).astype(in_dtype)
-        return aggregated, new_edge
+        # epilogue mode: ``head`` is the UPDATED RECEIVER REP (the node
+        # MLP + residual ran in-kernel); otherwise the aggregate
+        return head, new_edge
 
     return run
 
@@ -1288,15 +1695,19 @@ def fused_v2_routed(num_edge_slots: int, num_hoisted_rows: int) -> bool:
     kernel) for O(node-row) boundary materialisations (the hoisted
     sender/receiver first-layer projections, their pads and layout
     copies at the Pallas boundary). Measured at MEPS size on v5e
-    (docs/performance.md): v2-everywhere LOSES 13% end-to-end — the
-    grid-sized g2m sender set pays more in projections/pads/copies than
-    its 1.6x edge/sender ratio saves — while the m2g set (39x more edge
-    slots than senders) is where the saved stream dominates. The rule:
-    take v2 iff ``edge_slots >= ratio * (sender_rows + padded_receiver
-    rows)``, both directions of the trade counted. Ratio via
-    NEURAL_LAM_TPU_FUSED_V2_RATIO (default 2.0: MEPS m2g 3.6 and m2m
-    4.9 route v2, g2m 1.5 routes v1). Mode ``on`` forces v2 on every
-    banded-capable set (the equivalence tests' hook).
+    (docs/performance.md, all same-session): v1 everywhere 9.39M
+    grid-points/s; v2 everywhere 8.2M (-13%); v2 on m2g+m2m only
+    8.93M; v2 on m2m only 9.00M — v2 lost on EVERY MEPS edge set, with
+    slot/hoisted-row ratios up to 4.9 (m2m). The kernel time itself
+    drops (15.9 vs 17.3 ms of Pallas time) but the boundary pads,
+    layout copies and hoisted projections cost more than the saved
+    ``x_send`` stream at hidden_dim 64. The rule: take v2 iff
+    ``edge_slots >= ratio * (sender_rows + padded_receiver rows)``;
+    NEURAL_LAM_TPU_FUSED_V2_RATIO defaults to 8 — above every measured
+    losing point (no MEPS set routes v2; a future graph with an 8x+
+    ratio, where the saved stream dwarfs the boundary cost, would).
+    Mode ``on`` forces v2 on every banded-capable set (the equivalence
+    tests' hook).
     """
     import os
 
@@ -1304,7 +1715,7 @@ def fused_v2_routed(num_edge_slots: int, num_hoisted_rows: int) -> bool:
         return False
     if os.environ.get("NEURAL_LAM_TPU_FUSED_V2", "auto") == "on":
         return True
-    ratio = float(os.environ.get("NEURAL_LAM_TPU_FUSED_V2_RATIO", "2"))
+    ratio = float(os.environ.get("NEURAL_LAM_TPU_FUSED_V2_RATIO", "8"))
     return num_edge_slots >= ratio * max(num_hoisted_rows, 1)
 
 

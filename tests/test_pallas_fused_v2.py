@@ -260,24 +260,29 @@ def test_v2_auto_ratio_routing(monkeypatch, setup):
 
     monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "auto")
     monkeypatch.setenv("NEURAL_LAM_TPU_CACHE_PRE", "on")
-    # MEPS-shaped numbers (docs/performance.md): m2g routes v2, g2m v1
+    # With the default ratio (8, above every measured losing point) NO
+    # MEPS edge set routes v2 — the default single-chip step is the
+    # measured-fastest v1-everywhere program
+    assert not fused_v2_routed(255488, 6561 + 64000)  # m2g, ratio 3.6
+    assert not fused_v2_routed(104960, 63784 + 6656)  # g2m, ratio 1.5
+    assert not fused_v2_routed(65024, 6561 + 6656)  # m2m, ratio 4.9
+    # an extreme-ratio set would route v2
+    assert fused_v2_routed(10 * (6561 + 64000), 6561 + 64000)
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2_RATIO", "3")
     assert fused_v2_routed(255488, 6561 + 64000)
-    assert not fused_v2_routed(104960, 63784 + 6656)
-    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2_RATIO", "10")
-    assert not fused_v2_routed(255488, 6561 + 64000)
-    monkeypatch.delenv("NEURAL_LAM_TPU_FUSED_V2_RATIO")
     monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "on")
     assert fused_v2_routed(104960, 63784 + 6656)
     monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "off")
     assert not fused_v2_routed(255488, 6561 + 64000)
 
-    # end-to-end: the toy fixture's ratio (~2.6) sits above the default
-    # threshold, so auto routes v2 for it
+    # end-to-end: with the threshold lowered under the toy fixture's
+    # ratio (~2.6), auto routes v2; at the default it stays on v1
     es, feats_p, valid, n_send, n_rec = setup
     lay = es.layout
     hoisted = n_send + lay.num_blocks * lay.block_rows
     assert lay.num_blocked >= 2 * hoisted
     monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2", "auto")
+    monkeypatch.setenv("NEURAL_LAM_TPU_FUSED_V2_RATIO", "2")
     monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
     d = 64
     params = init_interaction_net(jax.random.PRNGKey(0), d)
