@@ -154,7 +154,13 @@ def main(argv=None) -> None:
         init, target, forcing = (np.asarray(a) for a in batch[:3])
         times = np.asarray(batch[3]) if len(batch) > 3 else None
         real = init.shape[0]
-        pad = args.batch_size - real
+        # Single-sample dispatches pad UP to batch 2: at batch 1 the
+        # node-major kernels run 64-wide lanes (half a vreg) and the
+        # measured 19-step rollout is SLOWER in absolute latency than
+        # a padded 2-sample dispatch (v5e: ~104 ms at B=1 vs ~97 ms at
+        # B=2 — docs/performance.md "Inference / serving path").
+        dispatch_batch = max(args.batch_size, 2)
+        pad = dispatch_batch - real
         if pad:
             # pad the tail batch by repeating the last sample so the
             # jitted rollout keeps one static shape (a second shape

@@ -460,6 +460,27 @@ def test_predict_cli_exports_forecasts(config_path, tmp_path):
         first["prediction"], want, rtol=1e-5, atol=1e-6
     )
 
+    # --batch_size 1 dispatches pad to 2 (single-sample kernels run
+    # half-width lanes and measure SLOWER than a padded pair on v5e);
+    # the padding must be invisible in the exported fields
+    out_b1 = tmp_path / "forecasts_b1"
+    predict.main([
+        "--config_path", str(config_path),
+        "--load", str(runs_root / "servetrain"),
+        "--split", "test",
+        "--ar_steps", "3",
+        "--batch_size", "1",
+        "--n_samples", "2",
+        "--out", str(out_b1),
+    ])
+    files_b1 = sorted(out_b1.glob("forecast_test_*.npz"))
+    assert len(files_b1) == 2
+    for fa, fb in zip(files_b1, files):
+        a, b = np.load(fa), np.load(fb)
+        np.testing.assert_allclose(
+            a["prediction"], b["prediction"], rtol=1e-5, atol=1e-6
+        )
+
 
 def test_reference_compat_flags(config_path, tmp_path):
     """The reference's runtime flags have direct counterparts:
