@@ -173,6 +173,10 @@ def build_trainer(
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    from neural_lam_tpu.ops.segment import apply_matmul_precision
+
+    apply_matmul_precision()
+
     from neural_lam_tpu.config import DatastoreSelection, NeuralLAMConfig
     from neural_lam_tpu.datastore.dummy import DummyDatastore
     from neural_lam_tpu.graphs import create_graph_from_datastore

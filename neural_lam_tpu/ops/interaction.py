@@ -43,6 +43,7 @@ from .pallas_fused import (
 from .pallas_segment import (
     BandedLayout,
     BlockedLayout,
+    build_aligned_layout,
     build_banded_layout,
     build_blocked_layout,
 )
@@ -192,11 +193,44 @@ def make_edge_set(
         senders_sorted = senders[sort_perm]
         receivers_sorted = receivers[sort_perm]
 
-        layout = build_blocked_layout(
-            receivers_sorted,
-            num_rec,
-            **_pick_tiling(receivers_sorted, num_rec),
-        )
+        # OPT-IN (NEURAL_LAM_TPU_ALIGNED=auto): uniform-degree edge
+        # sets (m2g's exact 4-NN, hierarchical 1-NN down edges) get the
+        # ALIGNED layout: slot positions encode the receiver row, so
+        # the fused kernel drops both per-chunk one-hot matmuls
+        # (receiver gather + aggregation). Measured on v5e at MEPS size
+        # this is NEUTRAL at step level (m2g fused kernel alone −6%
+        # fwd / −2% fwd+bwd; interleaved warm step A/B 8.44-8.66M both
+        # ways — the kernels are stream-bound, not one-hot-FLOP-bound),
+        # with slightly better numerics: under the TPU's
+        # hardware-default matmul precision the one-hot matmuls round
+        # every gathered/aggregated value to bf16, while the aligned
+        # stacks/slice-sums are exact f32 (see
+        # docs/performance.md "Matmul precision on TPU"). Default off
+        # to keep the production step's compiled HLO (and its warm
+        # persistent cache) stable for a neutral trade. The slot-ratio
+        # gate (NEURAL_LAM_TPU_ALIGNED_RATIO, default 1.05) admits only
+        # zero-padding sets; raising it admits padded near-uniform sets
+        # (g2m at +12% slots measured ~3% SLOWER at step level —
+        # dead-slot edge-MLP work outweighs the one-hot saving). The
+        # aligned layout is a valid BlockedLayout for every generic
+        # consumer; equivalence tests A/B the two.
+        tiling = _pick_tiling(receivers_sorted, num_rec)
+        layout = None
+        if (
+            not tiling
+            and os.environ.get("NEURAL_LAM_TPU_ALIGNED", "off") != "off"
+        ):
+            layout = build_aligned_layout(
+                receivers_sorted,
+                num_rec,
+                max_slot_ratio=float(
+                    os.environ.get("NEURAL_LAM_TPU_ALIGNED_RATIO", "1.05")
+                ),
+            )
+        if layout is None:
+            layout = build_blocked_layout(
+                receivers_sorted, num_rec, **tiling
+            )
         dead = layout.perm < 0
         safe = np.where(dead, 0, layout.perm)
         perm = np.where(dead, -1, sort_perm[safe])

@@ -203,6 +203,7 @@ def _fused_fwd_kernel(
     save_pre=False,
     node_epilogue=False,
     node_layer_norm=False,
+    aligned=0,
     cdt=jnp.float32,
 ):
     # When the edge rep is a shared (unbatched) embedding, ``edge_ref``
@@ -218,6 +219,8 @@ def _fused_fwd_kernel(
     # traffic); accumulation stays f32 via preferred_element_type.
     cv = lambda x: x.astype(cdt)  # noqa: E731
     rest = list(rest)
+    # aligned mode: (C, 1) f32 dead-slot row mask (layout.live_col)
+    live_ref = rest.pop(0) if aligned else None
     emb_refs = None
     if embed_edges:
         emb_refs = rest[:7]
@@ -241,24 +244,31 @@ def _fused_fwd_kernel(
     def _():
         aggr_ref[:] = jnp.zeros_like(aggr_ref)
 
-    ids = ids_ref[:]  # (1, C) int32, -1 = dead slot
-    rows = jax.lax.broadcasted_iota(
-        jnp.int32, (block_rows, chunk_edges), dimension=0
-    )
-    one_hot_t = (ids == rows).astype(cdt)  # (N_b, C)
-
-    # Project the resident receiver block, then one-hot-gather projected
-    # rows (projection and selection commute; projecting first keeps the
+    # Project the resident receiver block, then select projected rows
+    # (projection and selection commute; projecting first keeps the
     # matmul at block size, not chunk size).
     rec_proj = jnp.dot(
         cv(rec_ref[:]), w1r_ref[:], preferred_element_type=jnp.float32
     )
-    gathered = jax.lax.dot_general(
-        one_hot_t,
-        cv(rec_proj),
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (C, S)
+    if aligned:
+        # uniform-degree aligned layout: slot (k*R + r) IS receiver row
+        # r, so the gather is a static stack of the projected block and
+        # the aggregation a static sum of group slices — no one-hot
+        # matmul on either side (pallas_segment.build_aligned_layout).
+        one_hot_t = None
+        gathered = jnp.concatenate([rec_proj] * aligned, axis=0)
+    else:
+        ids = ids_ref[:]  # (1, C) int32, -1 = dead slot
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (block_rows, chunk_edges), dimension=0
+        )
+        one_hot_t = (ids == rows).astype(cdt)  # (N_b, C)
+        gathered = jax.lax.dot_general(
+            one_hot_t,
+            cv(rec_proj),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (C, S)
 
     if embed_edges:
         edge_val = _embed_forward(edge_ref[:], emb_refs, cdt)
@@ -302,9 +312,16 @@ def _fused_fwd_kernel(
         else:
             edge_b = edge_val.astype(jnp.float32)
         out_refs[1][:] = edge_b + msg
-    aggr_ref[:] += jnp.dot(
-        one_hot_t, cv(msg), preferred_element_type=jnp.float32
-    )
+    if aligned:
+        msg_m = msg * live_ref[:]  # zero dead slots (padded degrees)
+        acc = msg_m[0:block_rows]
+        for k in range(1, aligned):
+            acc = acc + msg_m[k * block_rows : (k + 1) * block_rows]
+        aggr_ref[:] += acc
+    else:
+        aggr_ref[:] += jnp.dot(
+            one_hot_t, cv(msg), preferred_element_type=jnp.float32
+        )
 
     if node_epilogue:
         # Aggregation-side node MLP fused as a per-block epilogue
@@ -394,10 +411,13 @@ def _fused_bwd_kernel(
     saved_pre=False,
     node_epilogue=False,
     node_layer_norm=False,
+    aligned=0,
     cdt=jnp.float32,
 ):
     cv = lambda x: x.astype(cdt)  # noqa: E731
     rest_refs = list(rest_refs)
+    # aligned mode: (C, 1) f32 dead-slot row mask (layout.live_col)
+    live_ref = rest_refs.pop(0) if aligned else None
     emb_refs = None
     if embed_edges:
         emb_refs = rest_refs[:7]
@@ -570,11 +590,14 @@ def _fused_bwd_kernel(
                 preferred_element_type=jnp.float32,
             )
 
-    ids = ids_ref[:]
-    rows = jax.lax.broadcasted_iota(
-        jnp.int32, (block_rows, chunk_edges), dimension=0
-    )
-    one_hot_t = (ids == rows).astype(cdt)
+    if aligned:
+        one_hot_t = None
+    else:
+        ids = ids_ref[:]
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (block_rows, chunk_edges), dimension=0
+        )
+        one_hot_t = (ids == rows).astype(cdt)
 
     # --- recompute forward ------------------------------------------------
     # ``edge_val`` stays needed for the dw1e weight-grad accumulation
@@ -590,12 +613,15 @@ def _fused_bwd_kernel(
         rec_proj = jnp.dot(
             cv(rec_ref[:]), w1r_ref[:], preferred_element_type=jnp.float32
         )
-        gathered = jax.lax.dot_general(
-            one_hot_t,
-            cv(rec_proj),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if aligned:
+            gathered = jnp.concatenate([rec_proj] * aligned, axis=0)
+        else:
+            gathered = jax.lax.dot_general(
+                one_hot_t,
+                cv(rec_proj),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         pre = (
             jnp.dot(
                 cv(edge_val), w1e_ref[:],
@@ -620,12 +646,19 @@ def _fused_bwd_kernel(
     d_aggr_val = (
         dagg_scratch[:] if node_epilogue else d_aggr_ref[:]
     )
-    d_msg = jax.lax.dot_general(
-        one_hot_t,
-        cv(d_aggr_val),
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if aligned:
+        # aligned layout: d_msg[k*R + r] = d_aggr[r] (positional stack),
+        # dead slots masked to zero
+        d_msg = jnp.concatenate(
+            [d_aggr_val.astype(jnp.float32)] * aligned, axis=0
+        ) * live_ref[:]
+    else:
+        d_msg = jax.lax.dot_general(
+            one_hot_t,
+            cv(d_aggr_val),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     if update_edges:
         d_msg = d_msg + d_new_edge_ref[:].astype(jnp.float32)
 
@@ -712,9 +745,16 @@ def _fused_bwd_kernel(
         preferred_element_type=jnp.float32,
     )
     db1_ref[:] += jnp.sum(d_pre, axis=0, keepdims=True)
-    d_recproj_ref[:] += jnp.dot(
-        one_hot_t, d_prec, preferred_element_type=jnp.float32
-    )
+    if aligned:
+        # positional scatter: slot (k*R + r) contributes to receiver r
+        acc = d_pre[0:block_rows]
+        for k in range(1, aligned):
+            acc = acc + d_pre[k * block_rows : (k + 1) * block_rows]
+        d_recproj_ref[:] += acc
+    else:
+        d_recproj_ref[:] += jnp.dot(
+            one_hot_t, d_prec, preferred_element_type=jnp.float32
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -918,6 +958,12 @@ def _fused_fwd_impl(
         wb["beta"],
         wb["mmat"],
     ]
+    if layout.aligned_groups:
+        in_specs.append(
+            pl.BlockSpec((ce, 1), lambda s, c, cb: (c, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(layout.live_col)
     if embed_edges:
         in_specs += [cs(tuple(w.shape)) for w in emb_weights]
         operands += list(emb_weights)
@@ -971,6 +1017,7 @@ def _fused_fwd_impl(
         save_pre=save_pre,
         node_epilogue=node_weights is not None,
         node_layer_norm=node_layer_norm,
+        aligned=layout.aligned_groups,
         cdt=cdt,
     )
     outs = pl.pallas_call(
@@ -1128,6 +1175,12 @@ def _fused_bwd_impl(
         wb["gamma"],
         wb["mmat"],
     ]
+    if layout.aligned_groups:
+        in_specs.append(
+            pl.BlockSpec((ce, 1), lambda s, c, cb: (c, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(layout.live_col)
     if embed_edges:
         in_specs += [cs(tuple(w.shape)) for w in emb_weights]
         operands += list(emb_weights)
@@ -1229,6 +1282,7 @@ def _fused_bwd_impl(
         saved_pre=pre2d is not None,
         node_epilogue=node_epilogue,
         node_layer_norm=node_layer_norm,
+        aligned=layout.aligned_groups,
         cdt=cdt,
     )
     return pl.pallas_call(
@@ -1333,6 +1387,14 @@ def make_fused_interaction(
         # Per-call (possibly traced) layout index arrays: the sharded
         # executor threads per-shard layouts through one traced body
         # (shapes/tiling static from ``layout``, values as data).
+        if dyn_layout is not None and layout.aligned_groups:
+            # the aligned fast path ignores the id tables (positional
+            # math), so per-shard dynamic tables cannot ride it
+            raise ValueError(
+                "dyn_layout is incompatible with an aligned layout: "
+                "build the kernel closure from a non-aligned "
+                "BlockedLayout for dynamically threaded tables"
+            )
         cb0, ids0 = (
             dyn_layout
             if dyn_layout is not None

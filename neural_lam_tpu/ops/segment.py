@@ -49,18 +49,44 @@ def _interpret_mode() -> bool:
     )
 
 
+def apply_matmul_precision() -> None:
+    """Honor ``NEURAL_LAM_TPU_MATMUL_PRECISION=highest`` for real.
+
+    On TPU, JAX's hardware-default matmul precision rounds f32 matmul
+    OPERANDS to bfloat16 (f32 accumulation) — in XLA matmuls AND inside
+    the Pallas kernels' ``jnp.dot`` calls, including the one-hot
+    gather/aggregate matmuls (measured: a one-hot "selection" matmul
+    carries ~1e-2 absolute rounding on unit-scale values; exact under
+    ``Precision.HIGHEST``). That default is the TPU counterpart of the
+    reference's CUDA TF32 default
+    ``torch.set_float32_matmul_precision("high")``
+    (reference: neural_lam/train_model.py:423-427), so the framework's
+    default keeps it — it is what the fp32 headline was measured under.
+
+    ``highest`` opts into exact f32 operands EVERYWHERE by setting
+    ``jax_default_matmul_precision`` (verified to reach Mosaic kernel
+    dots), for parity verification on TPU; expect multi-pass matmuls
+    (~6x MXU time on matmul-bound phases). CPU runs (the test suite's
+    float64-oracle parity) are exact regardless. Entry points
+    (train_model CLI, bench.py, predict.py) call this after flag/env
+    resolution, before any tracing.
+    """
+    if os.environ.get("NEURAL_LAM_TPU_MATMUL_PRECISION") == "highest":
+        jax.config.update("jax_default_matmul_precision", "highest")
+
+
 def matmul_high() -> bool:
     """True when NEURAL_LAM_TPU_MATMUL_PRECISION=high.
 
-    ``high`` is the TPU counterpart of the reference's CUDA default
-    ``torch.set_float32_matmul_precision("high")`` (TF32 tensor cores,
-    reference: neural_lam/train_model.py:423-427): matmul *operands*
-    round to bfloat16 while accumulation, parameters and every
-    elementwise op stay float32. Default is ``highest`` (exact f32
-    operands), which the parity tests rely on.
+    ``high`` EXPLICITLY thins the f32 streams/operands to bfloat16
+    (casts in XLA + kernel IO). NOTE the hardware default already
+    rounds matmul operands to bf16 implicitly (see
+    :func:`apply_matmul_precision`), which is why this mode measured
+    SLOWER than the default: the explicit casts add VPU work without
+    buying MXU time. Kept for sweep comparability.
     """
     return (
-        os.environ.get("NEURAL_LAM_TPU_MATMUL_PRECISION", "highest")
+        os.environ.get("NEURAL_LAM_TPU_MATMUL_PRECISION", "default")
         == "high"
     )
 
@@ -75,7 +101,7 @@ def kernel_matmul_high() -> bool:
     IO thinning both).
     """
     return os.environ.get(
-        "NEURAL_LAM_TPU_MATMUL_PRECISION", "highest"
+        "NEURAL_LAM_TPU_MATMUL_PRECISION", "default"
     ) in (
         "high",
         "high-kernels",

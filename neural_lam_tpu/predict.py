@@ -67,8 +67,10 @@ def main(argv=None) -> None:
     from .config import load_config_and_datastore
     from .dataset import WeatherDataset
     from .loader import DataLoader
+    from .ops.segment import apply_matmul_precision
     from .trainer import Trainer, TrainingArgs
 
+    apply_matmul_precision()
     config, datastore = load_config_and_datastore(args.config_path)
 
     load_dir = Path(args.load)

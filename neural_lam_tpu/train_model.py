@@ -170,13 +170,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     kernels.add_argument(
         "--matmul_precision",
-        choices=["highest", "high", "high-kernels"],
+        choices=["default", "highest", "high", "high-kernels"],
         default=None,
-        help="f32 matmul operand rounding: highest = exact f32 (parity "
-        "default), high = bf16 operands everywhere (the TF32-equivalent "
-        "of the reference's CUDA default, measured SLOWER here), "
-        "high-kernels = bf16 operands inside the Pallas kernels only. "
-        "[NEURAL_LAM_TPU_MATMUL_PRECISION]",
+        help="f32 matmul operand handling. default = the hardware fast "
+        "path: on TPU, f32 matmul OPERANDS round to bf16 implicitly "
+        "(f32 accumulation) — the TPU counterpart of the reference's "
+        "CUDA TF32 default, and what the headline numbers are measured "
+        "under. highest = exact f32 operands everywhere (sets "
+        "jax_default_matmul_precision, reaching the Pallas kernels "
+        "too) for on-TPU parity verification, at multi-pass matmul "
+        "cost. high / high-kernels = EXPLICIT bf16 stream/operand "
+        "casts (measured slower than default — the rounding already "
+        "happens implicitly). [NEURAL_LAM_TPU_MATMUL_PRECISION]",
     )
     kernels.add_argument(
         "--kernel_tiling",
@@ -194,6 +199,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="Banded sender gather/scatter visit tables; off falls back "
         "to the sender-sorted layout + slot permutation. "
         "[NEURAL_LAM_TPU_BANDED]",
+    )
+    kernels.add_argument(
+        "--aligned_layout",
+        choices=["auto", "off"],
+        default=None,
+        help="Degree-aligned layouts for uniform-degree edge sets "
+        "(m2g's 4-NN): the fused kernel replaces its one-hot "
+        "gather/aggregate matmuls with static slices. Measured "
+        "perf-neutral on v5e (the kernels are stream-bound) with "
+        "slightly better numerics under the hardware-default matmul "
+        "precision; off (default) keeps the compiled HLO stable. "
+        "[NEURAL_LAM_TPU_ALIGNED]",
     )
 
     arch = parser.add_argument_group("Model Architecture")
@@ -299,6 +316,7 @@ _KERNEL_FLAG_ENV = {
     "matmul_precision": "NEURAL_LAM_TPU_MATMUL_PRECISION",
     "kernel_tiling": "NEURAL_LAM_TPU_TILING",
     "banded_gather": "NEURAL_LAM_TPU_BANDED",
+    "aligned_layout": "NEURAL_LAM_TPU_ALIGNED",
 }
 
 
@@ -310,6 +328,11 @@ def apply_kernel_flags(args) -> None:
         value = getattr(args, flag, None)
         if value is not None and env not in os.environ:
             os.environ[env] = value
+    # matmul_precision=highest needs a jax config update (before any
+    # tracing) to reach XLA and Mosaic dots — see ops.segment
+    from .ops.segment import apply_matmul_precision
+
+    apply_matmul_precision()
 
 
 def main(argv=None) -> None:

@@ -283,3 +283,26 @@ def test_gradients_flow_through_all_inputs(rng):
     leaves = jax.tree_util.tree_leaves(gp)
     assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
     assert any(float(jnp.abs(g).max()) > 0 for g in leaves)
+
+
+def test_apply_matmul_precision(monkeypatch):
+    """NEURAL_LAM_TPU_MATMUL_PRECISION=highest must reach the global
+    jax matmul precision (it is what makes the mode REAL on TPU, where
+    the hardware default rounds f32 matmul operands to bf16 — including
+    inside the Pallas kernels; see ops.segment.apply_matmul_precision)."""
+    import jax
+
+    from neural_lam_tpu.ops.segment import apply_matmul_precision
+
+    before = jax.config.jax_default_matmul_precision
+    try:
+        monkeypatch.setenv("NEURAL_LAM_TPU_MATMUL_PRECISION", "highest")
+        apply_matmul_precision()
+        assert jax.config.jax_default_matmul_precision == "highest"
+        # any other value leaves the global config alone
+        monkeypatch.setenv("NEURAL_LAM_TPU_MATMUL_PRECISION", "high")
+        jax.config.update("jax_default_matmul_precision", before)
+        apply_matmul_precision()
+        assert jax.config.jax_default_matmul_precision == before
+    finally:
+        jax.config.update("jax_default_matmul_precision", before)
