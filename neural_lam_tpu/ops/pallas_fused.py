@@ -244,6 +244,23 @@ def _fused_fwd_kernel(
     def _():
         aggr_ref[:] = jnp.zeros_like(aggr_ref)
 
+    # NOTE: the one-hot path's equation ORDER (ids/iota/one-hot before
+    # rec_proj) is load-bearing for the persistent compile cache — the
+    # jaxpr order feeds the HLO hash, and reordering semantically
+    # equivalent ops invalidates every previously warmed executable.
+    if aligned:
+        # uniform-degree aligned layout: slot (k*R + r) IS receiver row
+        # r, so the gather is a static stack of the projected block and
+        # the aggregation a static sum of group slices — no one-hot
+        # matmul on either side (pallas_segment.build_aligned_layout).
+        one_hot_t = None
+    else:
+        ids = ids_ref[:]  # (1, C) int32, -1 = dead slot
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (block_rows, chunk_edges), dimension=0
+        )
+        one_hot_t = (ids == rows).astype(cdt)  # (N_b, C)
+
     # Project the resident receiver block, then select projected rows
     # (projection and selection commute; projecting first keeps the
     # matmul at block size, not chunk size).
@@ -251,18 +268,8 @@ def _fused_fwd_kernel(
         cv(rec_ref[:]), w1r_ref[:], preferred_element_type=jnp.float32
     )
     if aligned:
-        # uniform-degree aligned layout: slot (k*R + r) IS receiver row
-        # r, so the gather is a static stack of the projected block and
-        # the aggregation a static sum of group slices — no one-hot
-        # matmul on either side (pallas_segment.build_aligned_layout).
-        one_hot_t = None
         gathered = jnp.concatenate([rec_proj] * aligned, axis=0)
     else:
-        ids = ids_ref[:]  # (1, C) int32, -1 = dead slot
-        rows = jax.lax.broadcasted_iota(
-            jnp.int32, (block_rows, chunk_edges), dimension=0
-        )
-        one_hot_t = (ids == rows).astype(cdt)  # (N_b, C)
         gathered = jax.lax.dot_general(
             one_hot_t,
             cv(rec_proj),
@@ -283,7 +290,9 @@ def _fused_fwd_kernel(
         + b1_ref[:]
     )
     if pre_ref is not None:
-        pre_ref[:] = pre
+        # bf16 residual mode halves the largest per-edge stream; the
+        # in-kernel math stays f32
+        pre_ref[:] = pre.astype(pre_ref.dtype)
     h1 = jax.nn.silu(pre)
     z = (
         jnp.dot(cv(h1), w2_ref[:], preferred_element_type=jnp.float32)
@@ -608,7 +617,7 @@ def _fused_bwd_kernel(
     else:
         edge_val = edge_ref[:]
     if pre_in_ref is not None:
-        pre = pre_in_ref[:]
+        pre = pre_in_ref[:].astype(jnp.float32)
     else:
         rec_proj = jnp.dot(
             cv(rec_ref[:]), w1r_ref[:], preferred_element_type=jnp.float32
@@ -885,6 +894,7 @@ def _fused_fwd_impl(
     node_weights=None,
     node_layer_norm: bool = False,
     cdt=jnp.float32,
+    pre_dt=jnp.float32,
     dyn=None,
 ):
     from .pallas_segment import _dyn_or_static
@@ -996,7 +1006,7 @@ def _fused_fwd_impl(
             pl.BlockSpec((ce, stripe), cix, memory_space=pltpu.VMEM)
         )
         out_shape.append(
-            jax.ShapeDtypeStruct((layout.num_blocked, lanes), jnp.float32)
+            jax.ShapeDtypeStruct((layout.num_blocked, lanes), pre_dt)
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1465,16 +1475,21 @@ def make_fused_interaction(
         # Save the per-edge first-layer pre-activations as a VJP
         # residual so the backward kernel skips their recompute (the
         # rec-projection, receiver-gather and first-layer matmuls).
-        # Trades ~(E_blocked, lanes) f32 of HBM per edge set for the
-        # recompute FLOPs — measured +3.6% on the MEPS step (the
-        # kernels are MXU-bound, so FLOPs beat bytes here). Default on;
+        # Trades ~(E_blocked, lanes) of HBM per edge set for the
+        # recompute FLOPs — measured +3.6% on the MEPS step. Default
+        # on (f32 residual); NEURAL_LAM_TPU_CACHE_PRE=bf16 stores the
+        # residual in bf16, halving the largest per-edge stream (the
+        # backward recompute of silu/LN from a bf16-rounded pre is on
+        # par with the implicit bf16 operand rounding the hardware
+        # matmul default already applies — see
+        # docs/performance.md "Matmul precision on TPU");
         # NEURAL_LAM_TPU_CACHE_PRE=off restores full recompute (lowest
         # memory).
         import os as _os2
 
-        save_pre = (
-            _os2.environ.get("NEURAL_LAM_TPU_CACHE_PRE", "on") != "off"
-        )
+        _cache_pre = _os2.environ.get("NEURAL_LAM_TPU_CACHE_PRE", "on")
+        save_pre = _cache_pre != "off"
+        pre_dt = jnp.bfloat16 if _cache_pre == "bf16" else jnp.float32
 
         node_ep = aggr_params is not None
         ln_n = node_ep and aggr_params["ln"] is not None
@@ -1494,6 +1509,7 @@ def make_fused_interaction(
                 node_weights=nwb,
                 node_layer_norm=ln_n,
                 cdt=cdt,
+                pre_dt=pre_dt,
                 dyn=(cb, ids),
             )
 

@@ -513,6 +513,31 @@ def test_cached_pre_gradients_match(monkeypatch, embed):
     ):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
+    # bf16 residual mode: the forward is bit-identical (the cast
+    # happens on the residual WRITE only) and gradients agree at bf16
+    # tolerance — the residual feeds the backward silu/LN recompute
+    monkeypatch.setenv("NEURAL_LAM_TPU_CACHE_PRE", "bf16")
+    es.fn_cache.clear()
+    v_bf = loss(params, send, rec)
+    g_bf = jax.grad(loss, argnums=(0, 1, 2))(params, send, rec)
+    monkeypatch.setenv("NEURAL_LAM_TPU_CACHE_PRE", "on")
+    es.fn_cache.clear()
+    np.testing.assert_array_equal(
+        np.asarray(v_bf), np.asarray(loss(params, send, rec))
+    )
+    for a, b in zip(
+        jax.tree_util.tree_flatten(g_bf)[0],
+        jax.tree_util.tree_flatten(g_on)[0],
+    ):
+        # per-tensor norm tolerance: individual elements can amplify
+        # through the LayerNorm backward's rinv, but the gradient as a
+        # whole must stay within bf16 rounding of the exact one
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = np.linalg.norm(b) + 1e-12
+        assert np.linalg.norm(a - b) / denom < 2e-2, (
+            np.linalg.norm(a - b) / denom
+        )
+
 
 def test_stripe_groups_lane_alignment():
     """Partial stripes are mid-array lane blocks, which Mosaic only
