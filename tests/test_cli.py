@@ -523,3 +523,36 @@ def test_reference_compat_flags(config_path, tmp_path):
             "--num_nodes", "7",
             "--runs_root", str(tmp_path / "runs"),
         ])
+
+
+def test_accuracy_probe_compare(tmp_path):
+    """scripts/accuracy_probe.py --compare: pure-numpy comparison path
+    (the backend runs are exercised on hardware; the compare path must
+    stay runnable anywhere)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path as _Path
+
+    import numpy as np
+
+    repo = _Path(__file__).resolve().parent.parent
+    rng = np.random.default_rng(0)
+    want = rng.normal(size=(1, 3, 10, 2)).astype(np.float32)
+    got = want + 0.01 * rng.normal(size=want.shape).astype(np.float32)
+    a, b = tmp_path / "got.npz", tmp_path / "want.npz"
+    np.savez_compressed(a, prediction=got)
+    np.savez_compressed(b, prediction=want)
+    out = subprocess.run(
+        [sys.executable, str(repo / "scripts" / "accuracy_probe.py"),
+         "--compare", str(a), str(b)],
+        capture_output=True, text=True, check=True,
+    )
+    rows = json.loads(out.stdout)
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    scale = np.abs(want).mean()
+    d = np.abs(got[:, 0] - want[:, 0])
+    np.testing.assert_allclose(rows[0]["mean_rel"], d.mean() / scale,
+                               rtol=1e-5)
+    np.testing.assert_allclose(rows[0]["max_rel"], d.max() / scale,
+                               rtol=1e-5)
