@@ -225,9 +225,13 @@ def build_trainer(
     config = NeuralLAMConfig(
         datastore=DatastoreSelection(kind="dummydata", config_path="")
     )
+    import os as _os
+
     args = TrainingArgs(
         batch_size=BATCH, ar_steps_train=ar_steps, precision=precision,
         loss=loss,
+        flat_opt=_os.environ.get("NEURAL_LAM_TPU_FLAT_OPT", "off")
+        == "on",
     )
     mesh = None
     if spatial_shards:

@@ -111,6 +111,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="If optimizer state should be restored with model",
     )
     runtime.add_argument(
+        "--flat_opt",
+        action="store_true",
+        help="Run AdamW on one raveled parameter vector (optax.flatten)"
+        ": identical numerics, collapses the per-tensor optimizer op "
+        "storm in the XLA tail (~+1%% step time, within run noise on "
+        "v5e). Changes the opt_state pytree shape; restore checkpoints "
+        "with the same setting.",
+    )
+    runtime.add_argument(
         "--profile_dir",
         type=str,
         default=None,
@@ -413,6 +422,7 @@ def main(argv=None) -> None:
         precision=args.precision,
         metrics_watch=tuple(args.metrics_watch),
         var_leads_metrics_watch=json.loads(args.var_leads_metrics_watch),
+        flat_opt=args.flat_opt,
     )
     import jax
 

@@ -63,6 +63,16 @@ class TrainingArgs:
     # device keeps 1/P of the optimizer state; XLA gathers the updates).
     # Per-device optimizer memory drops ~P-fold; numerics unchanged.
     shard_opt_state: bool = True
+    # Flat optimizer (optax.flatten): run AdamW on ONE raveled
+    # parameter vector instead of ~150 separate tensors, collapsing the
+    # per-tensor optimizer op storm (~hundreds of micro-fusions/copies
+    # in the XLA tail — see docs/performance.md round-4 profile) into a
+    # handful of large fused elementwise ops. AdamW is elementwise, so
+    # numerics are identical (equivalence-tested); parameters total
+    # only ~MBs, so the ravel/unravel concats are free. Changes the
+    # opt_state pytree shape — a checkpoint written with one setting
+    # restores with the same setting (the run sidecar records it).
+    flat_opt: bool = False
     # jax.profiler trace capture (SURVEY.md 5.1): when set, epoch 0
     # captures steps [2, 2+profile_steps) into this directory for
     # TensorBoard/XProf.
@@ -173,6 +183,8 @@ class Trainer:
 
         self.loss_fn = get_metric(args.loss)
         self.optimizer = optax.adamw(args.lr, b1=0.9, b2=0.95)
+        if args.flat_opt:
+            self.optimizer = optax.flatten(self.optimizer)
 
         self._train_step = None
         self._eval_step: dict[int, Callable] = {}

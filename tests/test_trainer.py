@@ -666,3 +666,73 @@ def test_on_device_standardization_once_and_std_clamped(setup):
     eps = np.finfo(np.float32).eps
     assert np.all(np.asarray(trainer.state_std) >= eps)
     assert np.all(np.isfinite(np.asarray(init_s)))
+
+
+def test_flat_optimizer_parity(tmp_path):
+    """flat_opt (optax.flatten over AdamW): identical training
+    trajectory to the per-tensor optimizer — AdamW is elementwise, so
+    raveling all parameters into one vector changes only the op count
+    (collapses the per-tensor optimizer op storm in the XLA tail,
+    docs/performance.md round-4 profile), never the numerics. Also
+    covers the checkpoint round-trip of the flat opt_state."""
+    from neural_lam_tpu.checkpoint import CheckpointManager
+
+    ds = DummyDatastore(
+        n_grid_x=10, n_grid_y=10, n_timesteps=12, root_path=tmp_path
+    )
+    create_graph_from_datastore(
+        ds, ds.root_path / "graph" / "multiscale", hierarchical=False
+    )
+    model = GraphLAM(
+        ds, graph_name="multiscale", hidden_dim=8, processor_layers=2
+    )
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path="")
+    )
+    n = ds.num_grid_points
+    rng = np.random.default_rng(0)
+    batch = (
+        rng.normal(size=(4, 2, n, 3)).astype(np.float32),
+        rng.normal(size=(4, 1, n, 3)).astype(np.float32),
+        rng.normal(size=(4, 1, n, 6)).astype(np.float32),
+    )
+
+    results = {}
+    for flat in (False, True):
+        fc = ARForecaster(model, ds)
+        args = TrainingArgs(batch_size=4, flat_opt=flat)
+        trainer = Trainer(fc, config, ds, args)
+        params, opt_state = trainer.init_state(jax.random.PRNGKey(0))
+        step = trainer.make_train_step()
+        db, _ = trainer.device_put_batch(batch)
+        for _ in range(3):
+            params, opt_state, loss = step(params, opt_state, *db)
+        results[flat] = (
+            jax.tree_util.tree_map(np.asarray, jax.device_get(params)),
+            float(loss),
+            trainer,
+            params,
+            opt_state,
+        )
+
+    ref_params, ref_loss = results[False][:2]
+    got_params, got_loss = results[True][:2]
+    np.testing.assert_allclose(got_loss, ref_loss, rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(got_params),
+        jax.tree_util.tree_leaves(ref_params),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+    # flat opt_state round-trips through the checkpoint manager
+    _, _, trainer, params, opt_state = results[True]
+    ckpt = CheckpointManager(tmp_path / "run_flat")
+    ckpt.save("latest", params, opt_state, step=3)
+    fresh_p, fresh_o = trainer.init_state(jax.random.PRNGKey(1))
+    r_params, r_opt, r_step = ckpt.restore("latest", fresh_p, fresh_o)
+    assert r_step == 3
+    for a, b in zip(
+        jax.tree_util.tree_leaves(r_opt),
+        jax.tree_util.tree_leaves(opt_state),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
