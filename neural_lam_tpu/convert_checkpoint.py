@@ -213,6 +213,12 @@ def main(argv=None) -> None:
     parser.add_argument("--hidden_dim", type=int, default=64)
     parser.add_argument("--hidden_layers", type=int, default=1)
     parser.add_argument("--processor_layers", type=int, default=4)
+    # Optimizer config for the opt-state template: must match the
+    # trainer that will restore this checkpoint (the template's pytree
+    # shape depends on it, e.g. under --flat_opt).
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--weight_decay", type=float, default=0.01)
+    parser.add_argument("--flat_opt", action="store_true")
     parser.add_argument("--out", type=str, required=True)
     args = parser.parse_args(argv)
 
@@ -232,9 +238,14 @@ def main(argv=None) -> None:
     template = forecaster.init_params(jax.random.PRNGKey(0))
     params = convert_state_dict(state_dict, template)
 
-    import optax
+    from .trainer import make_optimizer
 
-    opt_state = optax.adamw(1e-3).init(params)
+    # Build the template through the trainer's own optimizer factory so
+    # the opt-state pytree shape always matches what Trainer will
+    # restore into (reference optimizer: models/module.py:284-287).
+    opt_state = make_optimizer(
+        args.lr, weight_decay=args.weight_decay, flat_opt=args.flat_opt
+    ).init(params)
     mgr = CheckpointManager(args.out)
     mgr.save_latest(params, opt_state, step=0, hparams=hparams)
     print(f"Converted checkpoint written to {args.out}/checkpoints/latest")

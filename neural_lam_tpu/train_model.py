@@ -252,6 +252,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--loss", type=str, default="wmse", choices=sorted(DEFINED_METRICS)
     )
     train.add_argument("--lr", type=float, default=1e-3)
+    train.add_argument(
+        "--weight_decay",
+        type=float,
+        default=0.01,
+        help="AdamW decoupled weight decay (default matches the "
+        "reference's torch.optim.AdamW default of 0.01, "
+        "reference: models/module.py:284-287)",
+    )
     train.add_argument("--val_interval", type=int, default=1)
 
     evalg = parser.add_argument_group("Evaluation Options")
@@ -411,6 +419,7 @@ def main(argv=None) -> None:
 
     targs = TrainingArgs(
         lr=args.lr,
+        weight_decay=args.weight_decay,
         epochs=args.epochs,
         batch_size=args.batch_size,
         ar_steps_train=args.ar_steps_train,

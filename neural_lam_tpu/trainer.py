@@ -42,6 +42,13 @@ class TrainingArgs:
     reference: neural_lam/train_model.py:208-262)."""
 
     lr: float = 1e-3
+    # AdamW decoupled weight decay. The reference uses
+    # ``torch.optim.AdamW(params, lr=..., betas=(0.9, 0.95))``
+    # (reference: models/module.py:284-287), which inherits torch's
+    # default weight_decay=0.01 — NOT optax's 1e-4. Rounds 1-4 of this
+    # framework trained with optax's silent 1e-4 default (100x weaker
+    # regularization than the reference recipe); fixed in round 5.
+    weight_decay: float = 0.01
     epochs: int = 200
     batch_size: int = 4
     ar_steps_train: int = 1
@@ -84,6 +91,23 @@ class TrainingArgs:
     # first). All hosts check at the same step index, so nobody leaves
     # peers mid-collective. 0 disables (epoch-boundary drain only).
     preempt_check_every: int = 50
+
+
+def make_optimizer(
+    lr: float, weight_decay: float = 0.01, flat_opt: bool = False
+) -> optax.GradientTransformation:
+    """The training optimizer: AdamW matching the reference recipe.
+
+    Reference: ``torch.optim.AdamW(params, lr=..., betas=(0.9, 0.95))``
+    (models/module.py:284-287) with torch's default weight_decay=0.01.
+    Single source of truth for the optimizer config — the trainer and
+    ``convert_checkpoint`` both build opt-state templates through here
+    so their pytree shapes can never diverge (e.g. under ``flat_opt``).
+    """
+    opt = optax.adamw(lr, b1=0.9, b2=0.95, weight_decay=weight_decay)
+    if flat_opt:
+        opt = optax.flatten(opt)
+    return opt
 
 
 class Trainer:
@@ -182,9 +206,11 @@ class Trainer:
         )
 
         self.loss_fn = get_metric(args.loss)
-        self.optimizer = optax.adamw(args.lr, b1=0.9, b2=0.95)
-        if args.flat_opt:
-            self.optimizer = optax.flatten(self.optimizer)
+        self.optimizer = make_optimizer(
+            args.lr,
+            weight_decay=getattr(args, "weight_decay", 0.01),
+            flat_opt=args.flat_opt,
+        )
 
         self._train_step = None
         self._eval_step: dict[int, Callable] = {}

@@ -313,3 +313,161 @@ def test_trained_ckpt_19_step_rollout_parity(setup, tmp_path):
             got[:, t], want[:, t], rtol=2e-3, atol=2e-3,
             err_msg=f"trained rollout diverged at step {t + 1}",
         )
+
+
+@pytest.mark.slow
+def test_training_trajectory_parity(setup):
+    """N optimizer steps in the live torch reference vs our Trainer.
+
+    The last unpinned link in the reference-equivalence chain: forward
+    and gradients are golden-tested elsewhere, but only a step-for-step
+    trajectory comparison pins the full training recipe — loss
+    reduction, AdamW hyperparameters (including torch's DEFAULT
+    weight_decay=0.01, reference: models/module.py:284-287), and the
+    update order. Both sides start from the same transplanted weights
+    and consume the same synthetic batches; per-step losses and the
+    final parameters must agree.
+
+    Reference loop: models/module.py:361-397 (training_step: wmse over
+    the interior mask, mean over batch) + Lightning's loss.backward()
+    and torch.optim.AdamW step.
+    """
+    from jax.sharding import Mesh
+
+    from neural_lam_tpu.config import (
+        DatastoreSelection,
+        NeuralLAMConfig,
+    )
+    from neural_lam_tpu.trainer import Trainer, TrainingArgs
+
+    ref_metrics = load_reference_module("metrics")
+    ds, adapter = setup
+    ref_model, our_model, params0 = _build_pair(ds, adapter, "graph_lam")
+    ref_fc = REF_AR(ref_model, adapter).float()
+    our_fc = ARForecaster(our_model, ds)
+
+    n = ds.num_grid_points
+    n_state, n_forcing = 3, 6
+    B, AR, STEPS, LR = 2, 2, 50, 1e-3
+    rng = np.random.default_rng(7)
+    batches = [
+        (
+            rng.normal(size=(B, 2, n, n_state)).astype(np.float32),
+            rng.normal(size=(B, AR, n, n_state)).astype(np.float32),
+            rng.normal(size=(B, AR, n, n_forcing)).astype(np.float32),
+        )
+        for _ in range(4)
+    ]
+
+    # --- reference side: the real torch training recipe -------------
+    # interior mask exactly as module.py:129-140 builds it
+    boundary = torch.tensor(
+        np.asarray(ds.boundary_mask.data, np.float32)
+    ).reshape(1, n, 1)
+    interior_bool = (1.0 - boundary)[0, :, 0].to(torch.bool)
+    # per_var_std = diff_std / sqrt(feature_weights), uniform weighting
+    # (module.py:142-163; loss_weighting.py:60-79)
+    stats = ds.get_standardization_dataarray("state")
+    diff_std = torch.tensor(
+        np.asarray(stats["state_diff_std_standardized"], np.float32)
+    )
+    per_var_std = diff_std / torch.sqrt(
+        torch.full((n_state,), 1.0 / n_state)
+    )
+    # torch.optim.AdamW's DEFAULT weight_decay=0.01 applies — the
+    # reference passes only lr and betas.
+    opt = torch.optim.AdamW(ref_fc.parameters(), lr=LR, betas=(0.9, 0.95))
+    torch_losses = []
+    for i in range(STEPS):
+        init, target, forcing = (
+            torch.tensor(a) for a in batches[i % len(batches)]
+        )
+        pred, pred_std = ref_fc(init, forcing, target)
+        if pred_std is None:
+            pred_std = per_var_std
+        loss = torch.mean(
+            ref_metrics.wmse(pred, target, pred_std, mask=interior_bool)
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+    torch_final = {
+        k: v.detach().numpy() for k, v in ref_model.state_dict().items()
+    }
+
+    # --- our side ----------------------------------------------------
+    config = NeuralLAMConfig(
+        datastore=DatastoreSelection(kind="dummydata", config_path="")
+    )
+
+    def run_ours(weight_decay):
+        import jax.numpy as jnp
+
+        mesh = Mesh(np.array(jax.devices()[:1]), axis_names=("data",))
+        trainer = Trainer(
+            our_fc,
+            config,
+            ds,
+            TrainingArgs(
+                lr=LR,
+                weight_decay=weight_decay,
+                batch_size=B,
+                ar_steps_train=AR,
+            ),
+            mesh=mesh,
+        )
+        step = trainer.make_train_step()
+        # fresh device buffers each run — the step donates its inputs
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.array(np.asarray(x)), params0
+        )
+        opt_state = trainer.optimizer.init(params)
+        losses = []
+        for i in range(STEPS):
+            init, target, forcing = batches[i % len(batches)]
+            params, opt_state, loss = step(
+                params, opt_state, init, target, forcing
+            )
+            losses.append(float(loss))
+        return losses, jax.device_get(params)
+
+    our_losses, our_final = run_ours(weight_decay=0.01)
+
+    np.testing.assert_allclose(
+        np.asarray(our_losses),
+        np.asarray(torch_losses),
+        rtol=2e-3,
+        atol=2e-4,
+        err_msg="per-step training losses diverged from the reference",
+    )
+
+    # Final parameters agree leaf-for-leaf with the torch run.
+    from neural_lam_tpu.convert_checkpoint import convert_state_dict
+
+    torch_final_tree = convert_state_dict(torch_final, params0)
+
+    def max_rel_diff(a_tree, b_tree):
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: np.max(np.abs(np.asarray(a) - np.asarray(b)))
+            / max(np.max(np.abs(np.asarray(b))), 1e-8),
+            a_tree,
+            b_tree,
+        )
+        return max(jax.tree_util.tree_leaves(diffs))
+
+    matched = max_rel_diff(our_final, torch_final_tree)
+    assert matched < 5e-3, (
+        f"final params drifted {matched:.2e} from the torch trajectory"
+    )
+
+    # Canary: the pre-round-5 bug (optax's silent weight_decay=1e-4
+    # default) must be DETECTABLE by this test — the buggy trajectory's
+    # final params sit measurably farther from torch's than the fixed
+    # one's.
+    _, buggy_final = run_ours(weight_decay=1e-4)
+    buggy = max_rel_diff(buggy_final, torch_final_tree)
+    assert buggy > 4 * matched, (
+        f"weight-decay canary failed: buggy wd=1e-4 diff {buggy:.2e} "
+        f"not separable from fixed diff {matched:.2e}"
+    )
