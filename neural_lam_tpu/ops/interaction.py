@@ -54,6 +54,7 @@ from .segment import (
     aggregate_sum,
     gather_receivers,
     gather_senders,
+    pallas_for,
 )
 
 _PAD_MULTIPLE = 128  # lane width; keeps padded edge blocks tile-aligned
@@ -411,7 +412,7 @@ def fused_edge_phase_supported(
     path (used by equivalence tests)."""
     if os.environ.get("NEURAL_LAM_TPU_FUSED", "auto") == "off":
         return False
-    if edge_set.layout is None or not _pallas_enabled():
+    if edge_set.layout is None or not pallas_for(edge_set):
         return False
     if not fusable(mlp):
         return False

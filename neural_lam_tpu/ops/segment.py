@@ -49,6 +49,34 @@ def _interpret_mode() -> bool:
     )
 
 
+def small_set_threshold() -> int:
+    """Edge sets with fewer valid edges than this run the plain XLA
+    gather/segment path instead of the Pallas kernels.
+
+    The hierarchical models launch ~46 GNN steps per forward on tiny
+    per-level edge sets (<= 6.5k edges at MEPS size, vs 51k-255k for
+    the hot sets); each Pallas launch pays fixed dispatch + layout-copy
+    overhead that dominates at those sizes — exactly the
+    per-kernel-fixed-overhead regime the round-4 step profile
+    identified. XLA fuses the small gather/scatter-adds into its
+    surrounding fusions instead. 0 disables (every set rides Pallas).
+    """
+    return int(os.environ.get("NEURAL_LAM_TPU_SMALL_SET_EDGES", "0"))
+
+
+def pallas_for(edge_set) -> bool:
+    """Per-edge-set kernel routing: Pallas unless the set is tiny.
+
+    Sharded-executor table views may not carry ``num_valid``; they are
+    never tiny (the executor pads shards to a common chunk count), so
+    they always ride Pallas.
+    """
+    if not _pallas_enabled():
+        return False
+    num_valid = getattr(edge_set, "num_valid", None)
+    return num_valid is None or num_valid >= small_set_threshold()
+
+
 def apply_matmul_precision() -> None:
     """Honor ``NEURAL_LAM_TPU_MATMUL_PRECISION=highest`` for real.
 
@@ -157,7 +185,7 @@ def _fold_rows(fn, compute_dtype=jnp.float32):
 def aggregate_sum(edge_set: "EdgeSet", messages: jax.Array) -> jax.Array:
     """Per-receiver sums of ``(E_pad, [B,] D)`` messages."""
     layout = edge_set.layout
-    if layout is not None and _pallas_enabled():
+    if layout is not None and pallas_for(edge_set):
         key = ("seg", _interpret_mode())
         if key not in edge_set.fn_cache:
             edge_set.fn_cache[key] = _fold_rows(
@@ -197,7 +225,7 @@ def gather_senders(edge_set: "EdgeSet", send_rep: jax.Array) -> jax.Array:
     aggregation kernel always accumulates/outputs f32; only the edge-wide
     traffic (expand + slot permutation) rides ``_gather_io_dtype``.
     """
-    if edge_set.banded is not None and _pallas_enabled():
+    if edge_set.banded is not None and pallas_for(edge_set):
         io_dtype = _gather_io_dtype(send_rep.dtype)
         key = ("send_banded", _interpret_mode(), jnp.dtype(io_dtype).name)
         if key not in edge_set.fn_cache:
@@ -239,7 +267,7 @@ def gather_senders(edge_set: "EdgeSet", send_rep: jax.Array) -> jax.Array:
             gather.defvjp(fwd, bwd)
             edge_set.fn_cache[key] = _fold_rows(gather, io_dtype)
         return edge_set.fn_cache[key](send_rep)
-    if edge_set.send_layout is not None and _pallas_enabled():
+    if edge_set.send_layout is not None and pallas_for(edge_set):
         io_dtype = _gather_io_dtype(send_rep.dtype)
         key = ("send", _interpret_mode(), jnp.dtype(io_dtype).name)
         if key not in edge_set.fn_cache:
@@ -297,7 +325,7 @@ def gather_receivers(edge_set: "EdgeSet", rec_rep: jax.Array) -> jax.Array:
     The backward scatter-add is exactly the receiver-sorted blocked
     segment sum, so it reuses the forward aggregation kernel.
     """
-    if edge_set.layout is not None and _pallas_enabled():
+    if edge_set.layout is not None and pallas_for(edge_set):
         key = ("recv", _interpret_mode())
         if key not in edge_set.fn_cache:
             layout = edge_set.layout

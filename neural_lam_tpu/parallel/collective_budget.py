@@ -147,6 +147,30 @@ def attribute_rows(
     return out
 
 
+def hlo_wire_bytes(rows: Sequence[CollectiveRow], n_shards: int) -> int:
+    """ICI wire bytes implied by an HLO collective table.
+
+    The table records each op's RESULT bytes; the bytes that actually
+    cross links differ per op: a tiled all-gather moves (P-1)/P of the
+    gathered result (each shard already holds its slice), its
+    reduce-scatter VJP returns a 1/P-sized shard after moving (P-1)
+    shard-sizes, and a collective-permute's payload is exact. This is
+    the quantity the analytic budget counts (rows_moved = halo rows, or
+    ``n_send_local * (P-1)`` for gathered sets), so the two are
+    comparable byte-for-byte. all-reduce (grad psum / loss pmean) is
+    excluded — it is the data-parallel term, not the edge budget.
+    """
+    total = 0.0
+    for r in rows:
+        if r.op in ("all-gather", "all-to-all"):
+            total += r.bytes_total * (n_shards - 1) / n_shards
+        elif r.op == "reduce-scatter":
+            total += r.bytes_total * (n_shards - 1)
+        elif r.op == "collective-permute":
+            total += r.bytes_total
+    return int(round(total))
+
+
 def analytic_budget(
     metas: dict,
     batch_local: int,

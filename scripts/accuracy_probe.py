@@ -25,6 +25,28 @@ produce identical inputs. The CPU run uses the XLA fallback path
 (exact f32 matmuls); `--matmul-precision-highest` instead measures the
 TPU itself with exact operands (slower, sanity-checks that the
 deviation is the matmul rounding and nothing else).
+
+Regression-fixture workflow (CI-adjacent; run after ANY kernel change)::
+
+    # one-time (or after an intentional numerics change): regenerate
+    # the committed exact-f32 fixture on CPU
+    python scripts/accuracy_probe.py --cpu \
+        --save-fixture tests/fixtures/accuracy/rollout19_f32.npz
+
+    # on the TPU: check the current kernels against the fixture
+    python scripts/accuracy_probe.py \
+        --check tests/fixtures/accuracy/rollout19_f32.npz
+    python scripts/accuracy_probe.py --precision bf16 \
+        --check tests/fixtures/accuracy/rollout19_f32.npz \
+        --mean-rel-max 0.02 --max-rel-max 0.8
+
+The fixture stores the full-field per-step stats plus the prediction at
+a fixed grid subsample (every 50th node — small enough to commit, dense
+enough that a broken kernel cannot hide). ``--check`` exits nonzero
+when any step exceeds the thresholds; the fp32 defaults leave ~60%
+headroom over the measured TPU default-precision envelope
+(docs/performance.md: mean_rel ~2e-4..3e-3, max_rel up to 0.148 at
+step 19), so real regressions trip it while tunnel-noise reruns don't.
 """
 
 from __future__ import annotations
@@ -39,14 +61,16 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+SUBSAMPLE = 50  # every 50th grid node goes into the committed fixture
 
-def run_rollout(steps: int) -> np.ndarray:
+
+def run_rollout(steps: int, precision: str = "32") -> np.ndarray:
     import jax
 
     sys.path.insert(0, str(REPO))
     import bench
 
-    trainer, ds = bench.build_trainer()
+    trainer, ds = bench.build_trainer(precision=precision)
     fc = trainer.forecaster
     n = ds.num_grid_points
     rng = np.random.default_rng(0)
@@ -58,10 +82,34 @@ def run_rollout(steps: int) -> np.ndarray:
         size=(1, steps, n, bench.N_STATE)
     ).astype(np.float32)
     params, _ = trainer.init_state(jax.random.PRNGKey(0))
+    if precision == "bf16":
+        # match the trainer's mixed-precision step: f32 master params,
+        # bf16 compute copies (trainer.py _loss)
+        import jax.numpy as jnp
+
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), params
+        )
     out = jax.jit(lambda p, i, f, b: fc.forward(p, i, f, b)[0])(
         params, init, forcing, boundary
     )
-    return np.asarray(jax.block_until_ready(out))
+    return np.asarray(jax.block_until_ready(out), np.float32)
+
+
+def _per_step_rows(got: np.ndarray, want: np.ndarray) -> list[dict]:
+    scale = np.abs(want).mean()
+    rows = []
+    for t in range(got.shape[1]):
+        d = got[:, t] - want[:, t]
+        rows.append(
+            {
+                "step": t + 1,
+                "mean_rel": float(np.abs(d).mean() / scale),
+                "max_rel": float(np.abs(d).max() / scale),
+                "rmse": float(np.sqrt((d ** 2).mean())),
+            }
+        )
+    return rows
 
 
 def main() -> None:
@@ -70,27 +118,27 @@ def main() -> None:
     ap.add_argument("--save", type=str)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (exact f32 matmuls)")
+    ap.add_argument("--precision", choices=["32", "bf16"], default="32",
+                    help="bf16 runs the mixed-precision rollout "
+                    "(bf16 params + compute, like --precision bf16 "
+                    "training)")
     ap.add_argument("--matmul-precision-highest", action="store_true",
                     help="exact f32 operands on the current backend")
     ap.add_argument("--compare", nargs=2, metavar=("GOT", "WANT"))
+    ap.add_argument("--save-fixture", type=str, metavar="PATH",
+                    help="run the rollout and write a committed-size "
+                    "regression fixture (subsampled field + stats)")
+    ap.add_argument("--check", type=str, metavar="FIXTURE",
+                    help="run the rollout on the current backend and "
+                    "fail if it exceeds the thresholds vs the fixture")
+    ap.add_argument("--mean-rel-max", type=float, default=5e-3)
+    ap.add_argument("--max-rel-max", type=float, default=0.25)
     args = ap.parse_args()
 
     if args.compare:
         got = np.load(args.compare[0])["prediction"]
         want = np.load(args.compare[1])["prediction"]
-        scale = np.abs(want).mean()
-        rows = []
-        for t in range(got.shape[1]):
-            d = got[:, t] - want[:, t]
-            rows.append(
-                {
-                    "step": t + 1,
-                    "mean_rel": float(np.abs(d).mean() / scale),
-                    "max_rel": float(np.abs(d).max() / scale),
-                    "rmse": float(np.sqrt((d ** 2).mean())),
-                }
-            )
-        print(json.dumps(rows, indent=1))
+        print(json.dumps(_per_step_rows(got, want), indent=1))
         return
 
     import jax
@@ -99,10 +147,63 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     if args.matmul_precision_highest:
         jax.config.update("jax_default_matmul_precision", "highest")
-    pred = run_rollout(args.steps)
+    pred = run_rollout(args.steps, precision=args.precision)
     if args.save:
         np.savez_compressed(args.save, prediction=pred)
         print(f"wrote {args.save} shape={pred.shape}")
+    if args.save_fixture:
+        sub = pred[:, :, ::SUBSAMPLE, :]
+        Path(args.save_fixture).parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(
+            args.save_fixture,
+            prediction_sub=sub,
+            subsample=np.int64(SUBSAMPLE),
+            steps=np.int64(args.steps),
+            # full-field summary so --check can also report drift of
+            # the overall magnitude, not just the subsample
+            abs_mean=np.float32(np.abs(pred).mean()),
+            meta=json.dumps(
+                {
+                    "precision": args.precision,
+                    "backend": jax.default_backend(),
+                    "note": "exact-f32 CPU rollout fixture; regenerate "
+                    "with scripts/accuracy_probe.py --cpu "
+                    "--save-fixture after intentional numerics changes",
+                }
+            ),
+        )
+        print(
+            f"wrote fixture {args.save_fixture} "
+            f"sub-shape={sub.shape} "
+            f"({Path(args.save_fixture).stat().st_size / 1e6:.2f} MB)"
+        )
+    if args.check:
+        fx = np.load(args.check)
+        assert int(fx["steps"]) == args.steps, (
+            f"fixture has {int(fx['steps'])} steps, ran {args.steps}"
+        )
+        sub = pred[:, :, :: int(fx["subsample"]), :]
+        want = fx["prediction_sub"]
+        rows = _per_step_rows(sub, want)
+        worst_mean = max(r["mean_rel"] for r in rows)
+        worst_max = max(r["max_rel"] for r in rows)
+        verdict = {
+            "backend": jax.default_backend(),
+            "precision": args.precision,
+            "worst_mean_rel": worst_mean,
+            "worst_max_rel": worst_max,
+            "thresholds": {
+                "mean_rel_max": args.mean_rel_max,
+                "max_rel_max": args.max_rel_max,
+            },
+            "per_step": rows,
+        }
+        print(json.dumps(verdict, indent=1))
+        if worst_mean > args.mean_rel_max or worst_max > args.max_rel_max:
+            print("ACCURACY REGRESSION: thresholds exceeded",
+                  file=sys.stderr)
+            raise SystemExit(1)
+        print("accuracy check passed", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -112,6 +112,7 @@ def main() -> None:
         attribute_rows,
         format_markdown,
         hlo_collective_table,
+        hlo_wire_bytes,
         projected_efficiency,
     )
     from neural_lam_tpu.trainer import make_optimizer
@@ -176,9 +177,7 @@ def main() -> None:
             )
             edge_bytes = sum(a["bytes_per_step"] for a in analytic)
             n_coll = sum(a["collectives_per_step"] for a in analytic)
-            hlo_bytes = sum(
-                r.bytes_total for r in rows if r.op != "all-reduce"
-            )
+            hlo_bytes = hlo_wire_bytes(rows, P_)
             projections = [
                 projected_efficiency(
                     step_ms / 1e3, edge_bytes, n_coll, P_
@@ -201,7 +200,7 @@ def main() -> None:
                     "step_time_ms_basis": step_ms,
                     "strategies": strategies,
                     "analytic_edge_bytes_per_step": edge_bytes,
-                    "hlo_collective_bytes": hlo_bytes,
+                    "hlo_wire_bytes": hlo_bytes,
                     "collectives_per_step": n_coll,
                     "hlo_rows": [r.__dict__ for r in rows],
                     "projection": projections[0],
@@ -210,7 +209,7 @@ def main() -> None:
             print(
                 f"[{model_name} P={P_}] strategies={strategies} "
                 f"edge_bytes/step={edge_bytes:,} "
-                f"hlo_collective_bytes={hlo_bytes:,}",
+                f"hlo_wire_bytes={hlo_bytes:,}",
                 file=sys.stderr,
             )
 
@@ -219,9 +218,18 @@ def main() -> None:
         "\n\nMEPS-size sharded train steps (GraphLAM + the hierarchical"
         " family) compiled on the 8-virtual-device CPU mesh; byte counts"
         " are exact HLO payloads (identical collectives to the TPU build"
-        " — the partitioning is platform-independent)."
-        "\nProjection bases: measured single-chip fp32 step times"
-        f" (grid-points/s: {MEASURED_GPS})."
+        " — the partitioning is platform-independent). HLO wire bytes"
+        " (all-gather x (P-1)/P, reduce-scatter x (P-1), permutes"
+        " exact) cross-check the analytic per-edge-set budget: they"
+        " match TO THE BYTE for graph_lam and hi_lam. For"
+        " hi_lam_parallel the analytic number is a per-section UPPER"
+        " bound — the combined per-section executor gathers each"
+        " sender level ONCE per processor layer and shares it across"
+        " the sections riding that level (m2m{l}, up{l}, down{l-1}),"
+        " so the compiled forward moves fewer bytes than per-section"
+        " accounting; the conservative projection uses the upper"
+        " bound.\nProjection bases: measured single-chip fp32 step"
+        f" times (grid-points/s: {MEASURED_GPS})."
         "\n\n"
     )
     Path(args.out).write_text(head + "\n".join(sections))

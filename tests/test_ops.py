@@ -306,3 +306,56 @@ def test_apply_matmul_precision(monkeypatch):
         assert jax.config.jax_default_matmul_precision == before
     finally:
         jax.config.update("jax_default_matmul_precision", before)
+
+
+def test_small_set_xla_routing_matches_pallas(rng, monkeypatch):
+    """NEURAL_LAM_TPU_SMALL_SET_EDGES routes tiny edge sets through the
+    plain XLA gather/segment path; results must match the Pallas
+    (interpret-mode) path. The knob exists for the hierarchical models,
+    whose ~46 tiny per-level GNN steps per forward pay fixed kernel
+    dispatch overhead (docs/performance.md round-5)."""
+    from neural_lam_tpu.ops.segment import pallas_for, small_set_threshold
+
+    n_send, n_rec, n_edges, d = 24, 20, 60, 8
+    senders = rng.integers(0, n_send, size=n_edges)
+    receivers = rng.integers(0, n_rec, size=n_edges)
+    edge_set, perm = make_edge_set(senders, receivers, num_rec=n_rec)
+    feats = rng.normal(size=(n_edges, d)).astype(np.float32)
+    edge_rep = place_edge_features(feats, perm, edge_set)
+    send_rep = rng.normal(size=(n_send, d)).astype(np.float32)
+    rec_rep = rng.normal(size=(n_rec, d)).astype(np.float32)
+    params = init_interaction_net(
+        jax.random.PRNGKey(3), input_dim=d, hidden_layers=1
+    )
+
+    monkeypatch.setenv("NEURAL_LAM_TPU_PALLAS", "interpret")
+    assert small_set_threshold() == 0 and pallas_for(edge_set)
+    out_pallas, edges_pallas = apply_interaction_net(
+        params, edge_set, send_rep, rec_rep, edge_rep
+    )
+
+    monkeypatch.setenv("NEURAL_LAM_TPU_SMALL_SET_EDGES", str(n_edges + 1))
+    assert not pallas_for(edge_set)
+    fresh_set, fresh_perm = make_edge_set(senders, receivers, num_rec=n_rec)
+    out_xla, edges_xla = apply_interaction_net(
+        params,
+        fresh_set,
+        send_rep,
+        rec_rep,
+        place_edge_features(feats, fresh_perm, fresh_set),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_xla), np.asarray(out_pallas), rtol=2e-5, atol=2e-5
+    )
+    # edge outputs: padding-slot values are dead (receivers == num_rec
+    # slots never aggregate); compare valid slots in original edge order
+    np.testing.assert_allclose(
+        np.asarray(edges_xla)[fresh_perm >= 0][np.argsort(
+            fresh_perm[fresh_perm >= 0]
+        )],
+        np.asarray(edges_pallas)[perm >= 0][np.argsort(
+            perm[perm >= 0]
+        )],
+        rtol=2e-5,
+        atol=2e-5,
+    )
