@@ -38,8 +38,10 @@ sys.path.insert(0, str(REPO))
 
 # Mosaic kernels appear as custom calls with an embedded payload;
 # distinct payloads -> distinct helper compiles.
-_CC_RE = re.compile(r'custom_call_target="(tpu_custom_call|Mosaic)"')
-_PAYLOAD_RE = re.compile(r'backend_config="((?:[^"\\]|\\.)*)"')
+# StableHLO MLIR form: stablehlo.custom_call @tpu_custom_call(...)
+#   {backend_config = "{\22custom_call_config\22: {\22body\22: \22<payload>..."}
+_CC_RE = re.compile(r"custom_call @tpu_custom_call\(")
+_PAYLOAD_RE = re.compile(r'backend_config = "((?:[^"\\]|\\.)*)"')
 
 
 def census(hlo_text: str) -> dict:
