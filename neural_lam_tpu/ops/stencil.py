@@ -132,10 +132,13 @@ def detect_stencil(
         mask = np.zeros(dims, np.float64)
         px = (rix - origin[0]) // stride
         py = (riy - origin[1]) // stride
-        mask[px, py] += 1.0
+        # np.add.at, NOT fancy-index +=: the latter applies duplicate
+        # indices only once, which would silently DROP a multi-edge
+        # instead of tripping this guard.
+        np.add.at(mask, (px, py), 1.0)
         if mask.max() > 1.0:
             return None  # multi-edge within a class
-        counts[rix, riy] += 1.0
+        np.add.at(counts, (rix, riy), 1.0)
         g = groups.setdefault(
             (stride, origin),
             {"dims": dims, "offsets": [], "feats": [], "masks": []},

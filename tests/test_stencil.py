@@ -149,3 +149,22 @@ def test_stencil_env_off(setup, monkeypatch):
     monkeypatch.setenv("NEURAL_LAM_TPU_STENCIL", "off")
     model = _build(setup)
     assert model._m2m_stencil() is None
+
+
+def test_multi_edge_falls_back():
+    """A duplicated edge within an offset class must disable the
+    stencil (fancy-index += would silently drop it; np.add.at trips
+    the guard)."""
+    nx = ny = 4
+    xy = np.stack(
+        np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij"), -1
+    ).reshape(-1, 2).astype(float)
+    idx = np.arange(nx * ny).reshape(nx, ny)
+    senders = idx[:-1, :].ravel()
+    receivers = idx[1:, :].ravel()
+    const = np.ones((senders.size, 3))
+    assert detect_stencil(senders, receivers, const, xy) is not None
+    dup_s = np.concatenate([senders, senders[:1]])
+    dup_r = np.concatenate([receivers, receivers[:1]])
+    dup_f = np.ones((dup_s.size, 3))
+    assert detect_stencil(dup_s, dup_r, dup_f, xy) is None
