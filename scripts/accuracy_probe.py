@@ -164,8 +164,8 @@ def main() -> None:
             prediction_sub=sub,
             subsample=np.int64(SUBSAMPLE),
             steps=np.int64(args.steps),
-            # full-field summary so --check can also report drift of
-            # the overall magnitude, not just the subsample
+            # full-field summary: --check compares it so a magnitude
+            # shift outside the subsample cannot slip through
             abs_mean=np.float32(np.abs(pred).mean()),
             meta=json.dumps(
                 {
@@ -192,19 +192,31 @@ def main() -> None:
         rows = _per_step_rows(sub, want)
         worst_mean = max(r["mean_rel"] for r in rows)
         worst_max = max(r["max_rel"] for r in rows)
+        # full-field magnitude drift: catches a bug that shifts the
+        # overall field while leaving the subsample stats in-threshold
+        abs_mean_drift = float(
+            abs(np.abs(pred).mean() - float(fx["abs_mean"]))
+            / max(float(fx["abs_mean"]), 1e-12)
+        )
         verdict = {
             "backend": jax.default_backend(),
             "precision": args.precision,
             "worst_mean_rel": worst_mean,
             "worst_max_rel": worst_max,
+            "abs_mean_drift": abs_mean_drift,
             "thresholds": {
                 "mean_rel_max": args.mean_rel_max,
                 "max_rel_max": args.max_rel_max,
+                "abs_mean_drift_max": args.mean_rel_max,
             },
             "per_step": rows,
         }
         print(json.dumps(verdict, indent=1))
-        if worst_mean > args.mean_rel_max or worst_max > args.max_rel_max:
+        if (
+            worst_mean > args.mean_rel_max
+            or worst_max > args.max_rel_max
+            or abs_mean_drift > args.mean_rel_max
+        ):
             print("ACCURACY REGRESSION: thresholds exceeded",
                   file=sys.stderr)
             raise SystemExit(1)

@@ -99,10 +99,15 @@ def main() -> None:
     ap.add_argument("--json", default=str(REPO / ".bench_cache" /
                                           "collective_budget.json"))
     args = ap.parse_args()
-    overrides = dict(
-        (k, float(v))
-        for k, v in (s.split("=", 1) for s in args.step_time_ms)
-    )
+    overrides = {}
+    for item in args.step_time_ms:
+        if "=" not in item:
+            ap.error(
+                f"--step-time-ms takes MODEL=MS pairs (got {item!r}); "
+                "e.g. --step-time-ms graph_lam=28.0 hi_lam=40.8"
+            )
+        k, v = item.split("=", 1)
+        overrides[k] = float(v)
 
     import bench
     from neural_lam_tpu.models import ARForecaster

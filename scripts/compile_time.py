@@ -4,9 +4,8 @@ The default embed-fused MEPS train step cold-compiles 25-45 min through
 the remote-compile helper (CLAUDE.md). This script quantifies the
 driver of that cost — the number of DISTINCT Mosaic kernel payloads an
 executable carries (each distinct payload is a separate Mosaic -> LLO
-compile in the helper) — by lowering the train/eval/rollout steps for a
-config and hashing every ``tpu_custom_call`` backend payload in the
-HLO. It does NOT compile (lowering is host-side and takes seconds), so
+compile in the helper) — by lowering each config's TRAIN step and
+hashing every ``tpu_custom_call`` backend payload in the HLO. It does NOT compile (lowering is host-side and takes seconds), so
 it is safe to run between benchmarks; pair the census with the helper's
 observed per-kernel compile time to get the cold-compile budget.
 
@@ -72,7 +71,6 @@ def main() -> None:
         "--models", nargs="+", default=["graph_lam", "hi_lam"],
     )
     ap.add_argument("--time-compile", action="store_true")
-    ap.add_argument("--rollout-steps", type=int, default=19)
     args = ap.parse_args()
 
     import jax

@@ -68,7 +68,7 @@ def build_edges():
     )
 
 
-def stencil_step(mlp_edge, mlp_aggr, class_emb, x2d, edge_state, masks):
+def stencil_step(mlp_edge, mlp_aggr, x2d, edge_state, masks):
     """One InteractionNet application in stencil form.
 
     x2d: (NX, NY, B, d) node field; edge_state: (8, NX, NY, B, d)
@@ -171,7 +171,7 @@ def main() -> None:
     def sten_step(x_nodes, e_state):
         x2d = x_nodes.reshape(NX, NY, B, d)
         new_x, new_e = stencil_step(
-            mlp_edge, mlp_aggr, class_emb, x2d, e_state, masks
+            mlp_edge, mlp_aggr, x2d, e_state, masks
         )
         return new_x.reshape(n, B, d), new_e
 

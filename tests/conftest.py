@@ -8,6 +8,12 @@ reference: tests/test_training.py:164-229). Must run before jax imports.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The stencil m2m path auto-enables off-TPU (faster on CPU), but the
+# suite's parity/oracle tests exist to pin the PRODUCTION edge-list /
+# fused-kernel path that TPU runs. Pin it off here so their coverage
+# target stays the production path; tests/test_stencil.py re-enables it
+# explicitly and holds the two paths equivalent.
+os.environ["NEURAL_LAM_TPU_STENCIL"] = "off"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

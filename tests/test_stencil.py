@@ -20,6 +20,14 @@ from neural_lam_tpu.models import ARForecaster, GraphLAM
 from neural_lam_tpu.ops.stencil import detect_stencil
 
 
+@pytest.fixture(autouse=True)
+def _enable_stencil(monkeypatch):
+    """conftest pins the stencil OFF suite-wide (parity tests must
+    cover the production edge-list path); this file tests the stencil,
+    so re-enable it here."""
+    monkeypatch.setenv("NEURAL_LAM_TPU_STENCIL", "on")
+
+
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):
     root = tmp_path_factory.mktemp("stencil_ds")
