@@ -23,6 +23,7 @@ from . import vis
 from .loggers import BaseLogger, NullLogger
 from .metrics import mae as mae_metric
 from .metrics import mse as mse_metric
+from .metrics import wmae as wmae_metric
 
 
 def _write_prediction_gif(
@@ -107,6 +108,12 @@ def run_test_evaluation(
         mae_sv = mae_metric(
             prediction, target_s, pred_std, mask=interior, sum_vars=False
         )
+        # wmae table so --metrics_watch wmae works in the test phase
+        # too (the per-epoch promoter supports it and its warning
+        # routes users here; trainer.py _promote_watched_metrics)
+        wmae_sv = wmae_metric(
+            prediction, target_s, pred_std, mask=interior, sum_vars=False
+        )
         # Spatial loss: per grid node, summed over vars, kept per-sample
         # so padded tail rows can be sliced off on the host
         # (reference: module.py:571-582 with average_grid=False).
@@ -114,7 +121,7 @@ def run_test_evaluation(
             prediction, target_s, pred_std,
             mask=None, average_grid=False, sum_vars=True,
         )  # (B, T, N)
-        return loss, mse_sv, mae_sv, spatial, prediction
+        return loss, mse_sv, mae_sv, wmae_sv, spatial, prediction
 
     is_rank_zero = jax.process_index() == 0
     sums: dict[str, np.ndarray] = {}
@@ -123,14 +130,14 @@ def run_test_evaluation(
     pred_steps = None
     for batch in loader:
         device_batch, real = trainer.device_put_batch(batch)
-        loss, mse_sv, mae_sv, spatial, prediction = eval_batch(
+        loss, mse_sv, mae_sv, wmae_sv, spatial, prediction = eval_batch(
             params, *device_batch
         )
         if pred_steps is None:
             pred_steps = int(loss.shape[1])
         per_batch = (
             ("loss", loss), ("mse", mse_sv), ("mae", mae_sv),
-            ("spatial", spatial),
+            ("wmae", wmae_sv), ("spatial", spatial),
         )
         # Each host accumulates its OWN (addressable) rows, masked to
         # its real count — NO collective in the loop; one
@@ -192,6 +199,14 @@ def run_test_evaluation(
                     )
         example_plotted += n_plot
 
+    if count == 0 or pred_steps is None:
+        raise ValueError(
+            f"{split} loader yielded no batches — the split's time axis "
+            "is too short for the requested ar_steps/forcing window "
+            "(dataset length formula: T - (max(2, past) + ar + future) "
+            "+ 1)"
+        )
+
     # ONE collective per eval pass merges per-host sums + counts
     # (artifacts stay rank-0-only below).
     sums, count = trainer._merge_host_sums(sums, count)
@@ -216,7 +231,15 @@ def run_test_evaluation(
     # (reference: module.py:806-817).
     if metrics_watch:
         var_names = datastore.get_vars_names("state")
-        tables = {"rmse": rmse_phys, "mae": mae_phys}
+        # same table set + unit conventions as the per-epoch promoter
+        # (trainer._promote_watched_metrics): rmse/mae physical,
+        # mse standardized, wmae as computed (per_var_std-weighted)
+        tables = {
+            "rmse": rmse_phys,
+            "mae": mae_phys,
+            "mse": mse_per_step_var,
+            "wmae": sums["wmae"] / count,
+        }
         for watched in metrics_watch:
             key = watched.split("_")[-1]
             table = tables.get(key)

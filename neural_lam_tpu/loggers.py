@@ -102,7 +102,15 @@ class WandbLogger(BaseLogger):
         self._wandb.log(dict(metrics), step=step)
 
     def log_image(self, key, figure, step=None):
-        self._wandb.log({key: self._wandb.Image(figure)}, step=step)
+        # W&B drops any log whose explicit step is below the run's
+        # current step ("Step must only increase" -> silently
+        # discarded). Our image ``step`` values are LEAD TIMES, not
+        # timeline steps (e.g. spatial-loss step 1 logged after example
+        # images at step 19, or any eval resumed onto a training run's
+        # id), so fold the lead into the key and let W&B auto-advance.
+        if step is not None:
+            key = f"{key}_step{step}"
+        self._wandb.log({key: self._wandb.Image(figure)})
 
     def log_hparams(self, hparams):
         self.run.config.update(hparams, allow_val_change=True)

@@ -69,7 +69,7 @@ from ..ops.pallas_segment import (
     pad_banded_layout,
     pad_blocked_layout,
 )
-from ..ops.segment import _gather_io_dtype, _interpret_mode, _pallas_enabled
+from ..ops.segment import _gather_io_dtype, _interpret_mode
 
 
 # ---------------------------------------------------------------------------
@@ -1055,7 +1055,16 @@ class ShardedModel:
                       edge_embedder=None):
             if isinstance(pe, LocalCombinedPE):
                 if edge_embedder is not None:
-                    edge_rep = apply_mlp(edge_embedder, pe.features)
+                    # Combined sets carry no single feature array
+                    # (HiLAMParallel embeds per-section features up
+                    # front, models/hi_lam_parallel.py) — mirror the
+                    # replicated _CombinedEdges contract explicitly
+                    # instead of AttributeError-ing on pe.features.
+                    raise ValueError(
+                        "edge_embedder is not supported for combined "
+                        "edge sets; embed per-section features before "
+                        "the combined gnn_apply"
+                    )
                 return _sharded_combined(
                     pe, net_params, send_rep, edge_rep, axis,
                     aggr, update_edges, edge_chunk_sizes,
@@ -1105,6 +1114,12 @@ class ShardedModel:
 
     # -- standardization ---------------------------------------------------
     def _standardize(self, init, target, forcing):
+        # KEEP IN SYNC with Trainer.standardize_batch +
+        # Trainer._tiled_forcing_stats (trainer.py): same eps-clamped
+        # stats (loaded identically in __init__) and the same
+        # feature-major window repeat — a change on one side only would
+        # silently make sharded training standardize differently from
+        # replicated training.
         init = (init - self.state_mean) / self.state_std
         target = (target - self.state_mean) / self.state_std
         n_f = self._forcing_mean_raw.shape[-1]

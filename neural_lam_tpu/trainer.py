@@ -93,6 +93,33 @@ class TrainingArgs:
     preempt_check_every: int = 50
 
 
+def stitch_addressable_rows(arr) -> np.ndarray:
+    """Reassemble this process's contiguous batch block of a sharded
+    array from its addressable shards, stitching EVERY sharded axis.
+
+    Non-batch axes may be sharded too (e.g. the grid axis under spatial
+    sharding): each shard is written into its full index slice (batch
+    offset by the block start), so grid shards reassemble instead of
+    being dropped, and replicated-axis duplicates overwrite with
+    identical data. Single-process, this equals ``np.asarray(arr)``.
+    """
+    norm = []
+    for s in arr.addressable_shards:
+        idx = tuple(
+            sl.indices(dim) for sl, dim in zip(s.index, arr.shape)
+        )
+        norm.append((idx, np.asarray(s.data)))
+    b_lo = min(i[0][0] for i, _ in norm)
+    b_hi = max(i[0][1] for i, _ in norm)
+    out = np.empty((b_hi - b_lo,) + arr.shape[1:], arr.dtype)
+    for idx, data in norm:
+        sl = (slice(idx[0][0] - b_lo, idx[0][1] - b_lo),) + tuple(
+            slice(lo, hi) for lo, hi, _ in idx[1:]
+        )
+        out[sl] = data
+    return out
+
+
 def make_optimizer(
     lr: float, weight_decay: float = 0.01, flat_opt: bool = False
 ) -> optax.GradientTransformation:
@@ -280,7 +307,12 @@ class Trainer:
         )
 
     def standardize_batch(self, init_states, target_states, forcing):
-        """On-device standardization of state and forcing."""
+        """On-device standardization of state and forcing.
+
+        KEEP IN SYNC with ``parallel.spatial.ShardedModel._standardize``
+        (same stats + feature-major window repeat); the sharded executor
+        re-implements this on its local views.
+        """
         init_states = (init_states - self.state_mean) / self.state_std
         target_states = (target_states - self.state_mean) / self.state_std
         if forcing.shape[-1] > 0:
@@ -766,19 +798,10 @@ class Trainer:
         """This process's rows of a batch-sharded per-sample array, in
         batch order. Under multi-host the global batch is assembled from
         contiguous per-host blocks (``make_array_from_process_local_data``),
-        so the addressable shards ARE this host's samples; duplicates
-        from replicating mesh axes (e.g. the spatial axis) are dropped
-        by shard index."""
+        so the addressable shards ARE this host's samples."""
         if jax.process_count() == 1:
             return np.asarray(arr)
-        seen: dict[int, np.ndarray] = {}
-        for s in arr.addressable_shards:
-            start = s.index[0].start or 0
-            if start not in seen:
-                seen[start] = np.asarray(s.data)
-        return np.concatenate(
-            [seen[k] for k in sorted(seen)], axis=0
-        )
+        return stitch_addressable_rows(arr)
 
     @staticmethod
     def _merge_host_sums(

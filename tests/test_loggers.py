@@ -104,7 +104,11 @@ def test_wandb_adapter_contract(monkeypatch, fig):
     assert fake.calls[0][1:] == ("val_loss", "min")
     assert fake.calls[1][1:] == ("val_loss_unroll1", "min")
     assert fake.calls[2][1:] == ({"loss": 1.0}, 3)
-    assert fake.calls[3][1]["examples/t2m"] == ("image", fig)
+    # images fold the lead-time step into the key and log WITHOUT an
+    # explicit wandb step: W&B silently drops logs whose step is below
+    # the run's current step, and image steps are lead times
+    assert fake.calls[3][1]["examples/t2m_step3"] == ("image", fig)
+    assert fake.calls[3][2] is None
 
 
 class _FakeMLflow(types.ModuleType):

@@ -796,3 +796,24 @@ def test_collective_budget_tables(ds):
         n_shards=8,
     )
     assert 0.0 < proj["efficiency"] <= 1.0
+
+
+def test_stitch_addressable_rows_reassembles_sharded_grid():
+    """stitch_addressable_rows must reassemble arrays sharded on BOTH
+    the batch and grid axes (the eval artifact path under multi-host +
+    spatial sharding; a batch-start-only dedup dropped all but one grid
+    shard)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from neural_lam_tpu.trainer import stitch_addressable_rows
+
+    devices = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, axis_names=("data", "spatial"))
+    x = np.arange(4 * 6 * 3, dtype=np.float32).reshape(4, 6, 3)
+    arr = jax.device_put(
+        x, NamedSharding(mesh, P("data", "spatial", None))
+    )
+    np.testing.assert_array_equal(stitch_addressable_rows(arr), x)
+    # replicated non-batch axis still works (duplicates overwrite)
+    arr2 = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    np.testing.assert_array_equal(stitch_addressable_rows(arr2), x)
