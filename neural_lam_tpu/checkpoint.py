@@ -46,15 +46,6 @@ def _to_host(tree: Any) -> Any:
     return jax.tree_util.tree_map(get, tree)
 
 
-def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
-    flat = {}
-    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
-    for path, leaf in leaves_with_paths:
-        key = jax.tree_util.keystr(path)
-        flat[key] = np.asarray(leaf)
-    return flat
-
-
 def _flat_keys(tree: Any) -> set[str]:
     """Keystr set of a pytree without materialising its leaves."""
     return {
@@ -82,7 +73,8 @@ class CheckpointManager:
                         "val_loss"
                     ]
                 )
-            except (ValueError, KeyError, json.JSONDecodeError):
+            except (ValueError, KeyError, TypeError,
+                    json.JSONDecodeError):
                 pass
 
     def _path(self, name: str) -> Path:
@@ -211,6 +203,12 @@ _ARCH_KEYS = (
     "m2g_gnn_type",
     "mesh_up_gnn_type",
     "mesh_down_gnn_type",
+    # from the YAML config (train_model records them into hparams):
+    # omitting them would rebuild an UNCLAMPED model from a clamped
+    # checkpoint (reference applies clamping in every forward,
+    # step_predictors/base.py:168-383)
+    "output_clamping_lower",
+    "output_clamping_upper",
 )
 
 

@@ -83,6 +83,27 @@ class WeatherDataset:
                     f"({expected})."
                 )
 
+        # Analysis-mode slicing pairs state and forcing POSITIONALLY
+        # (_slice_forcing_time indexes the same idx into both arrays),
+        # so their time coordinates must line up element-for-element
+        # over the overlap — otherwise every sample would silently pair
+        # shifted forcing with its targets.
+        if (
+            not datastore.is_forecast
+            and self.da_forcing is not None
+        ):
+            t_state = np.asarray(self.da_state.get_coord("time"))
+            t_forcing = np.asarray(self.da_forcing.get_coord("time"))
+            k = min(len(t_state), len(t_forcing))
+            if not np.array_equal(t_state[:k], t_forcing[:k]):
+                raise ValueError(
+                    "state and forcing time coordinates are not "
+                    "positionally aligned in split "
+                    f"{split!r}; the dataset slices both by the same "
+                    "index, so misaligned series would silently pair "
+                    "wrong forcing with each target"
+                )
+
     # -- length ------------------------------------------------------------
     def __len__(self) -> int:
         ds = self.datastore

@@ -57,6 +57,18 @@ def _fmt_time(t: np.datetime64) -> str:
     )
 
 
+def _member_index(m: int, n_members: int) -> int:
+    """Range-checked ensemble-member index with numpy's negative-index
+    convention — matching what the non-pushdown path (plain numpy
+    indexing) would do, instead of silently wrapping via modulo."""
+    if not -n_members <= m < n_members:
+        raise IndexError(
+            f"ensemble_member index {m} out of range for "
+            f"{n_members} members"
+        )
+    return m % n_members
+
+
 class NpyFilesDatastoreMEPS(BaseRegularGridDatastore):
     """Datastore over the MEPS per-forecast ``.npy`` file layout."""
 
@@ -214,9 +226,17 @@ class NpyFilesDatastoreMEPS(BaseRegularGridDatastore):
         return mask
 
     def _load_state_file(
-        self, split: str, atime: np.datetime64, member: int
+        self, split: str, atime: np.datetime64, member: int,
+        t_key=slice(None),
     ) -> np.ndarray:
-        """One ``(T, grid, d_state)`` member forecast, feature-masked."""
+        """One ``(T', grid, d_state)`` member forecast, feature-masked.
+
+        ``t_key`` slices the forecast-step axis ON THE MEMMAP, before
+        the grid reshape forces a copy — a window read costs
+        O(window), not O(num_timesteps) (~10x less I/O per training
+        sample at MEPS size, where files hold 65 steps but a sample
+        needs ~2+ar_steps).
+        """
         fp = (
             self.root_path
             / "samples"
@@ -226,6 +246,8 @@ class NpyFilesDatastoreMEPS(BaseRegularGridDatastore):
             )
         )
         arr = np.load(fp, mmap_mode="r")  # (T, y, x, f_total)
+        if not (isinstance(t_key, slice) and t_key == slice(None)):
+            arr = arr[t_key]
         mask = self._state_feature_mask()
         if mask is not None:
             arr = np.asarray(arr)[..., mask]
@@ -324,19 +346,27 @@ class NpyFilesDatastoreMEPS(BaseRegularGridDatastore):
                         return loader(i)[rest]
                     drop_m = isinstance(m_key, (int, np.integer))
                     if drop_m:
-                        members = [int(m_key) % M]
+                        members = [_member_index(int(m_key), M)]
                     elif isinstance(m_key, slice):
                         members = list(range(*m_key.indices(M)))
                     else:
+                        m_arr = np.asarray(m_key)
+                        if m_arr.dtype == bool:
+                            # boolean mask -> positions (element-wise
+                            # int() would read mask VALUES as indices)
+                            m_arr = np.nonzero(m_arr.reshape(-1))[0]
                         members = [
-                            int(x) % M
-                            for x in np.asarray(m_key).reshape(-1)
+                            _member_index(int(x), M)
+                            for x in m_arr.reshape(-1)
                         ]
-                    per_member_key = (t_key,) + tail
+                    t_is_int = isinstance(t_key, (int, np.integer))
+                    rest_key = (
+                        tail if t_is_int else (slice(None),) + tail
+                    )
                     subs = [
-                        self._load_state_file(_split, _times[i], m)[
-                            per_member_key
-                        ]
+                        self._load_state_file(
+                            _split, _times[i], m, t_key=t_key
+                        )[rest_key]
                         for m in members
                     ]
                     if drop_m:
@@ -356,6 +386,30 @@ class NpyFilesDatastoreMEPS(BaseRegularGridDatastore):
                 def loader(i, _split=split, _times=analysis_times):
                     return self._load_state_file(_split, _times[i], 0)
 
+                def pushdown(i, rest, _split=split,
+                             _times=analysis_times):
+                    # time-slice pushdown: slice the memmap before the
+                    # grid reshape copy (see _load_state_file)
+                    n_adv = sum(
+                        not isinstance(k, (int, np.integer, slice))
+                        for k in rest
+                    )
+                    if n_adv > 1:
+                        return loader(i)[rest]
+                    t_key = rest[0]
+                    tail = rest[1:]
+                    arr = self._load_state_file(
+                        _split, _times[i], 0, t_key=t_key
+                    )
+                    if tail:
+                        k = (
+                            tail
+                            if isinstance(t_key, (int, np.integer))
+                            else (slice(None),) + tail
+                        )
+                        arr = arr[k]
+                    return arr
+
                 item_shape = (T, n_grid, d)
                 dims = (
                     "analysis_time",
@@ -368,7 +422,7 @@ class NpyFilesDatastoreMEPS(BaseRegularGridDatastore):
                 loader,
                 len(analysis_times),
                 item_shape,
-                pushdown=pushdown if self.is_ensemble else None,
+                pushdown=pushdown,
             )
             coords = {
                 "analysis_time": np.array(analysis_times),
@@ -468,11 +522,17 @@ class NpyFilesDatastoreMEPS(BaseRegularGridDatastore):
                 diff_std = self._load_stats_tensor("diff_std")
             except FileNotFoundError:
                 warnings.warn(
-                    f"Could not load diff mean/std for {category}",
+                    f"Could not load diff mean/std for {category}; "
+                    "falling back to diff_mean=0 / diff_std=1 "
+                    "(identity delta rescaling)",
                     stacklevel=2,
                 )
-                diff_mean = np.empty_like(mean)
-                diff_std = np.empty_like(std)
+                # NOT np.empty_like (the reference's fallback,
+                # store.py:747-829): uninitialised memory would flow
+                # into the per-step delta rescaling (graph_base) and
+                # the per_var_std loss weighting as silent garbage.
+                diff_mean = np.zeros_like(mean)
+                diff_std = np.ones_like(std)
             return {
                 "state_mean": mean,
                 "state_std": std,

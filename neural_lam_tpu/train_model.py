@@ -497,6 +497,16 @@ def main(argv=None) -> None:
     run_dir.mkdir(parents=True, exist_ok=True)
     ckpt = CheckpointManager(run_dir)
     hparams = {k: v for k, v in vars(args).items()}
+    # Clamping bounds come from the YAML config, not argparse — record
+    # them so checkpoints stay fully self-describing (predict/eval
+    # rebuilds would otherwise silently construct an UNCLAMPED model;
+    # reference self-describing contract: train_model.py:41-72).
+    hparams["output_clamping_lower"] = (
+        config.training.output_clamping.lower
+    )
+    hparams["output_clamping_upper"] = (
+        config.training.output_clamping.upper
+    )
 
     start_epoch = 0
     if args.load:

@@ -249,9 +249,9 @@ def test_lazy_member_selection(store):
     calls = []
     orig = store._load_state_file
 
-    def counting(split, atime, member):
+    def counting(split, atime, member, t_key=slice(None)):
         calls.append(member)
-        return orig(split, atime, member)
+        return orig(split, atime, member, t_key=t_key)
 
     store._load_state_file = counting
     try:
@@ -296,3 +296,59 @@ def test_step_length_iso8601_parsing(meps_root, tmp_path):
         parse("PTXH")
     with pytest.raises(ValueError):
         parse("P")  # no components at all
+
+
+def test_ensemble_pushdown_indexer_semantics(store):
+    """The member-selection pushdown must match plain numpy indexing:
+    boolean masks select by POSITION (not by value), out-of-range ints
+    raise IndexError (no silent modulo wrap), negative ints follow the
+    numpy convention."""
+    da = store.get_dataarray(category="state", split="train")
+    eager = np.asarray(da.data)  # (A, T, M, grid, d)
+    M = eager.shape[2]
+
+    # boolean mask: positions, not 0/1 indices
+    mask = np.zeros(M, bool)
+    mask[M - 1] = True
+    got = np.asarray(
+        da.isel(ensemble_member=mask).isel(analysis_time=1).data
+    )
+    np.testing.assert_array_equal(got, eager[1][:, [M - 1]])
+
+    # negative index follows numpy
+    got = np.asarray(
+        da.isel(ensemble_member=-1, analysis_time=0).data
+    )
+    np.testing.assert_array_equal(got, eager[0][:, M - 1])
+
+    # out of range raises instead of wrapping
+    with pytest.raises(IndexError):
+        np.asarray(da.isel(ensemble_member=M, analysis_time=0).data)
+
+
+def test_time_pushdown_slices_before_copy(store):
+    """The forecast-step window slice must reach _load_state_file as
+    t_key (memmap-sliced before the grid reshape copy) and produce the
+    same values as eager indexing."""
+    da = store.get_dataarray(category="state", split="train")
+    eager = np.asarray(da.data)
+    seen = []
+    orig = store._load_state_file
+
+    def spy(split, atime, member, t_key=slice(None)):
+        seen.append(t_key)
+        return orig(split, atime, member, t_key=t_key)
+
+    store._load_state_file = spy
+    try:
+        got = np.asarray(
+            da.isel(
+                analysis_time=0,
+                elapsed_forecast_duration=slice(1, 4),
+                ensemble_member=0,
+            ).data
+        )
+    finally:
+        store._load_state_file = orig
+    np.testing.assert_array_equal(got, eager[0, 1:4, 0])
+    assert seen and seen[-1] == slice(1, 4)
