@@ -4,7 +4,11 @@ Reproduces the geometry of the reference graph builder
 (reference: neural_lam/create_graph.py:357-861) with direct numpy index
 arithmetic instead of networkx graph objects:
 
-- mesh levels: ``nx=3`` coarsening, ``nlev = floor(log3(max(Nx, Ny)))``,
+- mesh levels: ``nx=3`` coarsening,
+  ``nlev = int(np.log(max(Nx, Ny)) / np.log(3))`` — the reference's
+  exact fp expression (create_graph.py:439-446), kept bit-compatible
+  rather than a true floor(log3): at max(Nx, Ny)=243 both give 4 (not
+  the mathematical 5) because np.log(243)/np.log(3) = 4.9999...,
   level ``l`` is an ``n x n`` quad grid (``n = 3**(nlev-l)``) placed with
   half-cell offsets inside the grid extent; edges are the 4-neighbourhood
   plus both diagonals, directed both ways,
@@ -109,11 +113,19 @@ def create_graph(
     xy: np.ndarray,
     n_max_levels: Optional[int] = None,
     hierarchical: bool = False,
+    grid_pos_stacked: Optional[np.ndarray] = None,
 ) -> dict:
     """Create graph components for the ``(Nx, Ny, 2)`` grid coordinates.
 
     Writes ``graph.npz`` + ``metainfo.yaml`` into ``graph_dir_path`` and
     returns the raw component dict (see :func:`save_graph` for keys).
+
+    ``grid_pos_stacked`` gives the grid positions in the DATASTORE's
+    ``grid_index`` order (``stack_grid_coords`` semantics) — required
+    whenever that order is not x-major (y-major mdp zarr stores,
+    mdp.py:260-267): g2m/m2g edges index grid nodes by ``grid_index``,
+    and an x-major flatten of a y-major store would silently connect
+    spatially wrong grid points. Defaults to the x-major flatten.
     """
     assert xy.ndim == 3 and xy.shape[-1] == 2, "xy must be (Nx, Ny, 2)"
     nx_f = _MESH_COARSENING_FACTOR
@@ -126,6 +138,15 @@ def create_graph(
         raise ValueError(
             f"Grid of shape {xy.shape[:2]} is too small to build a mesh "
             f"(needs max(Nx, Ny) >= {nx_f**2})"
+        )
+    if hierarchical and mesh_levels < 2:
+        # Loading derives hierarchy from n_levels > 1 (graphs/load.py),
+        # so a 1-level "hierarchical" graph would silently load as flat
+        # with empty up/down sets; fail here with the reason instead.
+        raise ValueError(
+            f"hierarchical graph needs >= 2 mesh levels, but grid "
+            f"{xy.shape[:2]} (with n_max_levels={n_max_levels}) "
+            "yields only 1 — build a flat graph or enlarge the grid"
         )
 
     # Per-level square mesh sizes, bottom (level index 0) first.
@@ -196,7 +217,11 @@ def create_graph(
 
     # g2m / m2g operate on the bottom mesh (all nodes for multiscale).
     Nx, Ny = xy.shape[:2]
-    grid_pos = xy.reshape(-1, 2)  # x-major grid_index order
+    if grid_pos_stacked is not None:
+        assert grid_pos_stacked.shape == (Nx * Ny, 2)
+        grid_pos = np.asarray(grid_pos_stacked)
+    else:
+        grid_pos = xy.reshape(-1, 2)  # x-major grid_index order
     # dm: x spacing of the bottom mesh (reference: create_graph.py:703-705
     # measures nodes (1, 0) and (0, 0), i.e. x neighbours).
     n_bottom = level_ns[0]
@@ -292,4 +317,8 @@ def create_graph_from_datastore(
         xy=xy,
         n_max_levels=n_max_levels,
         hierarchical=hierarchical,
+        # grid positions in the datastore's own grid_index order, so
+        # g2m/m2g edges match how state arrays are stacked (y-major
+        # mdp stores override stack_grid_coords)
+        grid_pos_stacked=datastore.get_xy(category="state", stacked=True),
     )

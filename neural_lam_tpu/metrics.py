@@ -21,9 +21,13 @@ import numpy as np
 def get_metric(metric_name: str) -> Callable[..., jax.Array]:
     """Look up a metric function by (case-insensitive) name."""
     metric_name_lower = metric_name.lower()
-    assert (
-        metric_name_lower in DEFINED_METRICS
-    ), f"Unknown metric: {metric_name}"
+    if metric_name_lower not in DEFINED_METRICS:
+        # ValueError, not assert: survives python -O and matches
+        # get_metric_entry's error contract
+        raise ValueError(
+            f"Unknown metric: {metric_name!r} "
+            f"(available: {sorted(DEFINED_METRICS)})"
+        )
     return DEFINED_METRICS[metric_name_lower]
 
 
@@ -116,9 +120,34 @@ def get_metric_entry(metric_name: str):
     return ENTRY_FNS[name]
 
 
+def _sanitize_masked_inputs(pred, target, pred_std, mask):
+    """Double-where: neutralise inputs at masked-OUT nodes BEFORE the
+    entry computation. The select-sum in ``mask_and_reduce_metric``
+    keeps excluded NaNs out of the VALUE, but a single ``where`` does
+    not protect gradients: if target/pred_std is NaN at an excluded
+    node (NaN-filled exterior is common in LAM datastores), the
+    cotangent is 0 * d(entry)/d(pred) = NaN and poisons every parameter
+    gradient. Zeroing the inputs at excluded nodes (std -> 1) makes the
+    entry finite there; the outer mask still drops it from the value.
+    """
+    if mask is None:
+        return pred, target, pred_std
+    m = jnp.asarray(np.asarray(mask, dtype=bool))[:, None]
+    pred = jnp.where(m, pred, 0.0)
+    target = jnp.where(m, target, 0.0)
+    if jnp.ndim(pred_std) == jnp.ndim(pred):
+        # node-dependent std head; per-variable (d,) std is finite by
+        # construction (trainer eps-clamps it) and must not broadcast
+        pred_std = jnp.where(m, pred_std, 1.0)
+    return pred, target, pred_std
+
+
 def wmse(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):
     """Squared error weighted by ``1 / pred_std**2``
     (reference: metrics.py:88-138)."""
+    pred, target, pred_std = _sanitize_masked_inputs(
+        pred, target, pred_std, mask
+    )
     entry = _wmse_entry(pred, target, pred_std)
     return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
 
@@ -133,6 +162,9 @@ def mse(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):
 def wmae(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):
     """Absolute error weighted by ``1 / pred_std``
     (reference: metrics.py:186-236)."""
+    pred, target, pred_std = _sanitize_masked_inputs(
+        pred, target, pred_std, mask
+    )
     entry = _wmae_entry(pred, target, pred_std)
     return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
 
@@ -146,6 +178,9 @@ def mae(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):
 
 def nll(pred, target, pred_std, mask=None, average_grid=True, sum_vars=True):
     """Gaussian negative log likelihood (reference: metrics.py:284-330)."""
+    pred, target, pred_std = _sanitize_masked_inputs(
+        pred, target, pred_std, mask
+    )
     entry = _nll_entry(pred, target, pred_std)
     return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
 
@@ -163,6 +198,9 @@ def crps_gauss(
 ):
     """Closed-form Gaussian CRPS, negated for minimisation
     (reference: metrics.py:333-387)."""
+    pred, target, pred_std = _sanitize_masked_inputs(
+        pred, target, pred_std, mask
+    )
     entry = _crps_entry(pred, target, pred_std)
     return mask_and_reduce_metric(entry, mask, average_grid, sum_vars)
 

@@ -1137,8 +1137,16 @@ class ShardedModel:
         (sample, step), with a psum over spatial shards: the sharded
         equivalent of ``loss_fn(..., mask=interior, average_grid,
         sum_vars)`` (reference: models/module.py:379-386)."""
+        m = tbl["interior_mask"][:, 0][None, None, :, None]
+        # double-where like metrics._sanitize_masked_inputs: NaN-filled
+        # exterior targets would otherwise produce entry = NaN and
+        # NaN * 0 = NaN in both the value and the gradients
+        target = jnp.where(m > 0, target, 0.0)
+        pred = jnp.where(m > 0, pred, 0.0)
+        if jnp.ndim(pred_std) == jnp.ndim(pred):
+            pred_std = jnp.where(m > 0, pred_std, 1.0)
         entry = entry_fn(pred, target, pred_std)  # (B, T, N_loc, d)
-        masked = entry * tbl["interior_mask"][:, 0][None, None, :, None]
+        masked = entry * m
         sums = jnp.sum(masked, axis=-2)  # (B, T, d)
         sums = jax.lax.psum(sums, self.axis) / self.n_interior
         if sum_vars:

@@ -362,3 +362,35 @@ def test_missing_units_array_yields_placeholders(mdp_root, tmp_path):
     assert any("placeholder" in str(x.message) for x in w)
     # the category itself is intact
     assert store.get_num_data_vars("forcing") == N_FORCING
+
+
+def test_graph_grid_indices_match_y_major_stacking(store, tmp_path):
+    """g2m/m2g edges must index grid nodes in the DATASTORE's
+    grid_index order. This store stacks y-major (grid_index =
+    y * Nx + x, the mllam default); an x-major flatten in the graph
+    builder would connect spatially wrong grid points (silently —
+    shapes all match)."""
+    import scipy.spatial
+
+    from neural_lam_tpu.graphs import create_graph_from_datastore
+
+    out = tmp_path / "graph" / "ymajor"
+    create_graph_from_datastore(store, out, hierarchical=False)
+
+    grid_pos = store.get_xy("state", stacked=True)  # grid_index order
+    import numpy as _np
+
+    raw = _np.load(out / "graph.npz")
+    mesh_pos = raw["mesh_features__0"]
+
+    # m2g: every grid node receives from its 4 nearest mesh nodes
+    # (reference: create_graph.py:779-792)
+    kdt = scipy.spatial.KDTree(mesh_pos)
+    senders, receivers = raw["m2g_senders"], raw["m2g_receivers"]
+    for gidx in range(0, grid_pos.shape[0], 7):
+        got = sorted(senders[receivers == gidx])
+        want = sorted(kdt.query(grid_pos[gidx], k=4)[1])
+        assert got == want, (
+            f"grid node {gidx}: m2g senders {got} != 4-NN {want} — "
+            "grid flatten order does not match the store's stacking"
+        )

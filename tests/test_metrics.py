@@ -38,7 +38,9 @@ def test_registry_and_lookup():
         "mse", "mae", "wmse", "wmae", "nll", "crps_gauss",
     }
     assert get_metric("WMSE") is wmse
-    with pytest.raises(AssertionError):
+    # ValueError (not assert): survives python -O and matches
+    # get_metric_entry's error contract
+    with pytest.raises(ValueError, match="bogus"):
         get_metric("bogus")
 
 
@@ -133,3 +135,36 @@ def test_crps_perfect_forecast_limit():
     broad = float(jnp.sum(crps_gauss(pred, target, jnp.full((1, 1, 1), 1.0))))
     assert abs(sharp) < 1e-3
     assert broad > sharp
+
+
+def test_masked_nan_targets_do_not_poison_gradients():
+    """NaN targets at masked-OUT nodes (NaN-filled exterior is common
+    in LAM datastores) must not reach parameter gradients: the
+    select-sum keeps the VALUE clean, but without input sanitization
+    the cotangent would be 0 * NaN = NaN (the single-where trap)."""
+    import jax
+    import jax.numpy as jnp
+
+    n, d = 6, 3
+    rng = np.random.default_rng(0)
+    target = rng.normal(size=(n, d)).astype(np.float32)
+    mask = np.array([True, True, False, True, False, True])
+    target[~mask] = np.nan
+    std = np.full((n, d), 1.5, np.float32)
+    std[~mask] = np.nan
+
+    for name in sorted(DEFINED_METRICS):
+        fn = get_metric(name)
+
+        def loss(pred):
+            return jnp.mean(
+                fn(pred, jnp.asarray(target), jnp.asarray(std), mask=mask)
+            )
+
+        pred0 = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        val = loss(pred0)
+        grad = jax.grad(loss)(pred0)
+        assert np.isfinite(float(val)), name
+        assert np.isfinite(np.asarray(grad)).all(), (
+            f"{name}: NaN gradient leaked through the mask"
+        )
