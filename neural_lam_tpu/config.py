@@ -116,7 +116,13 @@ def config_from_dict(data: dict) -> NeuralLAMConfig:
             f"Invalid or missing `datastore` section: {e}"
         ) from e
 
-    training_data = dict(data.get("training") or {})
+    raw_training = data.get("training") or {}
+    if not isinstance(raw_training, dict):
+        raise InvalidConfigError(
+            "`training` section must be a mapping, got "
+            f"{type(raw_training).__name__}"
+        )
+    training_data = dict(raw_training)
     weighting_data = training_data.pop("state_feature_weighting", None)
     clamping_data = training_data.pop("output_clamping", None)
     if training_data:

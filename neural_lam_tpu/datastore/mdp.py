@@ -49,12 +49,23 @@ class MDPDatastore(BaseRegularGridDatastore):
     ) -> None:
         self._config_path = Path(config_path)
         self._root_path = self._config_path.parent
+        self._read_cache: dict[str, np.ndarray] = {}
         with open(self._config_path, "r", encoding="utf-8") as f:
             self._config = yaml.safe_load(f) or {}
 
-        fp_ds = self._root_path / self._config_path.name.replace(
-            ".yaml", ".zarr"
-        )
+        name = self._config_path.name
+        for suffix in (".datastore.yaml", ".datastore.yml", ".yaml", ".yml"):
+            if name.endswith(suffix):
+                name = name[: -len(suffix)] + suffix.replace(
+                    "yaml", "zarr"
+                ).replace("yml", "zarr")
+                break
+        else:
+            raise ValueError(
+                f"MDP datastore config must be a .yaml/.yml file, got "
+                f"{self._config_path.name!r}"
+            )
+        fp_ds = self._root_path / name
         if not fp_ds.exists():
             # Dataset creation through mllam-data-prep when installed,
             # mirroring the reference's on-demand create path
@@ -105,9 +116,14 @@ class MDPDatastore(BaseRegularGridDatastore):
         self._grid_y = np.asarray(y)
 
     # -- helpers -----------------------------------------------------------
-    @functools.lru_cache(maxsize=None)
     def _read(self, name: str) -> np.ndarray:
-        return self._store[name].read()
+        # per-INSTANCE cache, not functools.lru_cache: an lru_cache on
+        # an instance method pins every datastore (and its decompressed
+        # arrays) in a module-global cache for the process lifetime
+        # (convention: datastore/base.py:144-147)
+        if name not in self._read_cache:
+            self._read_cache[name] = self._store[name].read()
+        return self._read_cache[name]
 
     # -- metadata ----------------------------------------------------------
     @property
@@ -189,7 +205,9 @@ class MDPDatastore(BaseRegularGridDatastore):
                 return None
             raise KeyError(category)
         arr = self._store[category]
-        values = arr.read()
+        # cached full read: one decompression serves all three splits
+        # (train/val/test loaders each call get_dataarray)
+        values = self._read(category)
         dims = list(arr.dims or ())
         coords: dict[str, np.ndarray] = {
             f"{category}_feature": np.array(
@@ -199,7 +217,10 @@ class MDPDatastore(BaseRegularGridDatastore):
         if "time" in dims and split is not None:
             i0, i1 = self._split_time_range(split)
             t_axis = dims.index("time")
-            values = np.take(values, np.arange(i0, i1), axis=t_axis)
+            # basic slice: a view, not a copy (np.take would duplicate
+            # the split's whole array)
+            key = (slice(None),) * t_axis + (slice(i0, i1),)
+            values = values[key]
             coords["time"] = self._read("time")[i0:i1]
         elif "time" in dims:
             coords["time"] = self._read("time")

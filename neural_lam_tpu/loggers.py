@@ -177,6 +177,9 @@ def setup_training_logger(
     if logger == "none":
         return NullLogger()
     if logger == "wandb":
+        # Exception, not just ImportError: wandb.init raises its own
+        # UsageError/CommError when not logged in / offline — the
+        # documented contract is "fall back to CSV, don't fail the run"
         try:
             return WandbLogger(
                 project=project,
@@ -184,11 +187,22 @@ def setup_training_logger(
                 run_id=run_id,
                 config=config,
             )
-        except ImportError:
-            print("wandb not installed; falling back to CSV logger")
-    if logger == "mlflow":
+        except Exception as e:  # noqa: BLE001 — fallback by contract
+            print(
+                f"wandb unavailable ({type(e).__name__}: {e}); "
+                "falling back to CSV logger"
+            )
+    elif logger == "mlflow":
         try:
             return MLFlowLogger(experiment=project, run_name=run_name)
-        except ImportError:
-            print("mlflow not installed; falling back to CSV logger")
+        except Exception as e:  # noqa: BLE001 — fallback by contract
+            print(
+                f"mlflow unavailable ({type(e).__name__}: {e}); "
+                "falling back to CSV logger"
+            )
+    elif logger != "csv":
+        raise ValueError(
+            f"Unknown logger {logger!r} "
+            "(available: csv, wandb, mlflow, none)"
+        )
     return CSVLogger(run_dir)

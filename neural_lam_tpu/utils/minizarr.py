@@ -18,6 +18,7 @@ Also implements the xarray conventions needed here: dimension names from
 from __future__ import annotations
 
 import json
+import re
 import struct
 import zlib
 from pathlib import Path
@@ -179,7 +180,11 @@ def _decompress_blosc_block(
                 (csize,) = struct.unpack_from("<i", data, pos)
                 pos += 4
                 raw = data[pos : pos + abs(csize)]
-                if csize < 0:  # stored uncompressed
+                # c-blosc1 stores incompressible sub-streams RAW with
+                # csize == neblock (blosc.c blosc_d memcpy branch), not
+                # only with a negative marker — feeding those bytes to
+                # the codec corrupts or fails the decode
+                if csize < 0 or csize == sub_size:
                     parts.append(raw)
                 else:
                     parts.append(
@@ -194,7 +199,7 @@ def _decompress_blosc_block(
     try:
         (csize,) = struct.unpack_from("<i", data, start)
         raw = data[start + 4 : start + 4 + abs(csize)]
-        if csize < 0:
+        if csize < 0 or csize == dst_size:  # raw block (see above)
             return raw[:dst_size]
         out = _decompress_codec(codec, raw, dst_size)
         if len(out) == dst_size:
@@ -257,7 +262,9 @@ class ZarrArray:
     def read(self) -> np.ndarray:
         """Materialise the full array."""
         if not self.shape:
-            return self._chunk(()).reshape(())
+            # 0-d arrays (scalar reference times, fill scalars) get the
+            # same CF/fill decoding as everything else
+            return self._decode(self._chunk(()).reshape(()))
         out = np.empty(self.shape, dtype=self.dtype)
         n_chunks = [
             -(-s // c) for s, c in zip(self.shape, self.chunks)
@@ -280,14 +287,27 @@ class ZarrArray:
         # Mask float fill values to NaN BEFORE CF time decoding so a
         # fill-valued time decodes to NaT, not a garbage timestamp.
         fill = self.attrs.get("_FillValue", self.fill_value)
+        is_time = isinstance(units, str) and " since " in units
         if (
             fill is not None
             and np.issubdtype(out.dtype, np.floating)
             and not (isinstance(fill, float) and np.isnan(fill))
         ):
             out = np.where(out == fill, np.nan, out)
-        if isinstance(units, str) and " since " in units:
-            return _decode_cf_time(out, units)
+        if is_time:
+            decoded = _decode_cf_time(out, units)
+            if (
+                fill is not None
+                and np.issubdtype(out.dtype, np.integer)
+                and np.issubdtype(decoded.dtype, np.datetime64)
+            ):
+                # int-encoded CF times (xarray's default) cannot carry
+                # NaN; mask AFTER decoding so a fill-valued time is
+                # NaT, not a wrapped garbage timestamp
+                decoded = np.where(
+                    out == fill, np.datetime64("NaT"), decoded
+                )
+            return decoded
         return out
 
 
@@ -308,7 +328,25 @@ def _decode_cf_time(values: np.ndarray, units: str) -> np.ndarray:
     np_unit = _CF_UNITS.get(unit_name.strip().lower())
     if np_unit is None:
         return values
-    epoch64 = np.datetime64(epoch.strip().replace(" ", "T"), "ns")
+    epoch_s = epoch.strip()
+    # CF-legal timezone suffixes: '... 00:00:00 UTC', '...Z', '+00:00'
+    tz_shift = np.timedelta64(0, "m")
+    parts = epoch_s.split()
+    if parts and parts[-1].upper() in ("UTC", "GMT", "Z"):
+        parts = parts[:-1]
+    elif parts and re.fullmatch(r"[+-]\d{1,2}:?\d{2}", parts[-1]):
+        tz = parts[-1].replace(":", "")
+        sign = -1 if tz[0] == "+" else 1  # epoch in +hh:mm is EARLIER
+        tz_shift = sign * np.timedelta64(
+            int(tz[1:-2] or 0) * 60 + int(tz[-2:]), "m"
+        )
+        parts = parts[:-1]
+    epoch_s = " ".join(parts)
+    if epoch_s.endswith("Z"):
+        epoch_s = epoch_s[:-1]
+    epoch64 = (
+        np.datetime64(epoch_s.replace(" ", "T"), "ns") + tz_shift
+    )
     step_ns = np.timedelta64(1, np_unit).astype("timedelta64[ns]")
     values = np.asarray(values)
     if np.issubdtype(values.dtype, np.floating):

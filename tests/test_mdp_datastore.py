@@ -394,3 +394,26 @@ def test_graph_grid_indices_match_y_major_stacking(store, tmp_path):
             f"grid node {gidx}: m2g senders {got} != 4-NN {want} — "
             "grid flatten order does not match the store's stacking"
         )
+
+
+def test_blosc_raw_block_marker():
+    """c-blosc1 stores incompressible blocks RAW with csize == neblock
+    (a POSITIVE marker, not only negative csize); the decoder must
+    memcpy them instead of feeding raw bytes to the codec."""
+    import struct
+
+    from neural_lam_tpu.utils.minizarr import _blosc_decompress
+
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 256, size=512, dtype=np.uint8).tobytes()
+    # single raw block frame: stream = int32(len) + raw bytes
+    flags = 4 << 5  # zstd codec id, no shuffle/memcpy flags
+    stream = struct.pack("<i", len(data)) + data
+    header = struct.pack(
+        "<BBBBIII", 2, 1, flags, 1, len(data), len(data),
+        16 + 4 + len(stream),
+    )
+    table = struct.pack("<i", 20)
+    frame = header + table + stream
+    out = _blosc_decompress(frame)
+    assert out == data
